@@ -1,0 +1,58 @@
+"""Catalog: loaders for the driver-generated testdata tables.
+
+Mirrors the reference's fixed relational schema idea (reference:
+schema.sql:1-74 - explicit DDL, no inference) on the TPC-H-ish driver tables.
+Parquet carries the schema; loaders add engine-level conventions:
+
+- every loader is a plain `spark.read.parquet` so Catalyst gets full
+  predicate pushdown / column pruning into the scan;
+- `register_views` exposes the tables to the SQL API under their bare names
+  (the same names the DuckDB oracle pre-registers).
+
+At 100 TB the facts (orders/lineitem/events/documents/embeddings) would be
+written partitioned (e.g. orders by month(o_orderdate), events by date) and
+optionally bucketed by join key; the loaders keep that invisible to queries.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any realistic scale (region/nation
+# are bounded by geography; the others are bounded at the driver's SFs but
+# become shuffle joins at 100 TB - queries mark broadcast explicitly only for
+# the bounded ones and let AQE decide for the rest).
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (same names as the DuckDB oracle)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

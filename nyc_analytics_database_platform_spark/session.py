@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test bed; the conf is written so the same code scales to a
+multi-executor cluster: AQE handles runtime coalescing and skew joins, the
+broadcast threshold covers the dimension tables, and timestamps are pinned to
+UTC so results are environment-independent (required for the DuckDB oracle
+comparison, which uses naive timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "nyc-analytics-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{int(env)}]" if env else "local[*]"
+    else:
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # Shuffle partitions sized to local cores; on a real cluster this is
+        # overridden (AQE coalesces down from a larger initial number).
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Dimension tables (region/nation/customer/supplier/part at small SF)
+        # stay under this; fact-fact joins exceed it and go sort-merge.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
