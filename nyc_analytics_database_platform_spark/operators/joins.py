@@ -1,0 +1,75 @@
+"""Join operators beyond plain equi-joins: as-of join and range-band join.
+
+The reference has only inner FK equi-joins (SURVEY.md section 2.3); these are
+the engine-parity extensions, implemented with shuffle-friendly plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_ts <= left_ts within the same `on` key (left outer semantics).
+
+    Implementation: union the two sides tagged, single window sorted by
+    (ts, side) per key, and carry the last non-null right value forward
+    (`F.last(ignorenulls=True)`). This is the scale-correct as-of join: one
+    shuffle on the key, one sort, no row-multiplying join - versus the naive
+    join-then-filter-then-rank which materializes |left| x |right| per key.
+    Right rows sort before left rows at equal ts, making the join inclusive
+    (right_ts == left_ts matches).
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = l.unionByName(r)
+    for c in value_cols:
+        u = u.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    return u.filter(F.col("_side") == 1).select(
+        *lcols, *[F.col(f"_r_{c}").alias(f"asof_{c}") for c in value_cols]
+    )
+
+
+def range_band_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value: Column,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Join fact rows to a small band table on lo <= value < hi.
+
+    The band side is broadcast, so the non-equi condition compiles to a
+    BroadcastNestedLoopJoin - O(|fact| * |bands|) comparisons but zero
+    shuffle; correct choice while |bands| is tiny. (For large band tables
+    the scale path is binning to an equi-key first.)
+    """
+    cond = (value >= F.col(lo_col)) & (value < F.col(hi_col))
+    return fact.join(F.broadcast(bands), cond, "inner")

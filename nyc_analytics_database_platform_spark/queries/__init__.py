@@ -3,4 +3,10 @@
 Each module maps one SURVEY.md section 2 area onto the driver testdata tables.
 """
 
-from nyc_analytics_database_platform_spark.queries import parity_core  # noqa: F401
+from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
+    parity_core,
+    parity_joins,
+    parity_misc,
+    parity_timeseries,
+    parity_windows,
+)

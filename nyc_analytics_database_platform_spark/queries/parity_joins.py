@@ -1,0 +1,154 @@
+"""Join parity queries: semi/anti, range-band, as-of (SURVEY.md section 2.3 -
+the reference has only inner equi-joins; these complete the engine surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.functions.numeric import ORACLE_SUM, exact_sum
+from nyc_analytics_database_platform_spark.operators.joins import asof_join, range_band_join
+from nyc_analytics_database_platform_spark.registry import register
+
+
+@register(
+    "semi_join_active_customers",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+        )
+        ORDER BY c_custkey
+    """,
+    tags=("J-ext",),
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join: customers with a recent order."""
+    cust = load(spark, sf_dir, "customer")
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "anti_join_dormant_customers",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+        )
+        ORDER BY c_custkey
+    """,
+    tags=("J-ext",),
+)
+def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join: customers with no recent order."""
+    cust = load(spark, sf_dir, "customer")
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_BANDS = [
+    ("budget", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("premium", 150_000.0, 300_000.0),
+    ("luxury", 300_000.0, 1e12),
+]
+
+
+@register(
+    "range_join_price_bands",
+    oracle="""
+        WITH bands(band, lo, hi) AS (VALUES
+            ('budget',  CAST(0 AS DOUBLE),      CAST(50000 AS DOUBLE)),
+            ('mid',     CAST(50000 AS DOUBLE),  CAST(150000 AS DOUBLE)),
+            ('premium', CAST(150000 AS DOUBLE), CAST(300000 AS DOUBLE)),
+            ('luxury',  CAST(300000 AS DOUBLE), CAST(1e12 AS DOUBLE))
+        )
+        SELECT b.band, COUNT(*) AS num_orders, {rev} AS revenue
+        FROM orders o
+        JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        GROUP BY b.band
+        ORDER BY band
+    """.format(rev=ORACLE_SUM.format(col="o.o_totalprice")),
+    tags=("J-ext",),
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a tiny broadcast band table."""
+    orders = load(spark, sf_dir, "orders")
+    schema = T.StructType(
+        [
+            T.StructField("band", T.StringType()),
+            T.StructField("lo", T.DoubleType()),
+            T.StructField("hi", T.DoubleType()),
+        ]
+    )
+    bands = spark.createDataFrame(_BANDS, schema)
+    return (
+        range_band_join(orders, bands, F.col("o_totalprice"))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("num_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "asof_join_purchase_last_click",
+    oracle="""
+        SELECT p.event_id,
+               p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+    """,
+    tags=("J-ext", "asof"),
+    bench=True,
+)
+def asof_join_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the latest click by the same user
+    at or before it (DuckDB's native ASOF JOIN is the oracle).
+
+    Spark has no as-of join; this uses the union + sorted-window
+    last(ignorenulls) plan from operators/joins.py - one shuffle on user_id,
+    no row multiplication (scales to arbitrarily many events per user).
+    """
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", value_cols=["ts"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_ts"),
+    ).orderBy("event_id")

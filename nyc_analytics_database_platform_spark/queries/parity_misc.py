@@ -1,0 +1,200 @@
+"""Set operations, grouping sets, distinct aggregation, the BBL-style key
+codec, and JSON extraction (SURVEY.md sections 2.7, 2.8, 2.4 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.functions.codec import format_key, parse_key
+from nyc_analytics_database_platform_spark.registry import register
+
+
+@register(
+    "set_ops_customer_segments",
+    oracle="""
+        WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        recent AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        SELECT
+            (SELECT COUNT(*) FROM (SELECT * FROM building UNION SELECT * FROM recent)) AS union_cnt,
+            (SELECT COUNT(*) FROM (SELECT * FROM building INTERSECT SELECT * FROM recent)) AS intersect_cnt,
+            (SELECT COUNT(*) FROM (SELECT * FROM building EXCEPT SELECT * FROM recent)) AS except_cnt
+    """,
+    tags=("SET-ext",),
+)
+def set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over two customer key sets (SURVEY.md
+    section 2.7 - free Spark built-ins, none in the reference)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    recent = (
+        orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    u = building.union(recent).distinct().count()
+    i = building.intersect(recent).count()
+    e = building.exceptAll(recent).distinct().count()
+    return spark.createDataFrame(
+        [(u, i, e)], "union_cnt bigint, intersect_cnt bigint, except_cnt bigint"
+    )
+
+
+@register(
+    "rollup_region_nation",
+    oracle="""
+        SELECT COALESCE(r.r_name, 'ALL') AS region,
+               COALESCE(n.n_name, 'ALL') AS nation,
+               COUNT(*) AS num_customers
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name)
+        ORDER BY region, nation
+    """,
+    tags=("A-ext", "rollup"),
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (region -> nation -> grand total) - the
+    grouping-sets extension (SURVEY.md section 2.4 note)."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("num_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "num_customers",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@register(
+    "distinct_counts_per_nation",
+    oracle="""
+        SELECT n.n_name AS nation,
+               COUNT(DISTINCT o.o_custkey) AS distinct_buyers,
+               COUNT(DISTINCT strftime(date_trunc('month', o.o_orderdate), '%Y-%m'))
+                 AS active_months
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY nation
+    """,
+    tags=("A-ext", "distinct"),
+)
+def distinct_counts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISTINCT aggregation (SURVEY.md section 2.4 note). The 100 TB
+    twin is approx_count_distinct (HLL) - see approx_distinct_buyers."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("o_custkey").alias("distinct_buyers"),
+            F.countDistinct(
+                F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+            ).alias("active_months"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "approx_distinct_buyers",
+    oracle=None,  # HLL sketch result is engine-specific; rows-only check
+    tags=("A-ext", "approx"),
+)
+def approx_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) - the 100 TB path for distinct
+    counts: constant memory per group vs a full shuffle of distinct values.
+    Sketch values are engine-specific, so no cross-engine oracle."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_buyers"),
+        F.countDistinct("o_custkey").alias("exact_buyers"),
+    )
+
+
+@register(
+    "key_codec_roundtrip",
+    oracle="""
+        SELECT code,
+               CAST(string_split(code, '-')[1] AS INTEGER) AS part_a,
+               CAST(string_split(code, '-')[2] AS INTEGER) AS part_b,
+               CAST(string_split(code, '-')[3] AS INTEGER) AS part_c
+        FROM (
+            SELECT printf('%d-%05d-%04d',
+                          CAST(l_orderkey % 5 + 1 AS BIGINT),
+                          CAST(l_partkey AS BIGINT),
+                          CAST(l_suppkey AS BIGINT)) AS code
+            FROM lineitem
+            WHERE l_orderkey < 100
+        )
+        ORDER BY code
+    """,
+    tags=("S4", "F5"),
+)
+def key_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BBL-style composite-key codec: 3 ints <-> 'b-bbbbb-llll' string
+    (reference: server.py:104-109,118-127 - zero-padded BBL parse/format),
+    as pure native expressions (format_string / split / cast - no UDF)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    coded = li.select(
+        format_key(
+            F.col("l_orderkey") % 5 + 1, F.col("l_partkey"), F.col("l_suppkey")
+        ).alias("code")
+    )
+    parsed = parse_key(F.col("code"))
+    return coded.select(
+        "code",
+        parsed[0].alias("part_a"),
+        parsed[1].alias("part_b"),
+        parsed[2].alias("part_c"),
+    ).orderBy("code")
+
+
+@register(
+    "json_extract_event_props",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS num_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("F-ext", "json"),
+)
+def json_extract_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + aggregation over the events payload column
+    (the reference's only JSON is the response boundary, server.py:495;
+    this is the engine-side JSON surface)."""
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("num_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

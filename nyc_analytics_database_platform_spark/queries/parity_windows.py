@@ -1,0 +1,81 @@
+"""Ranking-window parity queries: top-K + Other rollup, per-group rank
+(SURVEY.md sections 2.4 A9, 2.5, 2.6 O5/O6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.operators.topk import topk_other
+from nyc_analytics_database_platform_spark.registry import register
+
+
+@register(
+    "top5_other_rollup",
+    oracle="""
+        WITH c AS (
+            SELECT n.n_name AS nation, COUNT(*) AS num_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        ),
+        r AS (
+            SELECT nation, num_orders,
+                   ROW_NUMBER() OVER (ORDER BY num_orders DESC, nation) AS rn
+            FROM c
+        )
+        SELECT CASE WHEN rn <= 5 THEN nation ELSE 'Other' END AS nation,
+               CAST(SUM(num_orders) AS BIGINT) AS num_orders
+        FROM r
+        GROUP BY 1
+    """,
+    tags=("A9", "O6"),
+    bench=True,
+)
+def top5_other_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 groups by count + 'Other' tail bucket (reference:
+    server.py:411-419 - top-5 complaint types, tail summed into Other)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    counts = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("num_orders"))
+    )
+    return topk_other(counts, "nation", "num_orders", k=5)
+
+
+@register(
+    "top3_customers_per_nation",
+    oracle="""
+        SELECT nation, c_custkey, c_acctbal, rnk FROM (
+            SELECT n.n_name AS nation, c.c_custkey, c.c_acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                      ORDER BY c.c_acctbal DESC, c.c_custkey) AS rnk
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ) WHERE rnk <= 3
+        ORDER BY nation, rnk
+    """,
+    tags=("W-ext", "O5"),
+)
+def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N via ranking window (the compare view's top-10 slice,
+    templates/compare.html:246, generalized to partitioned ranking).
+
+    Scale: row_number over (nation, acctbal desc) - Spark pushes a per-group
+    top-K filter (WindowGroupLimit) before the full sort, so the shuffle
+    carries only candidate rows."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = Window.partitionBy("nation").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "c_custkey", "c_acctbal")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("nation", "rnk")
+    )

@@ -33,6 +33,9 @@ def get_spark(app_name: str = "nyc-analytics-spark", cpus: int | None = None) ->
         # stay under this; fact-fact joins exceed it and go sort-merge.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read as long and normalize in catalog.load.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
