@@ -4,6 +4,7 @@ Each module maps one SURVEY.md section 2 area onto the driver testdata tables.
 """
 
 from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
+    parity_composites,
     parity_core,
     parity_joins,
     parity_misc,

@@ -13,16 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.domain import ACTIVE_STATUSES
 from nyc_analytics_database_platform_spark.functions.numeric import (
     ORACLE_SUM,
     exact_sum,
 )
 from nyc_analytics_database_platform_spark.registry import register
-
-# "Active" order statuses - analog of the reference's active complaint domain
-# status IN ('Open','Pending','In Progress') (reference: server.py:172,
-# schema.sql:73) mapped onto o_orderstatus.
-ACTIVE_STATUSES = ("O", "P")
 
 
 @register(
