@@ -1,0 +1,209 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five strategies, all expressed as declarative DataFrame plans over a
+`(id, text)` corpus (plus an embedding variant):
+
+- exact:        hash-groupBy on a normalized digest; keep min id per group.
+- ngram-jaccard: explode distinct k-shingles -> self-join on shingle ->
+                 |intersection| per pair -> Jaccard >= threshold.
+- MinHash+LSH:  per-permutation signature = lexicographic MIN of
+                 md5(perm || shingle) (md5 is identical across engines, so
+                 the oracle is exact); signatures banded; a shared band
+                 bucket makes a candidate pair.
+- SimHash:      32-bit fingerprint from majority vote of per-feature hash
+                 bits; near-dups = pairs with hamming distance <= radius via
+                 bit_count(xor).
+- embedding:    cosine >= threshold over vector pairs (see similarity.py).
+
+Scale notes (the whole point of MinHash/SimHash): the naive shingle
+self-join blows up on common shingles (a shingle shared by m docs emits
+m^2 rows); LSH bounds the join key domain to (band, bucket) with ~constant
+bucket occupancy, and SimHash reduces each doc to one 32/64-bit integer so
+candidate generation can bucket on fingerprint prefixes. The exact variant
+is one shuffle on the digest. None of these collect anything to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.functions.text import shingles, ws_tokens
+
+# --- shared shingle prep ----------------------------------------------------
+
+
+def distinct_shingles(docs: DataFrame, id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """(id, shingle) pairs, deduplicated per doc."""
+    return (
+        docs.select(id_col, shingles_col(k).alias("sh"))
+        .select(id_col, F.explode("sh").alias("s"))
+        .distinct()
+    )
+
+
+def shingles_col(k: int = 5):
+    return shingles("toks", k)
+
+
+def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("toks", ws_tokens(text_col))
+
+
+# --- exact ------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct normalized text: canonical (min) id + group size.
+    Keep-set = the canonical ids; drop-set = group_size > 1 members."""
+    return (
+        docs.select(id_col, F.md5(F.lower(F.trim(F.col(text_col)))).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+# --- n-gram Jaccard ---------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float, id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard >= threshold.
+
+    Exact but quadratic in docs sharing a shingle - the correctness baseline
+    that MinHash approximates. Plan: explode -> self-join on shingle ->
+    count intersections -> join sizes -> filter.
+    """
+    sh = distinct_shingles(with_tokens(docs), id_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("a_id"), "s")
+    b = sh.select(F.col(id_col).alias("b_id"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "inter", "na", "nb", "jaccard")
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame, num_perm: int = 12, id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """num_perm minhash values per doc. Permutation p's hash of shingle s is
+    md5('p:' || s); the signature entry is the lexicographic MIN - a valid
+    minhash over the order induced by each keyed hash, and exactly
+    reproducible in any engine with md5."""
+    sh = distinct_shingles(with_tokens(docs), id_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("s")))).alias(f"m{p}")
+        for p in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_perm: int = 12, rows_per_band: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature (num_perm / rows_per_band bands); docs sharing any
+    band bucket become a candidate pair. The bucket id is md5 of the band's
+    concatenated minhashes, so the shuffle key is (band, 32-char bucket)."""
+    num_bands = num_perm // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    exploded = signatures.select(id_col, F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = exploded.select(F.col(id_col).alias("a_id"), "band", "bucket")
+    b = exploded.select(F.col(id_col).alias("b_id"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+SIMHASH_BITS = 32  # 8 hex chars of md5
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """32-bit SimHash per doc from distinct k-shingle features.
+
+    Feature hash = first 8 hex chars of md5(shingle); fingerprint bit j is 1
+    iff the majority of features have bit j set (sum of +/-1 votes > 0).
+    Everything is hex-digit arithmetic (strpos/shift/and), identical in the
+    oracle engine.
+    """
+    sh = distinct_shingles(with_tokens(docs), id_col, k)
+    h = F.substring(F.md5(F.col("s")), 1, 8)
+    feat = sh.select(id_col, h.alias("h"))
+    # bit j (j = 4*(i-1) + kk for hex char i, bit kk) vote: +1 if set else -1
+    vote_aggs = []
+    for i in range(1, 9):  # hex char position
+        d = F.instr(F.lit(_HEX), F.substring(F.col("h"), i, 1)) - 1
+        for kk in range(4):
+            j = 4 * (i - 1) + kk
+            bit = F.shiftright(d, 3 - kk).bitwiseAND(F.lit(1))
+            vote_aggs.append(F.sum(bit * 2 - 1).alias(f"v{j}"))
+    votes = feat.groupBy(id_col).agg(*vote_aggs)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return votes.select(id_col, fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, radius: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) <= radius.
+
+    All-pairs comparison here (fingerprints are single longs - tiny); the
+    100 TB path buckets on fingerprint bytes (pigeonhole: radius 3 over 4
+    bytes means some byte matches exactly) before comparing.
+    """
+    a = fingerprints.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("fa"))
+    b = fingerprints.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("fb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .filter(F.col("hamming") <= radius)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -1,0 +1,105 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded via Arrow-batched Pandas UDFs over mapInPandas.
+
+The pattern for image/audio/video at 100 TB: the payload is an opaque
+`binary` column (or a reference to object storage) with a typed metadata
+struct beside it; decode / feature-extract / resize / frame-sample run as
+mapInPandas stages so each Python worker processes whole Arrow batches.
+
+The actual codec libraries (PIL, ffmpeg, soundfile) are NOT available in
+this environment, so the decode step is stubbed two ways:
+- `decode_image` / `sample_video_frames` / `resample_audio` raise
+  NotImplementedError with the exact production signature documented;
+- `fake_decode_features` is the deterministic stand-in used by tests and
+  the oracle: pseudo-features derived from the payload's md5 (so the
+  Spark-side plumbing - schema, batching, partitioning - is fully real
+  and checkable end-to-end).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def as_media_table(
+    df: DataFrame, id_col: str = "doc_id", payload_text_col: str = "text"
+) -> DataFrame:
+    """Wrap a text corpus as a media table: (id, media binary, meta struct).
+    Stands in for reading real image/audio bytes; the binary column and
+    metadata shape are exactly what a production reader would produce."""
+    media = F.encode(F.col(payload_text_col), "utf-8")
+    return df.select(
+        F.col(id_col),
+        media.alias("media"),
+        F.struct(
+            F.lit("application/octet-stream").alias("media_type"),
+            F.octet_length(media).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+FAKE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+def fake_decode_features(media_df: DataFrame) -> DataFrame:
+    """Deterministic stand-in decode: md5-derived pseudo image dimensions.
+
+    mapInPandas -> one Python worker call per Arrow batch (not per row);
+    this is the real production plumbing with a fake kernel.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digests = [hashlib.md5(bytes(b)).hexdigest() for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(bytes(b)) for b in pdf["media"]],
+                    "width": [int(h[0:2], 16) for h in digests],
+                    "height": [int(h[2:4], 16) for h in digests],
+                    "channels": [1 + int(h[4], 16) % 4 for h in digests],
+                }
+            )
+
+    return media_df.mapInPandas(kernel, FAKE_FEATURE_SCHEMA)
+
+
+def decode_image(media_df: DataFrame, target_size: tuple[int, int]) -> DataFrame:
+    """Production signature: decode + resize image payloads to
+    (id, pixels array<float>, width, height). Requires an image codec
+    (e.g. PIL) - not available in this environment."""
+    raise NotImplementedError(
+        "image codec not available in this environment; production kernel: "
+        "mapInPandas(batch -> PIL.Image.open(io.BytesIO(b)).resize(target_size))"
+    )
+
+
+def sample_video_frames(media_df: DataFrame, fps: float) -> DataFrame:
+    """Production signature: sample frames at `fps` to one row per frame
+    (id, frame_idx, frame binary). Requires ffmpeg/av - not available."""
+    raise NotImplementedError(
+        "video codec not available; production kernel: mapInPandas over av/ffmpeg"
+    )
+
+
+def resample_audio(media_df: DataFrame, rate: int) -> DataFrame:
+    """Production signature: decode + resample audio to
+    (id, samples array<float>, rate). Requires soundfile/librosa - not
+    available."""
+    raise NotImplementedError(
+        "audio codec not available; production kernel: mapInPandas over soundfile"
+    )

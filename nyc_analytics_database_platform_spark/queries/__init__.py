@@ -4,6 +4,10 @@ Each module maps one SURVEY.md section 2 area onto the driver testdata tables.
 """
 
 from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
+    llm_dedup,
+    llm_multimodal,
+    llm_similarity,
+    llm_text,
     parity_composites,
     parity_core,
     parity_joins,

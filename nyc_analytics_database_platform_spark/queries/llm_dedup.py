@@ -1,0 +1,206 @@
+"""Deduplication queries over the documents corpus, each with an exact
+DuckDB oracle (the only hash primitive is md5, identical in both engines).
+
+These are the LLM-training-pipeline dedup strategies (north star, SURVEY.md
+section 0): exact, n-gram Jaccard, MinHash+LSH, SimHash. The testdata corpus
+contains planted near-duplicates (Jaccard ~0.99 pairs), so outputs are
+non-trivial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from nyc_analytics_database_platform_spark.registry import register
+
+# Shared oracle fragment: lowercased whitespace tokens and distinct k-shingles.
+
+
+def _shingle_cte(k: int) -> str:
+    return f"""
+        toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+{k - 1}], ' ') AS s
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(t) - {k - 1}, 0))) AS g(i)
+        )
+    """
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+        SELECT md5(lower(trim(text))) AS digest,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS group_size
+        FROM documents
+        GROUP BY 1
+        ORDER BY digest
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized text digest, canonical id
+    = min. One shuffle on the digest; at 100 TB this is the cheapest pass
+    and always runs before the fuzzy strategies."""
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs).orderBy("digest")
+
+
+_JACCARD_T = 0.8
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+        WITH {_shingle_cte(5)},
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+        SELECT p.a_id, p.b_id, p.inter, sa.n AS na, sb.n AS nb,
+               CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.a_id
+        JOIN sizes sb ON sb.doc_id = p.b_id
+        WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= {_JACCARD_T}
+        ORDER BY a_id, b_id
+    """,
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard near-dup pairs (threshold 0.8) - the correctness
+    baseline that MinHash approximates. Quadratic in docs sharing a shingle;
+    run it to calibrate LSH parameters, not at full scale."""
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, _JACCARD_T, k=5).orderBy("a_id", "b_id")
+
+
+def _minhash_oracle(num_perm: int = 12, rows_per_band: int = 2) -> str:
+    sig_cols = ", ".join(
+        f"MIN(md5('{p}:' || s)) AS m{p}" for p in range(num_perm)
+    )
+    num_bands = num_perm // rows_per_band
+    cases = " ".join(
+        "WHEN {b} THEN md5({cat})".format(
+            b=b,
+            cat=" || ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(num_bands)
+    )
+    return f"""
+        WITH {_shingle_cte(5)},
+        sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, bnd, CASE bnd {cases} END AS bucket
+            FROM sig, (SELECT unnest(generate_series(0, {num_bands - 1})) AS bnd) g
+        )
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x
+        JOIN bands y ON x.bnd = y.bnd AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        ORDER BY a_id, b_id
+    """
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=_minhash_oracle(),
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (12 perms) + LSH (6 bands x 2 rows) candidate pairs.
+
+    The 100 TB dedup path: per-doc signature is num_perm aggregates over the
+    shingle explode (one shuffle), banding re-keys to (band, bucket) whose
+    occupancy stays small, and the candidate join never touches raw text.
+    Banding threshold ~ (1/6)^(1/2) ~ 0.41 Jaccard - catches the planted
+    ~0.99 near-dups with slack."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_perm=12, k=5)
+    return lsh_candidate_pairs(sigs, num_perm=12, rows_per_band=2).orderBy(
+        "a_id", "b_id"
+    )
+
+
+def _simhash_oracle(radius: int = 3) -> str:
+    # 32 vote sums, one per bit, from hex-digit arithmetic on md5(s)[0:8]
+    votes = []
+    for j in range(32):
+        i, kk = j // 4 + 1, j % 4
+        bit = f"(((strpos('0123456789abcdef', h[{i}:{i}]) - 1) >> {3 - kk}) & 1)"
+        votes.append(f"SUM(2 * {bit} - 1) AS v{j}")
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    return f"""
+        WITH {_shingle_cte(3)},
+        feat AS (SELECT doc_id, substr(md5(s), 1, 8) AS h FROM sh),
+        votes AS (SELECT doc_id, {", ".join(votes)} FROM feat GROUP BY doc_id),
+        fp AS (SELECT doc_id, {fp} AS simhash FROM votes)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+        ORDER BY a_id, b_id
+    """
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_simhash_oracle(),
+    tags=("llm", "dedup"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit, 3-shingle features) near-dup pairs within hamming
+    radius 3. Each doc reduces to one long; candidate generation at scale
+    buckets on fingerprint bytes (pigeonhole) instead of the all-pairs join
+    used here."""
+    docs = load(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs, k=3)
+    return simhash_near_pairs(fps, radius=3).orderBy("a_id", "b_id")
+
+
+_SIMHASH_FP_ORACLE = f"""
+    WITH {_shingle_cte(3)},
+    feat AS (SELECT doc_id, substr(md5(s), 1, 8) AS h FROM sh),
+    votes AS (SELECT doc_id, {", ".join(
+        f"SUM(2 * (((strpos('0123456789abcdef', h[{j // 4 + 1}:{j // 4 + 1}]) - 1) >> {3 - j % 4}) & 1) - 1) AS v{j}"
+        for j in range(32)
+    )} FROM feat GROUP BY doc_id)
+    SELECT doc_id, {" + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )} AS simhash
+    FROM votes
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_simhash_fingerprints",
+    oracle=_SIMHASH_FP_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc SimHash fingerprint itself (document fingerprinting
+    surface - also reusable as a clustering key)."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, k=3).orderBy("doc_id")

@@ -1,0 +1,79 @@
+"""Multimodal-column queries: binary payload metadata (native expressions)
+and the Pandas-UDF decode plumbing with a deterministic fake kernel whose
+md5-derived features are reproduced exactly by the SQL oracle - proving the
+mapInPandas path end-to-end, not just that it runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.operators.multimodal import (
+    as_media_table,
+    fake_decode_features,
+)
+from nyc_analytics_database_platform_spark.registry import register
+
+
+@register(
+    "multimodal_payload_metadata",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS digest
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary payload column - byte size and
+    content digest, all native expressions (no decode needed)."""
+    docs = load(spark, sf_dir, "documents")
+    media = as_media_table(docs)
+    return media.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("media").alias("digest"),
+    ).orderBy("doc_id")
+
+
+_HEXVAL = "(strpos('0123456789abcdef', {c}) - 1)"
+
+
+def _hex_byte(h: str, pos: int) -> str:
+    a = _HEXVAL.format(c=f"{h}[{pos}:{pos}]")
+    b = _HEXVAL.format(c=f"{h}[{pos + 1}:{pos + 1}]")
+    return f"({a} * 16 + {b})"
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=f"""
+        WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                          md5(text) AS h
+                   FROM documents)
+        SELECT doc_id, n_bytes,
+               {_hex_byte('h', 1)} AS width,
+               {_hex_byte('h', 3)} AS height,
+               1 + ({_HEXVAL.format(c='h[5:5]')} % 4) AS channels
+        FROM m
+        ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode stage with the deterministic fake kernel
+    (md5-derived pseudo dimensions). The oracle recomputes the same features
+    in SQL, so schema, Arrow batching, and byte handling are all verified."""
+    docs = load(spark, sf_dir, "documents")
+    feats = fake_decode_features(as_media_table(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+    ).orderBy("doc_id")

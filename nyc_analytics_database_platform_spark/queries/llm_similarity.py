@@ -1,0 +1,107 @@
+"""Similarity-search queries over the embeddings table (north star):
+brute-force cosine top-k, sign-LSH bucketed ANN, embedding near-dup pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_pairs,
+    signlsh_bucket,
+    signlsh_topk,
+)
+from nyc_analytics_database_platform_spark.registry import register
+
+_COS_SQL = (
+    "round(list_dot_product(embedding::DOUBLE[], qv) /"
+    " (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(qv, qv))), 6)"
+)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The benchmark query point: embedding of vec_id = 0 (a one-row
+    parameter fetch, not a data collect)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+
+
+@register(
+    "ann_bruteforce_top10",
+    oracle=f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, {_COS_SQL} AS score
+        FROM embeddings, q
+        ORDER BY score DESC, vec_id
+        LIMIT 10
+    """,
+    tags=("llm", "similarity"),
+    bench=True,
+)
+def ann_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 against the vec_id=0 query point - the ANN
+    correctness baseline. Scan-dominated and embarrassingly parallel; top-k
+    is TakeOrderedAndProject (no global sort)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+_SIGN_BITS = 8
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_SIGN_BITS)
+)
+
+
+@register(
+    "ann_signlsh_top5",
+    oracle=f"""
+        WITH q AS (
+            SELECT embedding::DOUBLE[] AS qv, {_BUCKET_SQL} AS qb
+            FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id, {_COS_SQL} AS score
+        FROM embeddings, q
+        WHERE {_BUCKET_SQL} = qb
+        ORDER BY score DESC, vec_id
+        LIMIT 5
+    """,
+    tags=("llm", "similarity"),
+)
+def ann_signlsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: only the query's sign-LSH bucket is scored - the
+    scale path (bucket id = partition key at 100 TB; a query touches ~1/256
+    of the corpus with 8 bits)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return signlsh_topk(emb, _query_vec(spark, sf_dir), k=5, n_bits=_SIGN_BITS)
+
+
+_NEAR_T = 0.45
+
+
+@register(
+    "embedding_near_pairs",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                 AS score
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+              >= {_NEAR_T}
+        ORDER BY a_id, b_id
+    """,
+    tags=("llm", "similarity", "dedup"),
+)
+def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold tuned to the corpus's
+    top of the similarity distribution). All-pairs baseline; the 100 TB path
+    restricts scoring to shared sign-LSH buckets."""
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(emb, _NEAR_T).orderBy("a_id", "b_id")

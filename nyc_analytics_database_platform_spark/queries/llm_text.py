@@ -1,0 +1,183 @@
+"""Text-analysis queries over the documents corpus (north star): token
+counting, quality scoring, language-ID heuristic, winnowing fingerprints.
+All per-row logic is native Catalyst expressions (functions/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    LANG_STOPWORDS,
+    bpe_ish_tokens,
+    count_in,
+    lang_guess,
+    lang_guess_oracle_sql,
+    punct_ratio,
+    shingles,
+    ws_tokens,
+)
+from nyc_analytics_database_platform_spark.registry import register
+
+_TOKS_CTE = """
+    toks AS (
+        SELECT doc_id, text, lang,
+               string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    )
+"""
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+        WITH {_TOKS_CTE}
+        SELECT doc_id,
+               length(text) AS n_chars,
+               CAST(len(t) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)
+                 AS n_bpe_tokens,
+               round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                     / len(t), 6) AS avg_token_len
+        FROM toks
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens + mean token
+    length - the cost-estimation pass of a training-data pipeline."""
+    docs = load(spark, sf_dir, "documents").withColumn("toks", ws_tokens())
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size("toks").cast("long").alias("n_ws_tokens"),
+        F.size(bpe_ish_tokens()).cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.aggregate(
+                "toks", F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            ).cast("double")
+            / F.size("toks"),
+            6,
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+_EN = LANG_STOPWORDS["en"]
+_EN_SQL = ", ".join(f"'{w}'" for w in _EN)
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+        WITH {_TOKS_CTE}
+        SELECT doc_id,
+               round(CASE WHEN length(text) > 0
+                     THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                          / length(text) ELSE 0 END, 6) AS punct_ratio,
+               round(CAST(len(list_filter(t, x -> list_contains([{_EN_SQL}], x))) AS DOUBLE)
+                     / len(t), 6) AS stopword_ratio,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               (len(t) >= 20 AND
+                CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                  / length(text) < 0.2) AS passes_quality
+        FROM toks
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punctuation ratio, stopword ratio, length gate - the
+    heuristic filter stage (C4-style) of a training-data pipeline."""
+    docs = load(spark, sf_dir, "documents").withColumn("toks", ws_tokens())
+    pr = punct_ratio("text")
+    return docs.select(
+        "doc_id",
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(
+            count_in("toks", _EN).cast("double") / F.size("toks"), 6
+        ).alias("stopword_ratio"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        ((F.size("toks") >= 20) & (pr < 0.2)).alias("passes_quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+        WITH {_TOKS_CTE}
+        SELECT doc_id, lang AS labeled_lang,
+               {lang_guess_oracle_sql("text", "t")} AS guessed_lang
+        FROM toks
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: CJK char detection + per-language stopword
+    scores with fixed-precedence argmax. (The corpus's `lang` labels are
+    synthetic and uncorrelated with the text, so the labeled column is
+    returned alongside for audit rather than asserted against.)"""
+    docs = load(spark, sf_dir, "documents").withColumn("toks", ws_tokens())
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_guess("text", "toks").alias("guessed_lang"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, i, md5(array_to_string(t[i:i+2], ' ')) AS h
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+        ),
+        wins AS (
+            SELECT doc_id,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM sh
+        )
+        SELECT doc_id,
+               COUNT(DISTINCT fp) AS n_fingerprints,
+               MIN(fp) AS min_fp,
+               MAX(fp) AS max_fp
+        FROM wins
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rolling min over a window of w=4
+    consecutive 3-shingle hashes; Schleimer et al.'s scheme). The distinct
+    mins per doc are the fingerprint set; reported as count + extremes.
+
+    Scale: posexplode keeps shingle order; the rolling min is a bounded-frame
+    window partitioned by doc - shuffle on doc_id only.
+    """
+    docs = load(spark, sf_dir, "documents").withColumn("toks", ws_tokens())
+    sh = docs.select(
+        "doc_id", F.posexplode(shingles("toks", 3)).alias("i", "s")
+    ).select("doc_id", "i", F.md5("s").alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    wins = sh.select("doc_id", F.min("h").over(w).alias("fp"))
+    return (
+        wins.groupBy("doc_id")
+        .agg(
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )

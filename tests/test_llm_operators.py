@@ -1,0 +1,103 @@
+"""Property/branch tests for the LLM-pipeline operators (SURVEY.md section 5
+item 3: algebraic identities), plus the multimodal stub contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from nyc_analytics_database_platform_spark.operators.multimodal import (
+    as_media_table,
+    decode_image,
+    fake_decode_features,
+    resample_audio,
+    sample_video_frames,
+)
+from nyc_analytics_database_platform_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_pairs,
+)
+
+
+def test_exact_dedup_collapses_planted_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "Hello   World"), (3, "  hello world "), (4, "other")],
+        "doc_id long, text string",
+    )
+    # normalization is lower+trim (not whitespace-collapse), so 1 and 3 group
+    groups = {r["keep_id"]: r["group_size"] for r in exact_dedup_groups(docs).collect()}
+    assert groups[1] == 2  # docs 1 and 3
+    assert groups[2] == 1
+    assert groups[4] == 1
+
+
+def test_minhash_lsh_superset_of_high_jaccard(spark, sf_dir):
+    """LSH candidates must contain every pair the exact Jaccard baseline
+    finds at a threshold far above the banding threshold (~0.41)."""
+    docs = load(spark, sf_dir, "documents")
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in ngram_jaccard_pairs(docs, 0.9, k=5).collect()
+    }
+    sigs = minhash_signatures(docs, num_perm=12, k=5)
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in lsh_candidate_pairs(sigs, num_perm=12, rows_per_band=2).collect()
+    }
+    assert exact, "corpus should contain planted near-duplicates"
+    missing = exact - lsh
+    assert not missing, f"LSH missed high-jaccard pairs: {missing}"
+
+
+def test_jaccard_bounds(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    rows = ngram_jaccard_pairs(docs, 0.8, k=5).collect()
+    for r in rows:
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["inter"] <= min(r["na"], r["nb"])
+
+
+def test_topk_self_is_best_match(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    top = brute_force_topk(emb, q, k=3).collect()
+    assert top[0]["vec_id"] == 0
+    assert top[0]["score"] == pytest.approx(1.0, abs=1e-6)
+    assert top[0]["score"] >= top[1]["score"] >= top[2]["score"]
+
+
+def test_cosine_pairs_symmetric_bound(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r["a_id"], r["b_id"]): r["score"] for r in cosine_near_pairs(emb, 0.99).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_multimodal_fake_decode_deterministic(spark):
+    docs = spark.createDataFrame([(7, "abc")], "doc_id long, text string")
+    feats = fake_decode_features(as_media_table(docs)).collect()[0]
+    # md5('abc') = 900150983cd24fb0...
+    assert feats["n_bytes"] == 3
+    assert feats["width"] == 0x90
+    assert feats["height"] == 0x01
+    assert feats["channels"] == 1 + (0x5 % 4)
+
+
+def test_multimodal_real_codecs_are_stubbed(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = as_media_table(docs)
+    with pytest.raises(NotImplementedError):
+        decode_image(media, (224, 224))
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(media, 1.0)
+    with pytest.raises(NotImplementedError):
+        resample_audio(media, 16000)
