@@ -14,4 +14,5 @@ from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
     parity_misc,
     parity_timeseries,
     parity_windows,
+    streaming_batch,
 )
