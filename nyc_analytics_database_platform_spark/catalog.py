@@ -46,10 +46,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+) -> DataFrame:
+    """Load a table. `parallel=True` guarantees the frame has at least the
+    cluster's default parallelism in partitions - required for CPU-bound
+    per-row pipelines (shingling, hashing, vector math) over small files:
+    a few-MB parquet arrives as ONE partition and would otherwise pin the
+    whole pipeline to one core. The repartition shuffle is a few MB - noise
+    next to the per-row work it parallelizes. At 100 TB inputs are already
+    wide and the guard is a no-op."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
+    if parallel:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file, read as long nanos via
         # spark.sql.legacy.parquet.nanosAsLong (session.py); normalize to a

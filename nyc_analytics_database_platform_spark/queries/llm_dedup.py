@@ -56,7 +56,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on the normalized text digest, canonical id
     = min. One shuffle on the digest; at 100 TB this is the cheapest pass
     and always runs before the fuzzy strategies."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallel=True)
     return exact_dedup_groups(docs).orderBy("digest")
 
 

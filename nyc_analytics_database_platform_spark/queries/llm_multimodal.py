@@ -31,7 +31,7 @@ from nyc_analytics_database_platform_spark.registry import register
 def multimodal_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over an opaque binary payload column - byte size and
     content digest, all native expressions (no decode needed)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallel=True)
     media = as_media_table(docs)
     return media.select(
         "doc_id",
@@ -68,7 +68,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas decode stage with the deterministic fake kernel
     (md5-derived pseudo dimensions). The oracle recomputes the same features
     in SQL, so schema, Arrow batching, and byte handling are all verified."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", parallel=True)
     feats = fake_decode_features(as_media_table(docs))
     return feats.select(
         "doc_id",

@@ -26,7 +26,7 @@ _COS_SQL = (
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     """The benchmark query point: embedding of vec_id = 0 (a one-row
     parameter fetch, not a data collect)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
     return list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
 
 
@@ -46,7 +46,7 @@ def ann_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 against the vec_id=0 query point - the ANN
     correctness baseline. Scan-dominated and embarrassingly parallel; top-k
     is TakeOrderedAndProject (no global sort)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
     return brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
@@ -76,7 +76,7 @@ def ann_signlsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5: only the query's sign-LSH bucket is scored - the
     scale path (bucket id = partition key at 100 TB; a query touches ~1/256
     of the corpus with 8 bits)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
     return signlsh_topk(emb, _query_vec(spark, sf_dir), k=5, n_bits=_SIGN_BITS)
 
 
@@ -103,5 +103,5 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold tuned to the corpus's
     top of the similarity distribution). All-pairs baseline; the 100 TB path
     restricts scoring to shared sign-LSH buckets."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
     return cosine_near_pairs(emb, _NEAR_T).orderBy("a_id", "b_id")

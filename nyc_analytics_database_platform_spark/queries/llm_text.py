@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.operators.dedup import with_tokens
 from nyc_analytics_database_platform_spark.functions.text import (
     BPE_ISH_PATTERN,
     LANG_STOPWORDS,
@@ -51,7 +52,7 @@ _TOKS_CTE = """
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex tokens + mean token
     length - the cost-estimation pass of a training-data pipeline."""
-    docs = load(spark, sf_dir, "documents").withColumn("toks", ws_tokens())
+    docs = load(spark, sf_dir, "documents", parallel=True).withColumn("toks", ws_tokens())
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
@@ -93,7 +94,7 @@ _EN_SQL = ", ".join(f"'{w}'" for w in _EN)
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: punctuation ratio, stopword ratio, length gate - the
     heuristic filter stage (C4-style) of a training-data pipeline."""
-    docs = load(spark, sf_dir, "documents").withColumn("toks", ws_tokens())
+    docs = load(spark, sf_dir, "documents", parallel=True).withColumn("toks", ws_tokens())
     pr = punct_ratio("text")
     return docs.select(
         "doc_id",
@@ -122,7 +123,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores with fixed-precedence argmax. (The corpus's `lang` labels are
     synthetic and uncorrelated with the text, so the labeled column is
     returned alongside for audit rather than asserted against.)"""
-    docs = load(spark, sf_dir, "documents").withColumn("toks", ws_tokens())
+    docs = load(spark, sf_dir, "documents", parallel=True).withColumn("toks", ws_tokens())
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -166,7 +167,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: posexplode keeps shingle order; the rolling min is a bounded-frame
     window partitioned by doc - shuffle on doc_id only.
     """
-    docs = load(spark, sf_dir, "documents").withColumn("toks", ws_tokens())
+    docs = with_tokens(load(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", F.posexplode(shingles("toks", 3)).alias("i", "s")
     ).select("doc_id", "i", F.md5("s").alias("h"))

@@ -218,6 +218,23 @@ def median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "median_price_approx",
+    oracle=None,  # t-digest sketch is engine-specific; rows-only check
+    tags=("A5", "approx"),
+)
+def median_price_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of median_price: approx_percentile (t-digest,
+    constant memory per group vs shuffling every value). Returned alongside
+    the exact value so the tolerance is observable; no cross-engine oracle
+    because sketches are engine-specific."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
+        F.percentile("o_totalprice", 0.5).alias("exact_median"),
+    )
+
+
+@register(
     "median_price_by_segment",
     oracle="""
         SELECT c.c_mktsegment AS segment,
