@@ -10,6 +10,7 @@ from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
     llm_text,
     parity_composites,
     parity_core,
+    parity_extras,
     parity_joins,
     parity_misc,
     parity_timeseries,

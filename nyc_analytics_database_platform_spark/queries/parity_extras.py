@@ -1,0 +1,130 @@
+"""Remaining engine-surface queries: pivot, cube, the string-function layer
+(SURVEY.md section 2.8 F6-F8), and the grouped-map (applyInPandas) path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.operators.grouped import grouped_minmax_scale
+from nyc_analytics_database_platform_spark.registry import register
+
+
+@register(
+    "pivot_status_by_nation",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+               CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+               CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY nation
+    """,
+    tags=("A-ext", "pivot"),
+)
+def pivot_status_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted counts (status columns per nation). With the pivot values
+    enumerated, Spark compiles this to one pass of conditional aggregates -
+    exactly the oracle's CASE formulation, no second scan."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("nation")
+    )
+
+
+@register(
+    "cube_priority_status",
+    oracle="""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS num_orders
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        ORDER BY priority, status
+    """,
+    tags=("A-ext", "cube"),
+)
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping sets in one pass (priority, status, each
+    margin, grand total)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("num_orders"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "num_orders",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+@register(
+    "string_layer_formatting",
+    oracle="""
+        SELECT c_custkey,
+               string_split(c_name, '#')[1] AS name_prefix,
+               CAST(string_split(c_name, '#')[2] AS BIGINT) AS name_number,
+               concat_ws(' | ', trim(c_name), coalesce(c_mktsegment, 'UNKNOWN')) AS display,
+               CASE WHEN c_acctbal < 0 THEN '-' ELSE '' END ||
+               format('{:,}', CAST(floor(abs(c_acctbal)) AS BIGINT)) || '.' ||
+               lpad(CAST(CAST(round((abs(c_acctbal) - floor(abs(c_acctbal))) * 100) AS BIGINT)
+                    AS VARCHAR), 2, '0') AS balance_fmt
+        FROM customer
+        ORDER BY c_custkey
+    """,
+    tags=("F6", "F7", "F8"),
+)
+def string_layer_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string/presentation function layer (reference: address assembly
+    server.py:114,365-367; split semantics templates/analytics.html:162-165;
+    currency formatting templates/analytics.html:183,200-204) - trim,
+    coalesce-default, concat_ws, split-indexing, thousands formatting, all
+    native expressions."""
+    cust = load(spark, sf_dir, "customer")
+    parts = F.split("c_name", "#")
+    return cust.select(
+        "c_custkey",
+        parts.getItem(0).alias("name_prefix"),
+        parts.getItem(1).cast("long").alias("name_number"),
+        F.concat_ws(
+            " | ", F.trim("c_name"), F.coalesce("c_mktsegment", F.lit("UNKNOWN"))
+        ).alias("display"),
+        F.format_number("c_acctbal", 2).alias("balance_fmt"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "grouped_map_minmax_scale",
+    oracle="""
+        SELECT event_id, event_type, value,
+               CASE WHEN MAX(value) OVER w > MIN(value) OVER w
+                    THEN (value - MIN(value) OVER w)
+                         / (MAX(value) OVER w - MIN(value) OVER w)
+               END AS scaled
+        FROM events
+        WINDOW w AS (PARTITION BY event_type)
+        ORDER BY event_id
+    """,
+    tags=("UDF", "grouped-map"),
+)
+def grouped_map_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map path, verified value-exactly: min-max
+    scaling per event_type computed in a pandas kernel equals the window-
+    function formulation bit-for-bit (same IEEE subtraction/division)."""
+    events = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return grouped_minmax_scale(events, "event_type", "value").orderBy("event_id")
