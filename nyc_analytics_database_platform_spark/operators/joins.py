@@ -57,6 +57,33 @@ def asof_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_by: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: left rows get a deterministic salt derived
+    from `salt_by` (a high-cardinality left column), the right side is
+    replicated once per salt value, and the join key becomes (on, salt) -
+    splitting a hot key's rows across n_salts reducers.
+
+    Result set is identical to `left.join(right, on)`; only the shuffle
+    distribution changes. Prefer AQE's automatic skew-join splitting
+    (enabled in session.py) - this operator is for engines/paths where AQE
+    cannot see the skew (e.g. skewed aggregations feeding the join).
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_by)), F.lit(n_salts))
+    l = left.withColumn("_salt", salt)
+    salts = left.sparkSession.range(n_salts).select(
+        F.col("id").cast("int").alias("_salt")
+    )
+    r = right.crossJoin(F.broadcast(salts))
+    joined = l.join(r, [on, "_salt"])
+    return joined.drop("_salt")
+
+
 def range_band_join(
     fact: DataFrame,
     bands: DataFrame,

@@ -15,6 +15,7 @@ from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
     parity_joins,
     parity_misc,
     parity_timeseries,
+    parity_tpch,
     parity_windows,
     streaming_batch,
 )

@@ -1,0 +1,158 @@
+"""Classic TPC-H-shaped queries on the driver tables - recognizable
+benchmark plans exercising the full scan->join->agg->sort spine with exact
+cross-engine numerics (decimal-cast sums), plus the constraint-audit query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.functions.numeric import exact_avg, exact_sum
+from nyc_analytics_database_platform_spark.registry import register
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                        AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS sum_disc_price,
+               CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                             * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))
+                        AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("tpch", "A3"),
+    bench=True,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide multi-aggregate over a date-filtered fact scan.
+    All sums are decimal-exact (order-independent) then cast back to double;
+    derived expressions (disc price, charge) are cast AFTER the multiply so
+    both engines round the same product."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    # Derived money expressions in exact integer arithmetic: prices/discounts/
+    # taxes are 2dp by construction, so cents / percent units are exact longs
+    # and the multiplication never rounds - the decimal-cast of a double
+    # PRODUCT would hit engine-specific rounding modes (HALF_UP vs half-even)
+    # on boundary values, observed as a 0.005 drift at sf0.01.
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    tax_pct = F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")
+    disc_num = (price_c * disc_pct).cast("decimal(38,0)")
+    charge_num = (price_c * disc_pct * tax_pct).cast("decimal(38,0)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            (F.sum(disc_num).cast("double") / 1e4).alias("sum_disc_price"),
+            (F.sum(charge_num).cast("double") / 1e6).alias("sum_charge"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                        AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS revenue,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15'
+          AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    tags=("tpch", "J2"),
+    bench=True,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: three-way join with selective filters on every input,
+    grouped revenue, top-10. Filters sit on the scans (pushdown) so the
+    joins see reduced inputs; the top-10 is TakeOrderedAndProject."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue_num = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    ).cast("decimal(38,0)")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            "o_orderpriority",
+        )
+        .agg((F.sum(revenue_num).cast("double") / 1e4).alias("revenue"))
+        .select("l_orderkey", "revenue", "order_day", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "data_quality_audit",
+    oracle="""
+        SELECT
+            CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_quantity,
+            CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+            CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS bad_discount,
+            CAST(SUM(CASE WHEN l_shipdate > TIMESTAMP '2026-08-13' THEN 1 ELSE 0 END) AS BIGINT)
+              AS future_shipdate,
+            CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+            COUNT(*) AS total_rows
+        FROM lineitem
+    """,
+    tags=("F9", "quality"),
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DDL CHECK constraints as a one-pass audit (reference:
+    schema.sql:31-35,43-44,70-73 - positivity, ranges, date sanity, NOT
+    NULL), computed as conditional aggregates so a 100 TB audit is a single
+    scan with map-side partials."""
+    li = load(spark, sf_dir, "lineitem")
+    def bad(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+    return li.agg(
+        bad(F.col("l_quantity") <= 0, "bad_quantity"),
+        bad(F.col("l_extendedprice") <= 0, "bad_price"),
+        bad((F.col("l_discount") < 0) | (F.col("l_discount") > 1), "bad_discount"),
+        bad(F.col("l_shipdate") > F.lit("2026-08-13").cast("timestamp"), "future_shipdate"),
+        bad(F.col("l_orderkey").isNull(), "null_orderkey"),
+        F.count("*").alias("total_rows"),
+    )
