@@ -6,6 +6,7 @@ Each module maps one SURVEY.md section 2 area onto the driver testdata tables.
 from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
     llm_clusters,
     llm_dedup,
+    llm_ivf,
     llm_multimodal,
     llm_similarity,
     llm_text,
@@ -18,4 +19,5 @@ from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
     parity_tpch,
     parity_windows,
     streaming_batch,
+    streaming_join,
 )
