@@ -1,0 +1,48 @@
+"""Property: the scalable as-of join (union + sorted-window last) equals the
+naive specification (join, filter right_ts <= left_ts, take max right_ts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.operators.joins import asof_join
+
+
+def test_asof_equals_naive_spec(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    fast = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", value_cols=["ts"]
+    ).select("event_id", F.unix_micros("asof_ts").alias("asof_us"))
+
+    naive = (
+        purchases.alias("p")
+        .join(
+            clicks.alias("c"),
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") <= F.col("p.ts")),
+            "left",
+        )
+        .groupBy(F.col("p.event_id").alias("event_id"))
+        .agg(F.unix_micros(F.max("c.ts")).alias("asof_us"))
+    )
+
+    f = {r["event_id"]: r["asof_us"] for r in fast.collect()}
+    n = {r["event_id"]: r["asof_us"] for r in naive.collect()}
+    assert f == n
+    assert any(v is None for v in f.values()) or len(f) > 0
+
+
+def test_asof_boundary_inclusive(spark):
+    """right_ts == left_ts matches (the DuckDB ASOF >= convention)."""
+    left = spark.createDataFrame([(1, 1, "2024-01-01 10:00:00")], "id long, k long, ts string") \
+        .select("id", "k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame([(1, "2024-01-01 10:00:00")], "k long, ts string") \
+        .select("k", F.col("ts").cast("timestamp").alias("ts"))
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["ts"]).collect()
+    assert out[0]["asof_ts"] is not None
