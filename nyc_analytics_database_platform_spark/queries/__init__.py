@@ -10,6 +10,7 @@ from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
     llm_multimodal,
     llm_similarity,
     llm_text,
+    parity_analytics,
     parity_composites,
     parity_core,
     parity_extras,

@@ -131,6 +131,74 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_TFIDF_TERMS = ("spark", "window", "join")
+
+
+def _tfidf_oracle() -> str:
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(t, x -> x = '{w}')) AS BIGINT) AS tf{i}"
+        for i, w in enumerate(_TFIDF_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN list_contains(t, '{w}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, w in enumerate(_TFIDF_TERMS)
+    )
+    score = " + ".join(
+        f"tf{i} * ln(CAST(cnt AS DOUBLE) / df{i})" for i in range(len(_TFIDF_TERMS))
+    )
+    return f"""
+        WITH {_TOKS_CTE},
+        n AS (SELECT COUNT(*) AS cnt FROM documents),
+        df AS (SELECT {df_cols} FROM toks),
+        tf AS (SELECT doc_id, {tf_cols} FROM toks)
+        SELECT doc_id, tf0, tf1, tf2, round({score}, 6) AS score
+        FROM tf, n, df
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "text_tfidf_scores",
+    oracle=_tfidf_oracle(),
+    tags=("llm", "text", "tfidf"),
+)
+def text_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF relevance of every document to a fixed query-term set: term
+    frequencies per doc (one pass) x corpus idf (one tiny aggregate,
+    broadcast back). The three-term score is written as an explicit
+    fixed-order sum so both engines produce the identical double (then
+    rounded to absorb any libm ln() ulp difference).
+
+    Scale: df/N is a one-row broadcast; tf is a narrow per-row expression -
+    scoring a 100 TB corpus is a single scan."""
+    docs = load(spark, sf_dir, "documents", parallel=True).withColumn("toks", ws_tokens())
+    tf = docs.select(
+        "doc_id",
+        *[
+            count_in("toks", [w]).cast("long").alias(f"tf{i}")
+            for i, w in enumerate(_TFIDF_TERMS)
+        ],
+    )
+    stats = docs.agg(
+        F.count("*").alias("cnt"),
+        *[
+            F.sum(
+                F.when(F.array_contains("toks", w), 1).otherwise(0)
+            ).alias(f"df{i}")
+            for i, w in enumerate(_TFIDF_TERMS)
+        ],
+    )
+    score = None
+    for i in range(len(_TFIDF_TERMS)):
+        term = F.col(f"tf{i}") * F.log(F.col("cnt").cast("double") / F.col(f"df{i}"))
+        score = term if score is None else score + term
+    return (
+        tf.crossJoin(F.broadcast(stats))
+        .select("doc_id", "tf0", "tf1", "tf2", F.round(score, 6).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "text_winnow_fingerprints",
     oracle="""

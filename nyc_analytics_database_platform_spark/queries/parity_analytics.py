@@ -1,0 +1,153 @@
+"""Analytics-surface extensions: multi-percentiles, histogram binning,
+correlated-subquery (above-group-average) shape, and event funnel analysis.
+All SQL-expressible, all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.registry import register
+
+
+@register(
+    "price_percentiles_by_segment",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY o.o_totalprice) AS p25,
+               PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY o.o_totalprice) AS p50,
+               PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY o.o_totalprice) AS p75,
+               PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY o.o_totalprice) AS p95
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY segment
+    """,
+    tags=("A5", "percentiles"),
+)
+def price_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full quartile profile per group in one pass - four exact interpolated
+    percentiles share a single sort of each group's values."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    g = orders.join(cust, orders.o_custkey == cust.c_custkey).groupBy(
+        F.col("c_mktsegment").alias("segment")
+    )
+    return g.agg(
+        F.percentile("o_totalprice", 0.25).alias("p25"),
+        F.percentile("o_totalprice", 0.50).alias("p50"),
+        F.percentile("o_totalprice", 0.75).alias("p75"),
+        F.percentile("o_totalprice", 0.95).alias("p95"),
+    ).orderBy("segment")
+
+
+@register(
+    "price_histogram",
+    oracle="""
+        SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+               CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 AS bucket_lo,
+               COUNT(*) AS num_orders
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY bucket
+    """,
+    tags=("A-ext", "histogram"),
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor binning - a single hash aggregate on
+    a derived key (the scalable histogram; no sorting, no per-bucket scan)."""
+    orders = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("num_orders"))
+        .select("bucket", (F.col("bucket") * 50000).alias("bucket_lo"), "num_orders")
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "customers_above_nation_average",
+    oracle="""
+        WITH nation_avg AS (
+            SELECT c_nationkey,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c_acctbal)
+                     AS avg_bal
+            FROM customer GROUP BY c_nationkey
+        )
+        SELECT c.c_custkey, c.c_nationkey, c.c_acctbal, n.avg_bal AS nation_avg_bal
+        FROM customer c JOIN nation_avg n ON c.c_nationkey = n.c_nationkey
+        WHERE c.c_acctbal > n.avg_bal
+        ORDER BY c_custkey
+    """,
+    tags=("A-ext", "correlated"),
+)
+def customers_above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-subquery shape (balance above the customer's own
+    nation's average), decorrelated into aggregate + join - what Catalyst
+    does to the subquery formulation anyway, written explicitly. Exact
+    decimal mean keeps the comparison engine-stable."""
+    cust = load(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+         / F.count("c_acctbal")).alias("avg_bal")
+    )
+    return (
+        cust.join(nation_avg, "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.col("avg_bal").alias("nation_avg_bal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT COUNT(*) AS n_users,
+               CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+               CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                        THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+               CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                             AND first_purchase > first_click
+                        THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+        FROM per_user
+    """,
+    tags=("events", "funnel"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): per-user first-occurrence
+    timestamps in one conditional-MIN pass, then stage predicates over the
+    ordering. Two aggregations total, no joins, no windows - the shape that
+    scales to billions of events."""
+    events = load(spark, sf_dir, "events")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    per_user = events.groupBy("user_id").agg(
+        first_ts("view").alias("first_view"),
+        first_ts("click").alias("first_click"),
+        first_ts("purchase").alias("first_purchase"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(viewed, 1).otherwise(0)).alias("viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0)).alias("clicked_after_view"),
+        F.sum(F.when(purchased, 1).otherwise(0)).alias("purchased_after_click"),
+    )
