@@ -87,3 +87,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (same names as the DuckDB oracle)."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Raw-SQL entry point: every catalog table is available by name, so the
+    full engine surface is reachable from plain Spark SQL (Catalyst produces
+    the same plans as the DataFrame API)."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

@@ -1,0 +1,45 @@
+"""Write-side layout utilities: compaction and sorted partitioned writes."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.sources.layout import (
+    compact_parquet,
+    write_partitioned,
+)
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir):
+    path = os.path.join(TMP, f"compact_{uuid.uuid4().hex[:8]}")
+    try:
+        load(spark, sf_dir, "orders").repartition(24).write.parquet(path)
+        before_rows = spark.read.parquet(path).count()
+        n_before, n_after = compact_parquet(spark, path, target_file_bytes=1 << 30)
+        assert n_before == 24
+        assert n_after < n_before
+        assert spark.read.parquet(path).count() == before_rows
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_write_partitioned_with_sort(spark, sf_dir):
+    path = os.path.join(TMP, f"part_{uuid.uuid4().hex[:8]}")
+    try:
+        df = load(spark, sf_dir, "orders").withColumn(
+            "order_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        write_partitioned(df, path, ["order_month"], sort_within=["o_orderdate"])
+        assert glob.glob(os.path.join(path, "order_month=*"))
+        back = spark.read.parquet(path)
+        assert back.count() == df.count()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
