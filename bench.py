@@ -31,7 +31,7 @@ def main() -> None:
     # whole-stage-codegen compilation is absorbed before timing (the
     # measured number is the engine's steady-state cost, not JVM startup).
     warm_dir = "/root/testdata/sf0.001"
-    load(spark, sf_dir, "region").count()
+    load(spark, warm_dir, "region").count()
     for spec in specs.values():
         try:
             spec.fn(spark, warm_dir).collect()

@@ -72,14 +72,18 @@ def load(
         if df.rdd.getNumPartitions() < target:
             df = df.repartition(target)
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file, read as long nanos via
-        # spark.sql.legacy.parquet.nanosAsLong (session.py); normalize to a
-        # microsecond timestamp (floor division matches DuckDB's ns->us cast).
+        # ts is TIMESTAMP(NANOS) in the file, read as long nanos; normalize
+        # to a microsecond timestamp with true FLOOR division - `div`
+        # truncates toward zero, which differs from DuckDB's ns->us cast for
+        # pre-epoch timestamps. (ts - pmod(ts, 1000)) div 1000 floors exactly
+        # in long arithmetic (no double round-trip).
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+            )
     return df
 
 

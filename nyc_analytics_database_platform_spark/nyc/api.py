@@ -194,6 +194,16 @@ def bbl_trends(
         return None
     gid = geo["geographic_id"]
 
+    # validate window bounds before they reach SQL text (route-param inputs;
+    # everything else in this module goes through parameterized F.lit)
+    from datetime import date as _date
+
+    try:
+        _date.fromisoformat(start)
+        _date.fromisoformat(end)
+    except ValueError as exc:
+        raise ValueError(f"invalid date window: {start!r}..{end!r}") from exc
+
     if metric == "complaints":
         fact = _date_filtered(
             tables["service_request"].filter(F.col("geographic_id") == gid),
@@ -308,15 +318,27 @@ def bookmarks_summary(
         F.broadcast(key_df), ["borough_code", "block_code", "lot_code"]
     ).select("geographic_id", "borough_name", "borough_code", "block_code", "lot_code")
 
-    sr = tables["service_request"].groupBy("geographic_id").agg(
-        F.count("*").alias("total_requests"),
-        F.sum(
-            F.when(F.col("status").isin(*ACTIVE_STATUSES), 1).otherwise(0)
-        ).alias("active_requests"),
+    # Semi-join the facts down to the bookmarked parcels BEFORE aggregating:
+    # a groupBy over the full fact tables would shuffle every geographic_id
+    # at 100 TB to answer a handful of bookmarks.
+    gids = matched.select("geographic_id")
+    sr = (
+        tables["service_request"]
+        .join(F.broadcast(gids), "geographic_id", "left_semi")
+        .groupBy("geographic_id")
+        .agg(
+            F.count("*").alias("total_requests"),
+            F.sum(
+                F.when(F.col("status").isin(*ACTIVE_STATUSES), 1).otherwise(0)
+            ).alias("active_requests"),
+        )
+    )
+    props = tables["property"].select("property_id", "geographic_id").join(
+        F.broadcast(gids), "geographic_id", "inner"
     )
     sales = (
         tables["sale"]
-        .join(tables["property"].select("property_id", "geographic_id"), "property_id")
+        .join(props, "property_id")
         .groupBy("geographic_id")
         .agg(
             F.count("*").alias("num_sales"),
@@ -369,19 +391,22 @@ def export_rows(
     """/export CSV parity (server.py:498-535): the summary's rows as a CSV
     string (download-sized; the distributed sink for large exports is
     sources/sinks.write_csv)."""
+    import csv
+    import io
+
     data = bbl_summary(spark, tables, bbl, start, end)
     if data is None:
         return ""
+    buf = io.StringIO()
+    writer = csv.writer(buf, lineterminator="\n")
     if what == "complaints":
-        header = "type,count,active"
-        lines = [
-            f"{r['type']},{r['count']},{r['active']}" for r in data["complaints_by_type"]
-        ]
+        writer.writerow(["type", "count", "active"])
+        for r in data["complaints_by_type"]:
+            writer.writerow([r["type"], r["count"], r["active"]])
     elif what == "sales":
-        header = "price,date,address"
-        lines = [
-            f"{r['price']},{r['date']},\"{r['address']}\"" for r in data["sales"]
-        ]
+        writer.writerow(["price", "date", "address"])
+        for r in data["sales"]:
+            writer.writerow([r["price"], r["date"], r["address"]])
     else:
         raise ValueError(f"unknown export type {what!r}")
-    return "\n".join([header, *lines])
+    return buf.getvalue().rstrip("\n")

@@ -110,10 +110,13 @@ def ngram_jaccard_pairs(
     that MinHash approximates. Plan: explode -> self-join on shingle ->
     count intersections -> join sizes -> filter.
     """
-    # Hashed shingles (long keys) + eager cache: four downstream consumers
+    # Hashed shingles (long keys), eagerly cached: four downstream consumers
     # (self-join both sides + two size joins) read sh, and lazy caching lets
     # the branches race to materialize the shingle pipeline concurrently
-    # (observed 2-5x inflation) - populate with a count() barrier first.
+    # (observed 2-5x inflation) - the count() barrier populates it first.
+    # cache() over localCheckpoint deliberately: the CacheManager dedupes by
+    # canonicalized plan, so repeated invocations of the same query REUSE one
+    # entry (no per-call growth; one entry per distinct (plan, data) pair).
     sh = distinct_hashed_shingles(with_tokens(docs), id_col, k).cache()
     sh.count()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
@@ -182,14 +185,18 @@ def lsh_candidate_pairs(
             for b in range(num_bands)
         ]
     )
-    # Cache the banded rows: the candidate self-join reads them twice, and
-    # without materialization the whole signature pipeline (shingle explode +
-    # distinct + 12-way min agg) recomputes per side (~10x slower measured).
+    # Materialize the banded rows eagerly: the candidate self-join reads them
+    # twice, and without materialization the whole signature pipeline
+    # (shingle explode + 12-way min agg) recomputes per side (~10x measured).
     # They are tiny (num_bands rows per doc); at 100 TB this intermediate is
     # written to storage instead - same idea, durable.
-    exploded = signatures.select(id_col, F.explode(bands).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    ).cache()
+    exploded = (
+        signatures.select(id_col, F.explode(bands).alias("bb"))
+        .select(
+            id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        .cache()
+    )
     exploded.count()  # eager: both join sides read the materialized bands
     a = exploded.select(F.col(id_col).alias("a_id"), "band", "bucket")
     b = exploded.select(F.col(id_col).alias("b_id"), "band", "bucket")
@@ -256,7 +263,8 @@ def simhash_near_pairs(
     100 TB path buckets on fingerprint bytes (pigeonhole: radius 3 over 4
     bytes means some byte matches exactly) before comparing.
     """
-    fingerprints = fingerprints.cache()  # read twice by the self-join
+    # eagerly cached: read twice by the self-join (plan-deduped, see above)
+    fingerprints = fingerprints.cache()
     fingerprints.count()
     a = fingerprints.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("fa"))
     b = fingerprints.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("fb"))

@@ -41,16 +41,34 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    converged = False
     for _ in range(max_iterations):
         neighbor_labels = (
             both.join(labels, both.dst == labels.node)
             .select(F.col("src").alias("node"), "label")
         )
-        new_labels = (
+        propagated = (
             labels.select("node", "label")
             .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            # materialized before the self-join below: also sidesteps a
+            # Catalyst attribute-resolution failure on Union + self-join
+            .localCheckpoint(eager=True)
+        )
+        # Pointer jumping: node.label <- label(node.label). Plain neighbor
+        # propagation moves the minimum ONE hop per round (linear in the
+        # component diameter); composing with the label mapping doubles the
+        # reach per round, giving O(log diameter) convergence - the standard
+        # large-scale CC acceleration.
+        mapping = propagated.select(
+            F.col("node").alias("_mn"), F.col("label").alias("_ml")
+        )
+        new_labels = (
+            propagated.join(mapping, propagated.label == F.col("_mn"), "left")
+            .select(
+                "node", F.coalesce(F.col("_ml"), F.col("label")).alias("label")
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -61,5 +79,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter exceeds the bound); raise "
+            "max_iterations - silently returning partial labels would keep "
+            "multiple 'canonical' docs per real cluster"
+        )
     return labels.select("node", F.col("label").alias("component"))

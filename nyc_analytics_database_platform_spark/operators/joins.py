@@ -30,30 +30,37 @@ def asof_join(
     (right_ts == left_ts matches).
     """
     lcols = left.columns
+    # The carried right-side payload is ONE struct, not per-column values:
+    # last(ignorenulls) over separate columns would skip a right row whose
+    # value is genuinely NULL (falling back to an older row) and could stitch
+    # different right rows together across columns. The struct is non-null
+    # exactly for right rows, so the window always picks one whole row and
+    # NULLs inside it survive.
+    payload_t = (
+        "struct<" + ", ".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols) + ">"
+    )
     l = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(payload_t).alias("_r"),
     )
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
     )
     w = (
         Window.partitionBy("_k")
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    u = l.unionByName(r)
-    for c in value_cols:
-        u = u.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    u = l.unionByName(r).withColumn("_r", F.last("_r", ignorenulls=True).over(w))
     return u.filter(F.col("_side") == 1).select(
-        *lcols, *[F.col(f"_r_{c}").alias(f"asof_{c}") for c in value_cols]
+        *lcols, *[F.col(f"_r.{c}").alias(f"asof_{c}") for c in value_cols]
     )
 
 

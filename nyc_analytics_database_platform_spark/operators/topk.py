@@ -30,12 +30,20 @@ def topk_other(
     an engine cannot)."""
     out_label = out_label or label_col
     w = Window.orderBy(F.desc(value_col), F.col(label_col))
-    ranked = agg_df.withColumn("_rn", F.row_number().over(w))
-    return (
-        ranked.withColumn(
-            out_label,
-            F.when(F.col("_rn") <= k, F.col(label_col)).otherwise(F.lit(other_label)),
-        )
-        .groupBy(out_label)
-        .agg(F.sum(value_col).alias(value_col))
+    ranked = agg_df.withColumn("_rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
     )
+    # Head rows pass through; the tail becomes ONE synthetic row appended by
+    # union (not relabel+regroup, which would silently merge a genuine input
+    # label equal to other_label into the rollup row - the reference appends
+    # Other as a separate entry, server.py:417).
+    head = ranked.filter(F.col("_rn") <= k).select(
+        F.col(label_col).alias(out_label), F.col(value_col)
+    )
+    tail = (
+        ranked.filter(F.col("_rn") > k)
+        .agg(F.sum(value_col).alias(value_col))
+        .filter(F.col(value_col).isNotNull())
+        .select(F.lit(other_label).alias(out_label), F.col(value_col))
+    )
+    return head.unionByName(tail)

@@ -138,4 +138,6 @@ def test_export_csv(spark, tables):
     assert lines[1] == "Noise,2,1"
     assert len(lines) == 8  # header + 7 types
     sales_csv = api.export_rows(spark, tables, "1-100-10", "sales", "2024-01-01", "2024-12-31")
-    assert sales_csv.splitlines()[1] == '1500000.0,2024-04-01,"100 BROADWAY"'
+    # standard csv quoting: plain fields unquoted, specials escaped
+    # (tests/test_review_fixes.py covers the escaping cases)
+    assert sales_csv.splitlines()[1] == "1500000.0,2024-04-01,100 BROADWAY"
