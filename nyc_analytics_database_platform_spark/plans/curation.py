@@ -1,0 +1,85 @@
+"""End-to-end training-data curation pipeline - the composite that ties the
+LLM operators together the way a real corpus pipeline runs them:
+
+    raw documents
+      -> quality gate        (length + punctuation heuristics, cheap first)
+      -> exact dedup         (md5 digest groups, cheapest dedup pass)
+      -> near-dup removal    (MinHash-LSH candidates -> connected
+                              components -> keep each cluster's min id)
+      -> stats + curated set (token counts for cost accounting)
+
+Ordering matters at 100 TB: each stage shrinks the corpus before the next,
+more expensive one runs; the near-dup stage only sees quality-passing,
+exactly-deduplicated survivors. Every stage is one of the independently
+oracle-verified operators - this plan only composes them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.functions.text import punct_ratio, ws_tokens
+from nyc_analytics_database_platform_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from nyc_analytics_database_platform_spark.operators.graph import connected_components
+
+
+@dataclass
+class CurationReport:
+    n_input: int
+    n_after_quality: int
+    n_after_exact_dedup: int
+    n_after_near_dedup: int
+    total_tokens: int
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_punct_ratio: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, CurationReport]:
+    """Returns (curated docs DataFrame, stage-by-stage report)."""
+    n_input = docs.count()
+
+    # 1. quality gate (narrow per-row expressions, no shuffle)
+    toks = docs.withColumn("_toks", ws_tokens(text_col))
+    quality = toks.filter(
+        (F.size("_toks") >= min_tokens) & (punct_ratio(text_col) < max_punct_ratio)
+    )
+    n_quality = quality.count()
+
+    # 2. exact dedup: keep each digest group's canonical (min) id
+    keep_exact = exact_dedup_groups(quality, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    exact_survivors = quality.join(keep_exact, id_col, "left_semi")
+    n_exact = exact_survivors.count()
+
+    # 3. near-dup removal: LSH candidates -> components -> drop non-canonical
+    sigs = minhash_signatures(exact_survivors, num_perm=12, k=5, id_col=id_col)
+    pairs = lsh_candidate_pairs(sigs, num_perm=12, rows_per_band=2, id_col=id_col)
+    components = connected_components(pairs)
+    drops = components.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    curated = exact_survivors.join(drops, id_col, "left_anti")
+    n_near = curated.count()
+
+    total_tokens = int(
+        curated.agg(F.sum(F.size("_toks")).alias("t")).collect()[0]["t"] or 0
+    )
+    return curated.drop("_toks"), CurationReport(
+        n_input=n_input,
+        n_after_quality=n_quality,
+        n_after_exact_dedup=n_exact,
+        n_after_near_dedup=n_near,
+        total_tokens=total_tokens,
+    )

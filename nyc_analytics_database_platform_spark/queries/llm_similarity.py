@@ -84,6 +84,56 @@ _NEAR_T = 0.45
 
 
 @register(
+    "embedding_near_pairs_bucketed",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET_SQL} AS bkt
+            FROM embeddings
+        )
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                 AS score
+        FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+              >= {{t}}
+        ORDER BY a_id, b_id
+    """.format(t="{t}").replace("{t}", "0.4"),
+    tags=("llm", "similarity", "dedup", "scale-path"),
+)
+def embedding_near_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding near-dup: candidate pairs restricted to
+    shared sign-LSH buckets, so the join key is the bucket id (a partition
+    key at 100 TB) instead of an all-pairs cross join. Recall trades off
+    against bits: vectors whose cosine-similar partner flips one of the 8
+    sign coordinates are missed - the standard LSH recall/cost dial."""
+    from nyc_analytics_database_platform_spark.operators.similarity import (
+        cosine,
+        signlsh_bucket,
+    )
+
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
+    e = emb.select(
+        "vec_id", "embedding", signlsh_bucket(F.col("embedding"), _SIGN_BITS).alias("bkt")
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"), "bkt"
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"), "bkt"
+    )
+    return (
+        a.join(b, "bkt")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("score") >= 0.4)
+        .select("a_id", "b_id", "score")
+        .orderBy("a_id", "b_id")
+    )
+
+
+@register(
     "embedding_near_pairs",
     oracle=f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
