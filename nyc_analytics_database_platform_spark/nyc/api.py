@@ -186,6 +186,19 @@ def bbl_trends(
     """get_time_series_data parity (server.py:259-342): monthly buckets over
     the REQUESTED window's month spine; counts zero-fill, medians null-fill
     (server.py:337-340)."""
+    # Validate window bounds FIRST (route-param inputs reach SQL text below;
+    # everything else in this module goes through parameterized F.lit) -
+    # strict %Y-%m-%d, not fromisoformat, which also admits '20240101' /
+    # week-date forms that the SQL date literal would choke on. Malformed
+    # dates raise regardless of whether the parcel exists.
+    from datetime import datetime as _dt
+
+    for bound in (start, end):
+        try:
+            _dt.strptime(bound, "%Y-%m-%d")
+        except (TypeError, ValueError) as exc:
+            raise ValueError(f"invalid date window: {start!r}..{end!r}") from exc
+
     parsed = parse_bbl(bbl)
     if parsed is None:
         return None
@@ -193,16 +206,6 @@ def bbl_trends(
     if geo is None:
         return None
     gid = geo["geographic_id"]
-
-    # validate window bounds before they reach SQL text (route-param inputs;
-    # everything else in this module goes through parameterized F.lit)
-    from datetime import date as _date
-
-    try:
-        _date.fromisoformat(start)
-        _date.fromisoformat(end)
-    except ValueError as exc:
-        raise ValueError(f"invalid date window: {start!r}..{end!r}") from exc
 
     if metric == "complaints":
         fact = _date_filtered(

@@ -30,9 +30,10 @@ def topk_other(
     an engine cannot)."""
     out_label = out_label or label_col
     w = Window.orderBy(F.desc(value_col), F.col(label_col))
-    ranked = agg_df.withColumn("_rn", F.row_number().over(w)).localCheckpoint(
-        eager=True
-    )
+    # lazy plan-deduped cache (tiny: one row per input label); eager
+    # materialization here would run a job on every plan BUILD, including
+    # explain-only paths
+    ranked = agg_df.withColumn("_rn", F.row_number().over(w)).cache()
     # Head rows pass through; the tail becomes ONE synthetic row appended by
     # union (not relabel+regroup, which would silently merge a genuine input
     # label equal to other_label into the rollup row - the reference appends

@@ -49,18 +49,21 @@ def curate_corpus(
     """Returns (curated docs DataFrame, stage-by-stage report)."""
     n_input = docs.count()
 
-    # 1. quality gate (narrow per-row expressions, no shuffle)
+    # 1. quality gate (narrow per-row expressions, no shuffle). Each stage is
+    # cached: the funnel's counts, the next stage, and the caller's use of
+    # the returned frame would otherwise re-run every upstream scan per
+    # action (~4x the most expensive passes).
     toks = docs.withColumn("_toks", ws_tokens(text_col))
     quality = toks.filter(
         (F.size("_toks") >= min_tokens) & (punct_ratio(text_col) < max_punct_ratio)
-    )
+    ).cache()
     n_quality = quality.count()
 
     # 2. exact dedup: keep each digest group's canonical (min) id
     keep_exact = exact_dedup_groups(quality, id_col, text_col).select(
         F.col("keep_id").alias(id_col)
     )
-    exact_survivors = quality.join(keep_exact, id_col, "left_semi")
+    exact_survivors = quality.join(keep_exact, id_col, "left_semi").cache()
     n_exact = exact_survivors.count()
 
     # 3. near-dup removal: LSH candidates -> components -> drop non-canonical
@@ -70,7 +73,7 @@ def curate_corpus(
     drops = components.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    curated = exact_survivors.join(drops, id_col, "left_anti")
+    curated = exact_survivors.join(drops, id_col, "left_anti").cache()
     n_near = curated.count()
 
     total_tokens = int(

@@ -48,10 +48,10 @@ def ivf_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COS_SQL = (
-    "round(list_dot_product(embedding::DOUBLE[], qv) /"
-    " (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
-    " * sqrt(list_dot_product(qv, qv))), 6)"
+# one definition shared with the brute-force/sign-LSH queries so the
+# cosine-rounding convention cannot drift between the oracle formulations
+from nyc_analytics_database_platform_spark.queries.llm_similarity import (  # noqa: E402
+    _COS_SQL,
 )
 
 

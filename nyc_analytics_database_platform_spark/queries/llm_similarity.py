@@ -83,6 +83,9 @@ def ann_signlsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEAR_T = 0.45
 
 
+_BUCKETED_T = 0.4  # lower than _NEAR_T: bucketing already restricts candidates
+
+
 @register(
     "embedding_near_pairs_bucketed",
     oracle=f"""
@@ -97,9 +100,9 @@ _NEAR_T = 0.45
         FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
         WHERE round(list_dot_product(a.v, b.v) /
                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-              >= {{t}}
+              >= {_BUCKETED_T}
         ORDER BY a_id, b_id
-    """.format(t="{t}").replace("{t}", "0.4"),
+    """,
     tags=("llm", "similarity", "dedup", "scale-path"),
 )
 def embedding_near_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,7 +130,7 @@ def embedding_near_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
         a.join(b, "bkt")
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("score") >= 0.4)
+        .filter(F.col("score") >= _BUCKETED_T)
         .select("a_id", "b_id", "score")
         .orderBy("a_id", "b_id")
     )

@@ -26,10 +26,15 @@ from nyc_analytics_database_platform_spark.registry import register
                    ROW_NUMBER() OVER (ORDER BY num_orders DESC, nation) AS rn
             FROM c
         )
-        SELECT CASE WHEN rn <= 5 THEN nation ELSE 'Other' END AS nation,
-               CAST(SUM(num_orders) AS BIGINT) AS num_orders
-        FROM r
-        GROUP BY 1
+        -- head rows pass through; the tail is APPENDED as one synthetic row
+        -- (matching the operator: a genuine 'Other' input label is NOT merged
+        -- into the rollup; the reference appends Other separately)
+        SELECT nation, CAST(num_orders AS BIGINT) AS num_orders
+        FROM r WHERE rn <= 5
+        UNION ALL
+        SELECT 'Other' AS nation, CAST(SUM(num_orders) AS BIGINT) AS num_orders
+        FROM r WHERE rn > 5
+        HAVING COUNT(*) > 0
     """,
     tags=("A9", "O6"),
     bench=True,

@@ -35,14 +35,20 @@ def test_asof_equals_naive_spec(spark, sf_dir):
     f = {r["event_id"]: r["asof_us"] for r in fast.collect()}
     n = {r["event_id"]: r["asof_us"] for r in naive.collect()}
     assert f == n
-    assert any(v is None for v in f.values()) or len(f) > 0
+    assert len(f) == purchases.count()  # left-outer: every purchase kept
 
 
-def test_asof_boundary_inclusive(spark):
-    """right_ts == left_ts matches (the DuckDB ASOF >= convention)."""
-    left = spark.createDataFrame([(1, 1, "2024-01-01 10:00:00")], "id long, k long, ts string") \
-        .select("id", "k", F.col("ts").cast("timestamp").alias("ts"))
+def test_asof_boundary_inclusive_and_no_match_null(spark):
+    """right_ts == left_ts matches (the DuckDB ASOF >= convention); a left
+    row before every right row keeps a NULL (left-outer semantics)."""
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 09:00:00")],
+        "id long, k long, ts string",
+    ).select("id", "k", F.col("ts").cast("timestamp").alias("ts"))
     right = spark.createDataFrame([(1, "2024-01-01 10:00:00")], "k long, ts string") \
         .select("k", F.col("ts").cast("timestamp").alias("ts"))
-    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["ts"]).collect()
-    assert out[0]["asof_ts"] is not None
+    out = {r["id"]: r["asof_ts"] for r in asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["ts"]
+    ).collect()}
+    assert out[1] is not None  # equal-ts match included
+    assert out[2] is None  # pre-everything left row kept with NULL

@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.sources.layout import write_bucketed_table
 
 
 @pytest.fixture(scope="module")
@@ -20,13 +21,7 @@ def bucketed_tables(spark, sf_dir):
     wh = os.path.abspath("spark-warehouse")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
     for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
-        (
-            load(spark, sf_dir, name)
-            .write.mode("overwrite")
-            .bucketBy(8, key)
-            .sortBy(key)
-            .saveAsTable(f"b_{name}")
-        )
+        write_bucketed_table(load(spark, sf_dir, name), f"b_{name}", key, 8)
     yield
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
     for t in ("b_orders", "b_customer"):
