@@ -257,11 +257,13 @@ def simhash_fingerprints(
 def simhash_near_pairs(
     fingerprints: DataFrame, radius: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Pairs with hamming(simhash_a, simhash_b) <= radius.
+    """Pairs with hamming(simhash_a, simhash_b) <= radius, via an all-pairs
+    crossJoin.
 
-    All-pairs comparison here (fingerprints are single longs - tiny); the
-    100 TB path buckets on fingerprint bytes (pigeonhole: radius 3 over 4
-    bytes means some byte matches exactly) before comparing.
+    CALIBRATION-ONLY: O(n^2) candidate rows - do not run at scale. The
+    production path is simhash_near_pairs_bucketed (pigeonhole byte-bucket
+    candidate generation, same exact result set); this variant exists to
+    verify the bucketed path's losslessness and to calibrate radius.
     """
     # eagerly cached: read twice by the self-join (plan-deduped, see above)
     fingerprints = fingerprints.cache()
@@ -272,6 +274,62 @@ def simhash_near_pairs(
         a.crossJoin(b)
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .filter(F.col("hamming") <= radius)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def simhash_near_pairs_bucketed(
+    fingerprints: DataFrame,
+    radius: int = 3,
+    id_col: str = "doc_id",
+    n_bytes: int = SIMHASH_BITS // 8,
+) -> DataFrame:
+    """The SCALE path for SimHash near-dup pairs: pigeonhole byte-bucket
+    candidate generation, exact-equivalent to simhash_near_pairs.
+
+    Pigeonhole: if hamming(fa, fb) <= radius and radius < n_bytes, the
+    differing bits touch at most `radius` of the n_bytes byte slices, so at
+    least one byte slice matches EXACTLY. Candidates are therefore pairs
+    sharing any (byte_position, byte_value) bucket - a shuffle keyed on
+    n_bytes * 256 well-distributed buckets instead of an all-pairs crossJoin.
+    Each doc emits n_bytes rows; bucket occupancy ~ n/256 per position, so
+    candidate volume is sum-of-squares over buckets, not n^2. The exact
+    hamming filter then runs only on candidates. Lossless by construction
+    (every true pair shares a byte), verified against the all-pairs variant
+    in tests.
+    """
+    if radius >= n_bytes:
+        raise ValueError(
+            f"pigeonhole needs radius < n_bytes (got radius={radius}, n_bytes={n_bytes})"
+        )
+    # eagerly cached: both sides of the candidate self-join read the exploded
+    # byte rows; without it the fingerprint pipeline recomputes per side.
+    byte_slices = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 8 * p).bitwiseAND(F.lit(255))
+            for p in range(n_bytes)
+        ]
+    )
+    exploded = fingerprints.select(
+        id_col, "simhash", F.posexplode(byte_slices).alias("p", "byte")
+    ).cache()
+    exploded.count()
+    a = exploded.select(
+        F.col(id_col).alias("a_id"), F.col("simhash").alias("fa"), "p", "byte"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("b_id"), F.col("simhash").alias("fb"), "p", "byte"
+    )
+    cand = (
+        a.join(b, ["p", "byte"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        # a pair sharing several bytes appears once per shared byte slice
+        .select("a_id", "b_id", "fa", "fb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
         .filter(F.col("hamming") <= radius)
         .select("a_id", "b_id", "hamming")
     )

@@ -20,6 +20,7 @@ from nyc_analytics_database_platform_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_near_pairs,
+    simhash_near_pairs_bucketed,
 )
 from nyc_analytics_database_platform_spark.registry import register
 
@@ -170,12 +171,62 @@ def _simhash_oracle(radius: int = 3) -> str:
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit, 3-shingle features) near-dup pairs within hamming
-    radius 3. Each doc reduces to one long; candidate generation at scale
-    buckets on fingerprint bytes (pigeonhole) instead of the all-pairs join
-    used here."""
+    radius 3, via the CALIBRATION-ONLY all-pairs join. The production path
+    is dedup_simhash_pairs_bucketed (identical result set, pigeonhole
+    byte-bucket candidates); this variant verifies its losslessness."""
     docs = load(spark, sf_dir, "documents")
     fps = simhash_fingerprints(docs, k=3)
     return simhash_near_pairs(fps, radius=3).orderBy("a_id", "b_id")
+
+
+def _simhash_bucketed_oracle(radius: int = 3, n_bytes: int = 4) -> str:
+    # Mirrors the bucketed plan: explode fingerprints into (position, byte)
+    # buckets, candidate pairs share a bucket, exact hamming filter after.
+    votes = []
+    for j in range(32):
+        i, kk = j // 4 + 1, j % 4
+        bit = f"(((strpos('0123456789abcdef', h[{i}:{i}]) - 1) >> {3 - kk}) & 1)"
+        votes.append(f"SUM(2 * {bit} - 1) AS v{j}")
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    return f"""
+        WITH {_shingle_cte(3)},
+        feat AS (SELECT doc_id, substr(md5(s), 1, 8) AS h FROM sh),
+        votes AS (SELECT doc_id, {", ".join(votes)} FROM feat GROUP BY doc_id),
+        fp AS (SELECT doc_id, {fp} AS simhash FROM votes),
+        by_byte AS (
+            SELECT doc_id, simhash, p, (simhash >> (8 * p)) & 255 AS byte
+            FROM fp, (SELECT unnest(generate_series(0, {n_bytes - 1})) AS p) g
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                   a.simhash AS fa, b.simhash AS fb
+            FROM by_byte a
+            JOIN by_byte b ON a.p = b.p AND a.byte = b.byte AND a.doc_id < b.doc_id
+        )
+        SELECT a_id, b_id, bit_count(xor(fa, fb)) AS hamming
+        FROM cand
+        WHERE bit_count(xor(fa, fb)) <= {radius}
+        ORDER BY a_id, b_id
+    """
+
+
+@register(
+    "dedup_simhash_pairs_bucketed",
+    oracle=_simhash_bucketed_oracle(),
+    tags=("llm", "dedup", "scale-path"),
+)
+def dedup_simhash_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for SimHash near-dup: pigeonhole byte-bucket candidate
+    generation (radius 3 < 4 byte slices => some byte matches exactly), so
+    the candidate join shuffles on 4*256 buckets instead of crossJoin-ing
+    all pairs. Exact-equivalent to dedup_simhash_pairs - the pigeonhole
+    guarantee makes the bucketing lossless."""
+    docs = load(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs, k=3)
+    return simhash_near_pairs_bucketed(fps, radius=3).orderBy("a_id", "b_id")
 
 
 _SIMHASH_FP_ORACLE = f"""

@@ -12,6 +12,9 @@ from nyc_analytics_database_platform_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+    simhash_near_pairs_bucketed,
 )
 from nyc_analytics_database_platform_spark.operators.multimodal import (
     as_media_table,
@@ -62,6 +65,29 @@ def test_jaccard_bounds(spark, sf_dir):
     for r in rows:
         assert 0.0 < r["jaccard"] <= 1.0
         assert r["inter"] <= min(r["na"], r["nb"])
+
+
+def test_simhash_bucketed_lossless(spark, sf_dir):
+    """Pigeonhole byte-bucketing must produce EXACTLY the all-pairs result
+    set (radius 3 < 4 byte slices => every true pair shares a byte)."""
+    docs = load(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs, k=3)
+    allp = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in simhash_near_pairs(fps, radius=3).collect()
+    }
+    bucketed = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in simhash_near_pairs_bucketed(fps, radius=3).collect()
+    }
+    assert allp, "corpus should contain simhash near-dups"
+    assert bucketed == allp
+
+
+def test_simhash_bucketed_rejects_unsound_radius(spark):
+    fps = spark.createDataFrame([(1, 0)], "doc_id long, simhash long")
+    with pytest.raises(ValueError):
+        simhash_near_pairs_bucketed(fps, radius=4, n_bytes=4)
 
 
 def test_topk_self_is_best_match(spark, sf_dir):
