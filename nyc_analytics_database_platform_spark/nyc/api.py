@@ -156,8 +156,9 @@ def bbl_summary(
             "max_price": stats["max_price"],
             "median_price": stats["median_price"],
         }
-    else:  # zeroed-stats branch (server.py:237-240)
-        sale_stats = {"min_price": None, "max_price": None, "median_price": None}
+    else:  # zeroed-stats branch: the reference returns 0, not None/NULL
+        # (server.py:237-240 sets median/min/max = 0 when no sales exist)
+        sale_stats = {"min_price": 0, "max_price": 0, "median_price": 0}
     sales_df.unpersist()
 
     return {
@@ -181,11 +182,21 @@ def bbl_trends(
     bbl: str,
     start: str = DEFAULT_START,
     end: str = DEFAULT_END,
-    metric: str = "complaints",
+    metric: str = "service_requests",
 ) -> list[dict[str, Any]] | None:
     """get_time_series_data parity (server.py:259-342): monthly buckets over
-    the REQUESTED window's month spine; counts zero-fill, medians null-fill
-    (server.py:337-340)."""
+    the REQUESTED window's month spine, with the reference's exact row
+    shapes: metric 'service_requests' emits {month, count} with count
+    zero-filled (server.py:312-316,337-338); metric 'sales' emits
+    {month, median_price, count} with median_price null-filled and count
+    zero-filled (server.py:292-302,316,339-340). 'complaints' is accepted
+    as an alias for 'service_requests'.
+
+    Documented deviation: the spine is calendar months trunc(start)..
+    trunc(end); the reference iterates from the start date keeping its
+    day-of-month (server.py:319-329), which silently drops the final month
+    when day(start) > day(end) and crashes on day-31 starts - both sides
+    agree on the default/whole-month windows the UI issues."""
     # Validate window bounds FIRST (route-param inputs reach SQL text below;
     # everything else in this module goes through parameterized F.lit) -
     # strict %Y-%m-%d, not fromisoformat, which also admits '20240101' /
@@ -207,7 +218,7 @@ def bbl_trends(
         return None
     gid = geo["geographic_id"]
 
-    if metric == "complaints":
+    if metric in ("service_requests", "complaints"):
         fact = _date_filtered(
             tables["service_request"].filter(F.col("geographic_id") == gid),
             "created_date",
@@ -216,8 +227,8 @@ def bbl_trends(
         )
         agg = fact.groupBy(
             F.trunc("created_date", "month").alias("month_d")
-        ).agg(F.count("*").alias("value"))
-        fill_zero = True
+        ).agg(F.count("*").alias("count"))
+        with_median = False
     elif metric == "sales":
         fact = (
             _date_filtered(tables["sale"], "sale_date", start, end)
@@ -227,9 +238,10 @@ def bbl_trends(
             )
         )
         agg = fact.groupBy(F.trunc("sale_date", "month").alias("month_d")).agg(
-            F.percentile(F.col("sale_price").cast("double"), 0.5).alias("value")
+            F.percentile(F.col("sale_price").cast("double"), 0.5).alias("median_price"),
+            F.count("*").alias("count"),
         )
-        fill_zero = False
+        with_median = True
     else:
         raise ValueError(f"unknown metric {metric!r}")
 
@@ -240,12 +252,11 @@ def bbl_trends(
         f"trunc(date'{end}', 'month'), interval 1 month)) AS month_d"
     )
     joined = spine.join(agg, "month_d", "left")
-    value = (
-        F.coalesce(F.col("value"), F.lit(0)) if fill_zero else F.col("value")
-    )
-    out = joined.select(
-        F.date_format("month_d", "yyyy-MM").alias("month"), value.alias("value")
-    ).orderBy("month")
+    cols = [F.date_format("month_d", "yyyy-MM").alias("month")]
+    if with_median:
+        cols.append(F.col("median_price"))  # gap months stay NULL
+    cols.append(F.coalesce(F.col("count"), F.lit(0)).alias("count"))
+    out = joined.select(*cols).orderBy("month")
     return [r.asDict() for r in out.collect()]
 
 
@@ -402,14 +413,16 @@ def export_rows(
         return ""
     buf = io.StringIO()
     writer = csv.writer(buf, lineterminator="\n")
+    # header strings and column order match the reference byte-for-byte
+    # (server.py:523-529)
     if what == "complaints":
-        writer.writerow(["type", "count", "active"])
+        writer.writerow(["Complaint Type", "Total Count", "Active Count"])
         for r in data["complaints_by_type"]:
             writer.writerow([r["type"], r["count"], r["active"]])
     elif what == "sales":
-        writer.writerow(["price", "date", "address"])
+        writer.writerow(["Address", "Sale Price", "Sale Date"])
         for r in data["sales"]:
-            writer.writerow([r["price"], r["date"], r["address"]])
+            writer.writerow([r["address"], r["price"], r["date"]])
     else:
         raise ValueError(f"unknown export type {what!r}")
     return buf.getvalue().rstrip("\n")

@@ -61,7 +61,9 @@ def customer_summary(
     if start is not None:
         cond = cond & (orders.o_orderdate >= F.lit(start).cast("timestamp"))
     if end is not None:
-        cond = cond & (orders.o_orderdate < F.lit(end).cast("timestamp"))
+        # inclusive end bound - same convention as api._date_filtered and the
+        # reference's `created_date <= :end_date` (server.py:155-167)
+        cond = cond & (orders.o_orderdate <= F.lit(end).cast("timestamp"))
     return (
         keys.join(orders, cond, "left")
         .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))

@@ -57,7 +57,7 @@ def bookmarks_summary_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN orders o
           ON o.o_custkey = c.c_custkey
          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-         AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+         AND o.o_orderdate <= TIMESTAMP '1998-12-31'
         WHERE c.c_custkey IN (5, 10)
         GROUP BY c.c_custkey, c.c_name
         ORDER BY custkey
@@ -74,7 +74,7 @@ def compare_two_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders"),
         [5, 10],
         start="1996-01-01",
-        end="1999-01-01",
+        end="1998-12-31",
     )
 
 

@@ -52,7 +52,8 @@ def test_summary_zeroed_branches(spark, tables):
     d2 = api.bbl_summary(spark, tables, "2-200-20")
     assert (d2["total_requests"], d2["active_requests"]) == (2, 2)
     assert d2["num_sales"] == 0
-    assert d2["sale_stats"] == {"min_price": None, "max_price": None, "median_price": None}
+    # reference returns 0 (not None) for empty-sales stats (server.py:237-240)
+    assert d2["sale_stats"] == {"min_price": 0, "max_price": 0, "median_price": 0}
     # demo parcel: lookup hits, everything empty
     d4 = api.bbl_summary(spark, tables, "4-11458-0029")
     assert d4["borough_name"] == "Queens"
@@ -63,24 +64,28 @@ def test_summary_zeroed_branches(spark, tables):
 
 
 def test_trends_zero_fill_complaints(spark, tables):
-    rows = api.bbl_trends(spark, tables, "1-100-10", metric="complaints")
+    rows = api.bbl_trends(spark, tables, "1-100-10", metric="service_requests")
     assert len(rows) == 12  # full requested window, not data bounds
-    by_month = {r["month"]: r["value"] for r in rows}
+    assert set(rows[0]) == {"month", "count"}  # reference row shape
+    by_month = {r["month"]: r["count"] for r in rows}
     assert by_month["2024-01"] == 3
     assert by_month["2024-02"] == 2
     assert by_month["2024-03"] == 0  # gap month zero-filled
     assert by_month["2024-04"] == 3
     assert by_month["2024-12"] == 0
+    # 'complaints' alias keeps working
+    assert api.bbl_trends(spark, tables, "1-100-10", metric="complaints") == rows
 
 
 def test_trends_null_fill_sales_median(spark, tables):
     rows = api.bbl_trends(spark, tables, "1-100-10", metric="sales")
-    by_month = {r["month"]: r["value"] for r in rows}
-    assert by_month["2024-01"] == 1000000.0  # odd count -> exact middle
-    assert by_month["2024-02"] == 950000.0  # even count -> interpolation
-    assert by_month["2024-03"] is None  # gap month null-filled (spanGaps)
-    assert by_month["2024-04"] == 1500000.0
-    assert by_month["2024-11"] is None
+    assert set(rows[0]) == {"month", "median_price", "count"}  # server.py:292-302
+    by_month = {r["month"]: (r["median_price"], r["count"]) for r in rows}
+    assert by_month["2024-01"] == (1000000.0, 3)  # odd count -> exact middle
+    assert by_month["2024-02"] == (950000.0, 2)  # even count -> interpolation
+    assert by_month["2024-03"] == (None, 0)  # gap: median null, count zero
+    assert by_month["2024-04"] == (1500000.0, 1)
+    assert by_month["2024-11"] == (None, 0)
 
 
 def test_analytics_top5_other_and_first_address(spark, tables):
@@ -134,10 +139,12 @@ def test_compare_typed_error_and_demo_address(spark, tables):
 def test_export_csv(spark, tables):
     csv = api.export_rows(spark, tables, "1-100-10", "complaints", "2024-01-01", "2024-12-31")
     lines = csv.splitlines()
-    assert lines[0] == "type,count,active"
+    # reference header strings, byte-for-byte (server.py:523-529)
+    assert lines[0] == "Complaint Type,Total Count,Active Count"
     assert lines[1] == "Noise,2,1"
     assert len(lines) == 8  # header + 7 types
     sales_csv = api.export_rows(spark, tables, "1-100-10", "sales", "2024-01-01", "2024-12-31")
     # standard csv quoting: plain fields unquoted, specials escaped
     # (tests/test_review_fixes.py covers the escaping cases)
-    assert sales_csv.splitlines()[1] == "1500000.0,2024-04-01,100 BROADWAY"
+    assert sales_csv.splitlines()[0] == "Address,Sale Price,Sale Date"
+    assert sales_csv.splitlines()[1] == "100 BROADWAY,1500000.0,2024-04-01"

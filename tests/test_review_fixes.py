@@ -72,11 +72,11 @@ def test_export_csv_escapes_commas_and_quotes(spark):
     )
     complaints = api.export_rows(spark, tables, "1-100-10", "complaints", "2024-01-01", "2024-12-31")
     parsed = list(csv.DictReader(io.StringIO(complaints)))
-    assert any(r["type"] == "Noise, Residential" for r in parsed)
+    assert any(r["Complaint Type"] == "Noise, Residential" for r in parsed)
     assert all(len(r) == 3 for r in parsed)
     sales = api.export_rows(spark, tables, "1-100-10", "sales", "2024-01-01", "2024-12-31")
     parsed = list(csv.DictReader(io.StringIO(sales)))
-    assert any(r["address"] == 'BLDG "A" PLAZA' for r in parsed)
+    assert any(r["Address"] == 'BLDG "A" PLAZA' for r in parsed)
 
 
 def test_trends_rejects_malformed_dates(spark):
