@@ -13,6 +13,7 @@ from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
     parity_analytics,
     parity_composites,
     parity_core,
+    parity_etl,
     parity_extras,
     parity_joins,
     parity_misc,

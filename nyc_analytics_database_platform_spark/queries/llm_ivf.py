@@ -20,7 +20,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
-from nyc_analytics_database_platform_spark.operators.similarity import brute_force_topk
 from nyc_analytics_database_platform_spark.registry import register
 
 
@@ -87,29 +86,46 @@ from nyc_analytics_database_platform_spark.queries.llm_similarity import (  # no
 )
 def ivf_probe_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search: pick the nearest partition centroid to the query, then
-    exact top-5 within that single partition. The centroid argmin is a
-    query-parameter computation (3 tiny vectors); the search scan touches
-    only the probed partition."""
-    import math
+    exact top-5 within that single partition - all inside one declarative
+    plan (no driver-side head()/collect() actions): the query vector and the
+    1-row probe label travel as broadcast frames, the centroid argmax is
+    max_by over struct(cosine, -label) (ties -> lowest label, matching the
+    oracle's ORDER BY cos DESC, label LIMIT 1), and the final search is a
+    BroadcastHashJoin that touches only the probed partition's rows."""
+    from nyc_analytics_database_platform_spark.operators.similarity import cosine
 
     emb = load(spark, sf_dir, "embeddings", parallel=True)
-    q = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
-
-    cent_rows = (
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    centroids = (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
-        .collect()
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
     )
-    centroids: dict[int, dict[int, float]] = {}
-    for r in cent_rows:
-        centroids.setdefault(r["label"], {})[r["dim"]] = r["cv"]
-    qn = math.sqrt(sum(x * x for x in q))
-
-    def cos_to_q(c: dict[int, float]) -> float:
-        vec = [c[i] for i in sorted(c)]
-        dot = sum(a * b for a, b in zip(vec, q))
-        return dot / (math.sqrt(sum(a * a for a in vec)) * qn)
-
-    best_label = max(sorted(centroids), key=lambda l: (cos_to_q(centroids[l]), -l))
-    return brute_force_topk(emb.filter(F.col("label") == best_label), q, k=5)
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("label", cosine(F.col("cvec"), F.col("qv")).alias("c"))
+        .agg(
+            F.max_by(
+                "label", F.struct(F.col("c"), (-F.col("label")).alias("neg"))
+            ).alias("label")
+        )
+    )
+    return (
+        emb.join(F.broadcast(probe), "label")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(5)
+    )

@@ -217,20 +217,39 @@ def median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APPROX_MEDIAN_TOL = 0.01  # rel. error bound for accuracy=10000 sketch
+
+
 @register(
     "median_price_approx",
-    oracle=None,  # t-digest sketch is engine-specific; rows-only check
+    # Tolerance oracle: the sketch value itself is engine-specific, so the
+    # compared columns are the exact median (computed by both engines) plus
+    # a within-tolerance assertion the oracle pins to TRUE - a hash mismatch
+    # means the sketch drifted beyond the documented bound.
+    oracle="""
+        SELECT PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS exact_median,
+               TRUE AS within_tolerance
+        FROM orders
+    """,
     tags=("A5", "approx"),
 )
 def median_price_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of median_price: approx_percentile (t-digest,
-    constant memory per group vs shuffling every value). Returned alongside
-    the exact value so the tolerance is observable; no cross-engine oracle
-    because sketches are engine-specific."""
+    constant memory per group vs shuffling every value). The result carries
+    the exact median and a boolean asserting the sketch landed within
+    _APPROX_MEDIAN_TOL relative error, which the oracle checks."""
     orders = load(spark, sf_dir, "orders")
     return orders.agg(
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
         F.percentile("o_totalprice", 0.5).alias("exact_median"),
+    ).select(
+        "exact_median",
+        (
+            F.abs(F.col("approx_median") - F.col("exact_median"))
+            / F.col("exact_median")
+            <= _APPROX_MEDIAN_TOL
+        ).alias("within_tolerance"),
     )
 
 

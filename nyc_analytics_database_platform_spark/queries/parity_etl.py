@@ -1,0 +1,242 @@
+"""Driver-attested ETL / sink / curation surfaces (SURVEY.md section 2.1
+S2/S5/S6 and the corpus-curation composite).
+
+These surfaces were previously pytest-only; each is registered here as a
+`queries()` entry so the grading driver attests them too. The sink queries
+round-trip a table through the distributed writer and read it back; the
+compared columns are integrity aggregates (counts + order-independent
+checksums) that a DuckDB oracle computes directly from the source table -
+a hash match proves the write -> read cycle was lossless.
+
+Scale note: the roundtrips run through the same `sources/` code paths used
+for real exports (partitioned writes, schema-on-read, no inference pass);
+the aggregates are map-side-combinable, so the attestation query itself is
+scan-shaped, not a collect.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.functions.numeric import ORACLE_SUM, exact_sum
+from nyc_analytics_database_platform_spark.registry import register
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    """Per-(sf_dir, surface) scratch path: deterministic so reruns overwrite,
+    sf-keyed so results read the files written for the same scale factor."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), "spark_graft_etl", tag, name)
+
+
+_ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+@register(
+    "etl_csv_roundtrip",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               {ORACLE_SUM.format(col="o_totalprice")} AS revenue,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+               MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+               MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+        FROM orders
+    """,
+    tags=("S2", "S5", "etl", "sink"),
+)
+def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema-on-read source attestation: write the orders table
+    through the distributed CSV sink, read it back through the ETL reader
+    (declared schema, no inference pass), and emit integrity aggregates the
+    oracle computes from the source parquet. Hash match = lossless
+    round-trip including timestamps and doubles."""
+    from nyc_analytics_database_platform_spark.sources.csv_etl import read_csv
+    from nyc_analytics_database_platform_spark.sources.sinks import write_csv
+
+    path = _scratch(sf_dir, "csv_orders")
+    write_csv(load(spark, sf_dir, "orders"), path)
+    back = read_csv(spark, path, _ORDERS_SCHEMA)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        exact_sum("o_totalprice").alias("revenue"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_day"),
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_day"),
+    )
+
+
+_NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+@register(
+    "etl_json_roundtrip",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+               md5(string_agg(n_name, '|' ORDER BY n_name)) AS names_digest
+        FROM nation
+    """,
+    tags=("S6", "etl", "sink"),
+)
+def etl_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON sink attestation: nation -> distributed JSON write -> schema-on-
+    read -> integrity aggregates (count, key sum, md5 over the sorted name
+    list - order-independent, identical in DuckDB)."""
+    from nyc_analytics_database_platform_spark.sources.sinks import write_json
+
+    path = _scratch(sf_dir, "json_nation")
+    write_json(load(spark, sf_dir, "nation"), path)
+    back = spark.read.schema(_NATION_SCHEMA).json(path)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_nationkey").alias("key_sum"),
+        F.md5(
+            F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).cast("binary")
+        ).alias("names_digest"),
+    )
+
+
+# --- corpus curation funnel --------------------------------------------------
+
+_MIN_TOKENS, _MAX_PUNCT = 20, 0.2
+_NUM_PERM, _ROWS_PER_BAND, _K = 12, 2, 5
+
+
+def _curation_oracle() -> str:
+    """The full funnel in DuckDB: quality gate -> exact dedup -> MinHash-LSH
+    candidates -> recursive connected components -> canonical survivors.
+    Mirrors plans/curation.curate_corpus stage for stage."""
+    sig_cols = ", ".join(
+        f"MIN(md5('{p}:' || s)) AS m{p}" for p in range(_NUM_PERM)
+    )
+    num_bands = _NUM_PERM // _ROWS_PER_BAND
+    band_cases = " ".join(
+        "WHEN {b} THEN md5({cat})".format(
+            b=b,
+            cat=" || ".join(
+                f"m{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+            ),
+        )
+        for b in range(num_bands)
+    )
+    punct = (
+        "CASE WHEN length(text) > 0 THEN "
+        "CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)"
+        " / length(text) ELSE 0 END"
+    )
+    return f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        quality AS (
+            SELECT doc_id, text, t FROM toks
+            WHERE len(t) >= {_MIN_TOKENS} AND ({punct}) < {_MAX_PUNCT}
+        ),
+        keep_exact AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM quality GROUP BY md5(lower(trim(text)))
+        ),
+        exact_survivors AS (
+            SELECT q.doc_id, q.t FROM quality q
+            JOIN keep_exact k ON q.doc_id = k.doc_id
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+{_K - 1}], ' ') AS s
+            FROM exact_survivors,
+                 unnest(generate_series(1, greatest(len(t) - {_K - 1}, 0))) AS g(i)
+        ),
+        sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, bnd, CASE bnd {band_cases} END AS bucket
+            FROM sig, (SELECT unnest(generate_series(0, {num_bands - 1})) AS bnd) g
+        ),
+        edges AS (
+            SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+            FROM bands x
+            JOIN bands y ON x.bnd = y.bnd AND x.bucket = y.bucket
+                        AND x.doc_id < y.doc_id
+        ),
+        und AS (
+            SELECT a_id AS src, b_id AS dst FROM edges
+            UNION
+            SELECT b_id AS src, a_id AS dst FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM und
+            UNION
+            SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+        ),
+        members AS (
+            SELECT src AS node, dst FROM reach
+            UNION
+            SELECT src AS node, src AS dst FROM und
+        ),
+        comp AS (SELECT node, MIN(dst) AS component FROM members GROUP BY node),
+        drops AS (SELECT node FROM comp WHERE node <> component),
+        curated AS (
+            SELECT doc_id, t FROM exact_survivors
+            WHERE doc_id NOT IN (SELECT node FROM drops)
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_input,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM quality) AS n_after_quality,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_survivors) AS n_after_exact_dedup,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM curated) AS n_after_near_dedup,
+               (SELECT CAST(COALESCE(SUM(len(t)), 0) AS BIGINT) FROM curated) AS total_tokens
+    """
+
+
+@register(
+    "curation_funnel_report",
+    oracle=_curation_oracle(),
+    tags=("llm", "curation", "composite"),
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation composite (plans/curation.curate_corpus)
+    as a driver-attested query: runs quality gate -> exact dedup -> MinHash-
+    LSH + connected-components near-dedup over the documents corpus and
+    reports the stage-by-stage funnel counts, which the oracle reproduces
+    (including the recursive-CTE connected components)."""
+    from nyc_analytics_database_platform_spark.plans.curation import curate_corpus
+
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    _, report = curate_corpus(
+        docs, min_tokens=_MIN_TOKENS, max_punct_ratio=_MAX_PUNCT
+    )
+    return spark.createDataFrame(
+        [
+            (
+                report.n_input,
+                report.n_after_quality,
+                report.n_after_exact_dedup,
+                report.n_after_near_dedup,
+                report.total_tokens,
+            )
+        ],
+        "n_input long, n_after_quality long, n_after_exact_dedup long, "
+        "n_after_near_dedup long, total_tokens long",
+    )

@@ -114,19 +114,38 @@ def distinct_counts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APPROX_DISTINCT_TOL = 0.05  # rel. error bound for rsd=0.01 HLL++ sketch
+
+
 @register(
     "approx_distinct_buyers",
-    oracle=None,  # HLL sketch result is engine-specific; rows-only check
+    # Tolerance oracle (same pattern as median_price_approx): exact count
+    # from both engines + a TRUE-pinned within-tolerance assertion.
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_buyers,
+               TRUE AS within_tolerance
+        FROM orders
+    """,
     tags=("A-ext", "approx"),
 )
 def approx_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) - the 100 TB path for distinct
     counts: constant memory per group vs a full shuffle of distinct values.
-    Sketch values are engine-specific, so no cross-engine oracle."""
+    The result carries the exact count and a boolean asserting the sketch
+    landed within _APPROX_DISTINCT_TOL relative error, which the oracle
+    checks (HLL values are engine-specific, so the sketch value itself is
+    not compared)."""
     orders = load(spark, sf_dir, "orders")
     return orders.agg(
         F.approx_count_distinct("o_custkey", 0.01).alias("approx_buyers"),
         F.countDistinct("o_custkey").alias("exact_buyers"),
+    ).select(
+        "exact_buyers",
+        (
+            F.abs(F.col("approx_buyers") - F.col("exact_buyers"))
+            / F.col("exact_buyers")
+            <= _APPROX_DISTINCT_TOL
+        ).alias("within_tolerance"),
     )
 
 

@@ -43,22 +43,45 @@ def compact_parquet(
     shards); scans then pay per-file open cost and lose row-group locality.
     Returns (files_before, files_after).
 
-    Scale note: this is the local single-dir variant; at 100 TB compaction
-    runs per partition directory so it parallelizes and can be incremental
-    (only dirs whose small-file count exceeds a threshold).
+    Hive-partitioned directories (key=value subdirs) are compacted per
+    partition directory - each leaf keeps its layout and the recursion
+    parallelizes naturally at scale (and can be made incremental: only
+    leaves whose small-file count exceeds a threshold).
+
+    Crash safety: the old data is renamed aside before the compacted dir is
+    promoted, so an interrupt leaves either the original (pre-promote) or
+    both the new dir and the `__old` backup (post-promote) - never nothing.
+    On object stores the equivalent is a manifest swap.
     """
-    files_before = len(glob.glob(os.path.join(path, "*.parquet")))
-    df = spark.read.parquet(path)
-    total_bytes = sum(
-        os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    part_dirs = sorted(
+        e.path
+        for e in os.scandir(path)
+        if e.is_dir() and "=" in e.name and not e.name.startswith("_")
     )
+    if part_dirs:
+        before = after = 0
+        for sub in part_dirs:
+            b, a = compact_parquet(spark, sub, target_file_bytes)
+            before += b
+            after += a
+        return before, after
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    files_before = len(files)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    if total_bytes == 0:
+        return files_before, files_before
+    df = spark.read.parquet(path)
     n = max(1, round(total_bytes / target_file_bytes))
     tmp = path.rstrip("/") + "__compact"
+    old = path.rstrip("/") + "__old"
     df.repartition(n).write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap (local filesystem; object stores use a manifest swap)
+    # promote: move old aside first so a crash between the two renames
+    # leaves recoverable data, then drop the backup only on full success
     import shutil
 
-    shutil.rmtree(path)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     files_after = len(glob.glob(os.path.join(path, "*.parquet")))
     return files_before, files_after

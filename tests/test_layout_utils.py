@@ -31,6 +31,34 @@ def test_compact_parquet_reduces_file_count(spark, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_compact_parquet_hive_partitioned_preserves_layout(spark, sf_dir):
+    """Partitioned datasets compact per leaf dir: the key=value layout
+    survives and partition pruning still works afterwards."""
+    path = os.path.join(TMP, f"compact_hive_{uuid.uuid4().hex[:8]}")
+    try:
+        df = load(spark, sf_dir, "orders").withColumn(
+            "status_part", F.col("o_orderstatus")
+        )
+        df.repartition(6).write.partitionBy("status_part").parquet(path)
+        before_rows = spark.read.parquet(path).count()
+        leaves_before = sorted(
+            os.path.basename(p) for p in glob.glob(os.path.join(path, "status_part=*"))
+        )
+        n_before, n_after = compact_parquet(spark, path, target_file_bytes=1 << 30)
+        leaves_after = sorted(
+            os.path.basename(p) for p in glob.glob(os.path.join(path, "status_part=*"))
+        )
+        assert leaves_after == leaves_before  # layout not flattened
+        assert n_after < n_before
+        back = spark.read.parquet(path)
+        assert back.count() == before_rows
+        # pruning still applies: one leaf readable standalone
+        one = back.filter(F.col("status_part") == leaves_before[0].split("=")[1])
+        assert one.count() > 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_write_partitioned_with_sort(spark, sf_dir):
     path = os.path.join(TMP, f"part_{uuid.uuid4().hex[:8]}")
     try:
