@@ -16,8 +16,40 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from nyc_analytics_database_platform_spark import registry
-from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.catalog import TABLES, load, table_path
 from nyc_analytics_database_platform_spark.session import get_spark
+
+
+def _duckdb_timings(
+    specs: dict[str, "registry.QuerySpec"], sf_dir: str
+) -> dict[str, float]:
+    """Single-node baseline: run each headline query's DuckDB oracle on the
+    same parquet (min of 2 runs). DuckDB is the measured stand-in for the
+    reference's single-node engine (BASELINE.md publishes no timings), so
+    `vs_duckdb` is a real ratio, not a definitionally-met target. Expect
+    sub-second DuckDB times at bench SFs - Spark's per-query overhead
+    (planning, codegen, task dispatch) dominates there and amortizes away at
+    the 100 TB scale the plans are shaped for."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    out: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        if not spec.oracle:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(spec.oracle).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 4)
+    con.close()
+    return out
 
 
 def main() -> None:
@@ -54,6 +86,13 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    duck = _duckdb_timings(specs, sf_dir)
+    vs = {
+        n: round(timings[n] / duck[n], 2)
+        for n in timings
+        if n in duck and duck[n] > 0
+    }
+    duck_total = round(sum(duck.values()), 4)
     print(
         json.dumps(
             {
@@ -61,6 +100,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "duckdb_queries": duck,
+                "vs_duckdb": vs,
+                "vs_duckdb_total": round(total / duck_total, 2) if duck_total else None,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

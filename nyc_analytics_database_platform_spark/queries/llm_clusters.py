@@ -52,6 +52,7 @@ _EDGES_SQL = _minhash_oracle().rsplit("ORDER BY", 1)[0]
         ORDER BY node
     """,
     tags=("llm", "dedup", "iterative"),
+    bench=True,
 )
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH candidate pairs: every doc

@@ -217,6 +217,7 @@ def _simhash_bucketed_oracle(radius: int = 3, n_bytes: int = 4) -> str:
     "dedup_simhash_pairs_bucketed",
     oracle=_simhash_bucketed_oracle(),
     tags=("llm", "dedup", "scale-path"),
+    bench=True,
 )
 def dedup_simhash_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path for SimHash near-dup: pigeonhole byte-bucket candidate

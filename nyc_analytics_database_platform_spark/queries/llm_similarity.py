@@ -104,6 +104,7 @@ _BUCKETED_T = 0.4  # lower than _NEAR_T: bucketing already restricts candidates
         ORDER BY a_id, b_id
     """,
     tags=("llm", "similarity", "dedup", "scale-path"),
+    bench=True,
 )
 def embedding_near_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path for embedding near-dup: candidate pairs restricted to

@@ -214,6 +214,7 @@ def _curation_oracle() -> str:
     "curation_funnel_report",
     oracle=_curation_oracle(),
     tags=("llm", "curation", "composite"),
+    bench=True,
 )
 def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus-curation composite (plans/curation.curate_corpus)
