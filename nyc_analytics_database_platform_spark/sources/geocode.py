@@ -81,6 +81,58 @@ def enrich_addresses(addresses: DataFrame, dim: DataFrame) -> DataFrame:
 
 Resolver = Callable[[pd.DataFrame], pd.Series]
 
+# Transport: one external lookup. Takes the Geoclient query params
+# ({'houseNumber', 'street', 'borough'}) and returns (status_code, payload)
+# - exactly the (response.status_code, response.json()) pair of the
+# reference's per-address GET (server.py:92-97). Production injects a
+# requests/urllib3-backed transport (adding its API key and timeout);
+# tests inject a fake. The engine never constructs an HTTP client itself,
+# so the hermetic/live split is this one callable.
+Transport = Callable[[dict[str, str]], tuple[int, dict]]
+
+
+def http_resolver(transport: Transport) -> Resolver:
+    """Build a batched Resolver from a Transport.
+
+    Mirrors the reference's response handling (server.py:95-109): non-200 or
+    a missing ``address.bbl`` field resolves to NULL; otherwise the 10-digit
+    BBL string becomes the engine's zero-padded ``b-bbbbb-llll`` key code.
+    The transport is consulted once per UNIQUE normalized address per batch
+    (the reference pays one round-trip per row), and the per-executor batch
+    granularity comes from mapInPandas, so a production transport can add
+    cross-batch memoization without changing this contract.
+    """
+
+    def resolve(pdf: pd.DataFrame) -> pd.Series:
+        memo: dict[tuple[str, str, str], str | None] = {}
+
+        def one(h: object, s: object, b: object) -> str | None:
+            key = (str(h).strip().upper(), str(s).strip().upper(), str(b).strip().upper())
+            if key not in memo:
+                status, payload = transport(
+                    {"houseNumber": key[0], "street": key[1], "borough": key[2]}
+                )
+                bbl = (
+                    payload.get("address", {}).get("bbl") if status == 200 else None
+                )
+                memo[key] = (
+                    f"{bbl[0]}-{bbl[1:6]}-{bbl[6:10]}"
+                    if bbl and len(str(bbl)) == 10
+                    else None
+                )
+            return memo[key]
+
+        return pd.Series(
+            [
+                one(h, s, b)
+                for h, s, b in zip(pdf["house_number"], pdf["street"], pdf["borough"])
+            ],
+            index=pdf.index,
+            dtype="object",
+        )
+
+    return resolve
+
 
 def enrich_addresses_online(
     addresses: DataFrame, resolver: Resolver | None = None
