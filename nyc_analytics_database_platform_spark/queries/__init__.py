@@ -8,6 +8,7 @@ from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
     llm_dedup,
     llm_ivf,
     llm_multimodal,
+    llm_sampling,
     llm_similarity,
     llm_text,
     parity_analytics,

@@ -1,0 +1,328 @@
+"""Driver-attested training-data sampling / splitting / packing queries.
+
+The dataset-assembly half of an LLM pipeline (the curation half lives in
+llm_dedup / llm_text / plans/curation): reproducible Bernoulli samples,
+train/val/test splits, stratified rebalancing, deterministic epoch order,
+context-window packing, and benchmark-contamination screening - all
+hash-deterministic (operators/sampling.py) so each has an exact DuckDB
+oracle, and all narrow per-row expressions except where a global order is
+the declared semantic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.operators.dedup import with_tokens
+from nyc_analytics_database_platform_spark.operators.sampling import (
+    deterministic_sample,
+    hex_threshold,
+    pack_sequences,
+    shuffle_order,
+    split_column,
+    stratified_sample,
+)
+from nyc_analytics_database_platform_spark.registry import register
+
+# the one hash-draw expression, as DuckDB SQL (mirrors sampling.hash_draw)
+_DRAW = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+_SAMPLE_RATE = 0.25
+
+
+@register(
+    "sample_deterministic_by_source",
+    oracle=f"""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+        FROM documents
+        WHERE {_DRAW} < '{hex_threshold(_SAMPLE_RATE)}'
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_deterministic_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 25% Bernoulli sample (hash-deterministic, no RNG/seed
+    state), reported per source so the uniformity of the draw is observable.
+    The membership filter is a narrow expression: it pushes past the scan
+    and needs no shuffle at any scale."""
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    return (
+        deterministic_sample(docs, _SAMPLE_RATE)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@register(
+    "train_val_test_split_report",
+    oracle=f"""
+        SELECT CASE
+                 WHEN {_DRAW} < '{hex_threshold(0.8)}' THEN 'train'
+                 WHEN {_DRAW} < '{hex_threshold(0.9)}' THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY split
+        ORDER BY split
+    """,
+    tags=("llm", "sampling"),
+)
+def train_val_test_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by cumulative hash-threshold
+    bands: a pure function of doc_id, so new data joins the same split
+    lawfully and no holdout row ever migrates between splits across runs -
+    the property RNG splits lose on re-execution."""
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    return (
+        docs.withColumn("split", split_column(F.col("doc_id"), _SPLITS))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+_STRATA_RATES = {"en": 0.1}
+_DEFAULT_RATE = 0.5
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle=f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled
+        FROM documents
+        WHERE {_DRAW} < CASE WHEN lang = 'en'
+                             THEN '{hex_threshold(_STRATA_RATES["en"])}'
+                             ELSE '{hex_threshold(_DEFAULT_RATE)}' END
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("llm", "sampling"),
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (the hash analogue of sampleBy):
+    downsample the dominant language (en -> 10%) while keeping half of
+    every other stratum - corpus rebalancing as one narrow filter, no
+    shuffle, reproducible across runs and partitionings."""
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    return (
+        stratified_sample(docs, "lang", _STRATA_RATES, _DEFAULT_RATE)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "global_shuffle_head",
+    oracle=f"""
+        SELECT doc_id, {_DRAW} AS ord_key
+        FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT 10
+    """,
+    tags=("llm", "sampling"),
+)
+def global_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: ordering by md5(doc_id) is a
+    reproducible permutation of the corpus (epoch n prepends its tag to the
+    key). Top-10 probe compiles to TakeOrderedAndProject - per-partition
+    heaps, no global sort; a full epoch materialization would instead
+    RANGE-partition on the same key."""
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    return (
+        docs.select(
+            "doc_id",
+            F.substring(shuffle_order(F.col("doc_id")), 1, 8).alias("ord_key"),
+            shuffle_order(F.col("doc_id")).alias("_full"),
+        )
+        .orderBy("_full", "doc_id")
+        .limit(10)
+        .drop("_full")
+    )
+
+
+_CONTEXT = 512
+
+
+@register(
+    "sequence_packing_bins",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ord,
+                   len({_TOKS}) AS n_tokens
+            FROM documents
+        ),
+        packed AS (
+            SELECT doc_id, n_tokens,
+                   CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / {_CONTEXT}) AS BIGINT) AS bin_id
+            FROM t
+        )
+        SELECT bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        FROM packed
+        GROUP BY bin_id
+        ORDER BY bin_id
+    """,
+    tags=("llm", "sampling", "packing"),
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing plan: documents in deterministic shuffle order
+    assigned to consecutive 512-token windows by exclusive prefix
+    sum (operators/sampling.pack_sequences). The global window is the
+    exact-oracle formulation; the 100 TB variant partitions by shard id and
+    packs within shards (one training file per shard), so no global prefix
+    sum exists in production."""
+    docs = with_tokens(load(spark, sf_dir, "documents", parallel=True))
+    packed = pack_sequences(docs, _CONTEXT, F.size("toks"))
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+_BENCH_MAX_ID = 20  # doc_id < 20 stands in for the benchmark/eval set
+_NGRAM = 8
+
+
+@register(
+    "benchmark_contamination_report",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+{_NGRAM - 1}], ' ') AS s
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(t) - {_NGRAM - 1}, 0))) AS g(i)
+        ),
+        bench AS (
+            SELECT DISTINCT s FROM sh WHERE doc_id < {_BENCH_MAX_ID}
+        ),
+        corp AS (SELECT doc_id, s FROM sh WHERE doc_id >= {_BENCH_MAX_ID}),
+        totals AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams
+            FROM corp GROUP BY doc_id
+        ),
+        overlap AS (
+            SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+            FROM corp c JOIN bench b ON c.s = b.s
+            GROUP BY c.doc_id
+        )
+        SELECT o.doc_id, o.n_overlap, t.n_ngrams,
+               round(o.n_overlap / CAST(t.n_ngrams AS DOUBLE), 6) AS contamination
+        FROM overlap o JOIN totals t ON o.doc_id = t.doc_id
+        ORDER BY o.doc_id
+    """,
+    tags=("llm", "sampling", "contamination"),
+)
+def benchmark_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: corpus documents sharing any 8-gram
+    with the benchmark/eval set (here: doc_id < 20), with the
+    per-document overlap ratio. The benchmark n-gram set is tiny by
+    construction, so the probe is a BROADCAST semi-structure - the corpus
+    side streams through it with no shuffle of the corpus at any scale;
+    join keys are md5 digests (fixed-width) rather than raw n-gram
+    strings."""
+    docs = with_tokens(load(spark, sf_dir, "documents", parallel=True))
+    sh = (
+        docs.select("doc_id", F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {_NGRAM} "
+                f"THEN transform(sequence(1, size(toks) - {_NGRAM} + 1), "
+                f"i -> array_join(slice(toks, i, {_NGRAM}), ' ')) "
+                f"ELSE array() END"
+            )
+        ).alias("s"))
+        .select("doc_id", F.md5("s").alias("hs"))
+        .distinct()
+    )
+    bench = sh.filter(F.col("doc_id") < _BENCH_MAX_ID).select("hs").distinct()
+    corp = sh.filter(F.col("doc_id") >= _BENCH_MAX_ID)
+    totals = corp.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    overlap = (
+        corp.join(F.broadcast(bench), "hs")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        overlap.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_overlap",
+            "n_ngrams",
+            F.round(
+                F.col("n_overlap") / F.col("n_ngrams").cast("double"), 6
+            ).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "quantile_token_filter",
+    oracle=f"""
+        WITH t AS (SELECT len({_TOKS}) AS tc, n_chars FROM documents),
+        b AS (
+            SELECT PERCENTILE_CONT(0.1) WITHIN GROUP (ORDER BY tc) AS lo,
+                   PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY tc) AS hi
+            FROM t
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(tc) AS BIGINT) AS kept_tokens,
+               round(ANY_VALUE(b.lo), 6) AS lo,
+               round(ANY_VALUE(b.hi), 6) AS hi
+        FROM t, b
+        WHERE t.tc >= b.lo AND t.tc <= b.hi
+    """,
+    tags=("llm", "sampling", "quality"),
+)
+def quantile_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier trimming by corpus quantiles: keep documents inside
+    the [p10, p90] token-count band. The two thresholds are a one-row
+    aggregate broadcast-crossJoined back to the corpus (the same pattern as
+    TF-IDF's idf row) - a 100 TB corpus computes them via approx
+    percentile_approx instead; the exact percentile here keeps the oracle
+    bit-exact."""
+    docs = with_tokens(load(spark, sf_dir, "documents", parallel=True))
+    t = docs.select(F.size("toks").alias("tc"))
+    bounds = t.agg(
+        F.percentile("tc", 0.1).alias("lo"),
+        F.percentile("tc", 0.9).alias("hi"),
+    )
+    return (
+        t.crossJoin(F.broadcast(bounds))
+        .filter((F.col("tc") >= F.col("lo")) & (F.col("tc") <= F.col("hi")))
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("tc").alias("kept_tokens"),
+            F.round(F.first("lo"), 6).alias("lo"),
+            F.round(F.first("hi"), 6).alias("hi"),
+        )
+    )
