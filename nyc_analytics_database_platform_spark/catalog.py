@@ -71,8 +71,13 @@ def load(
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if parallel:
+        # File count is a driver-side lookup (no job, no RDD conversion -
+        # df.rdd.getNumPartitions() would force one per load). Fewer files
+        # than cores implies the scan can't fan out enough for CPU-bound
+        # per-row work; at 100 TB inputs have >> cores files and this is a
+        # no-op.
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        if len(df.inputFiles()) < target:
             df = df.repartition(target)
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file, read as long nanos; normalize

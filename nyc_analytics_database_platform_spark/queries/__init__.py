@@ -18,6 +18,7 @@ from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
     parity_extras,
     parity_joins,
     parity_misc,
+    parity_sql,
     parity_timeseries,
     parity_tpch,
     parity_windows,

@@ -53,6 +53,88 @@ from nyc_analytics_database_platform_spark.queries.llm_similarity import (  # no
     _COS_SQL,
 )
 
+_K, _ITERS = 4, 2
+
+
+def _kmeans_oracle() -> str:
+    """Lloyd's unrolled as chained CTEs: seeds -> (assign -> update) x 2 ->
+    final assign for member counts. Mirrors operators/kmeans.kmeans_fit
+    stage for stage (6dp-rounded means each round pin the values)."""
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+        d_{name} AS (
+            SELECT e.vec_id, c.c_id,
+                   SUM((e.v[c.dim + 1] - c.cv) * (e.v[c.dim + 1] - c.cv)) AS d2
+            FROM e CROSS JOIN {cents} c
+            GROUP BY e.vec_id, c.c_id
+        ),
+        {name} AS (
+            SELECT vec_id, c_id FROM (
+                SELECT vec_id, c_id,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS r
+                FROM d_{name}
+            ) WHERE r = 1
+        )"""
+
+    def update(name: str, assignment: str) -> str:
+        return f"""
+        {name} AS (
+            SELECT a.c_id, i - 1 AS dim, round(avg(e.v[i]), 6) AS cv
+            FROM {assignment} a JOIN e USING (vec_id),
+                 unnest(generate_series(1, len(e.v))) AS g(i)
+            GROUP BY a.c_id, dim
+        )"""
+
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        ranked AS (
+            SELECT vec_id, v,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rn
+            FROM e
+        ),
+        c0 AS (
+            SELECT rn AS c_id, i - 1 AS dim, v[i] AS cv
+            FROM ranked, unnest(generate_series(1, len(v))) AS g(i)
+            WHERE rn < {_K}
+        ),{assign("a1", "c0")},{update("c1", "a1")},{assign("a2", "c1")},{update("c2", "a2")},{assign("a3", "c2")},
+        counts AS (
+            SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM a3 GROUP BY c_id
+        )
+        SELECT CAST(c2.c_id AS INT) AS c_id, CAST(c2.dim AS INT) AS dim,
+               c2.cv AS centroid_v, counts.n_members
+        FROM c2 JOIN counts USING (c_id)
+        ORDER BY c_id, dim
+    """
+
+
+@register(
+    "kmeans_train_centroids",
+    oracle=_kmeans_oracle(),
+    tags=("llm", "ivf", "iterative"),
+)
+def kmeans_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned coarse quantizer for IVF: 2 Lloyd iterations over the
+    embedding corpus from hash-deterministic seeds (operators/kmeans.py),
+    reporting the final per-(cluster, dimension) centroid values and member
+    counts. Per iteration: one broadcast assign pass (vectors never
+    shuffle) + one (cluster, dim)-keyed mean - the scalable k-means plan
+    shape; the oracle unrolls the same two rounds as chained CTEs."""
+    from nyc_analytics_database_platform_spark.operators.kmeans import kmeans_fit
+
+    emb = load(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents, assignment = kmeans_fit(emb, _K, _ITERS)
+    counts = assignment.groupBy("c_id").agg(F.count("*").alias("n_members"))
+    return (
+        cents.select("c_id", F.posexplode("cvec").alias("dim", "centroid_v"))
+        .join(counts, "c_id")
+        .orderBy("c_id", "dim")
+    )
+
 
 @register(
     "ivf_probe_top5",

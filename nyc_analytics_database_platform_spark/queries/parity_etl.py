@@ -120,6 +120,81 @@ def etl_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- MERGE / CDC upsert ------------------------------------------------------
+
+
+@register(
+    "merge_upsert_orders",
+    oracle=f"""
+        WITH upd AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice + 5.0 AS o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 10 = 3
+        ),
+        ins AS (
+            SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+                   'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 10 = 7
+        ),
+        del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 1),
+        change_keys AS (
+            SELECT o_orderkey FROM upd
+            UNION ALL SELECT o_orderkey FROM ins
+            UNION ALL SELECT o_orderkey FROM del
+        ),
+        merged AS (
+            SELECT * FROM orders
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM change_keys)
+            UNION ALL SELECT * FROM upd
+            UNION ALL SELECT * FROM ins
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {ORACLE_SUM.format(col="o_totalprice")} AS revenue
+        FROM merged
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("etl", "merge", "cdc"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-MERGE semantics as one anti-join + union (operators/merge.py):
+    a deterministic CDC batch (keys %10==3 updated with a price bump,
+    %10==7 re-keyed as inserts with status 'N', %10==1 deleted) applied to
+    the orders snapshot, attested by per-status counts and exact revenue.
+    The price bump is an IEEE-exact double ADD (never a rounded product),
+    so the decimal-cast revenue stays bit-identical across engines."""
+    from nyc_analytics_database_platform_spark.operators.merge import (
+        OP_COL,
+        merge_upsert,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    upd = (
+        orders.filter(key % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(5.0))
+        .withColumn(OP_COL, F.lit("U"))
+    )
+    ins = (
+        orders.filter(key % 10 == 7)
+        .withColumn("o_orderkey", key + F.lit(10000000))
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn(OP_COL, F.lit("U"))
+    )
+    dels = orders.filter(key % 10 == 1).withColumn(OP_COL, F.lit("D"))
+    changes = upd.unionByName(ins).unionByName(dels)
+    return (
+        merge_upsert(orders, changes, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 # --- corpus curation funnel --------------------------------------------------
 
 _MIN_TOKENS, _MAX_PUNCT = 20, 0.2

@@ -50,6 +50,36 @@ def test_ranked_window_gets_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in p
 
 
+def test_sql_surface_gets_same_optimizations(spark, sf_dir):
+    """SQL text compiles to the same physical shapes as the DataFrame API:
+    hinted dims broadcast, and the correlated EXISTS decorrelates to a
+    semi join (never a per-row subquery)."""
+    p = plan_text(spark, sf_dir, "sql_revenue_by_region")
+    assert "BroadcastHashJoin" in p
+    p = plan_text(spark, sf_dir, "sql_late_shipping_priority")
+    assert "LeftSemi" in p
+
+
+def test_merge_upsert_is_anti_join_plus_union(spark, sf_dir):
+    p = plan_text(spark, sf_dir, "merge_upsert_orders")
+    assert "LeftAnti" in p
+    assert "Union" in p
+
+
+def test_ivf_probe_has_no_driver_actions(spark, sf_dir):
+    """The probe is one declarative plan: no collect()/head()/toPandas()
+    driver actions inside the query fn (job counting is too noisy a probe -
+    every spark.read.parquet runs a footer-read job), and the plan carries
+    the argmax subquery as broadcast joins, not a literal label."""
+    import inspect
+
+    src = inspect.getsource(registry.get("ivf_probe_top5").fn)
+    for action in (".collect()", ".head(", ".toPandas()", ".first()", ".take("):
+        assert action not in src, action
+    p = plan_text(spark, sf_dir, "ivf_probe_top5")
+    assert p.count("BroadcastExchange") >= 2  # probe label + query vector
+
+
 def test_no_python_udf_in_native_paths(spark, sf_dir):
     """The reference-parity queries must stay whole-stage-codegen native -
     no Python evaluation nodes."""
