@@ -78,6 +78,35 @@ def fake_decode_features(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(kernel, FAKE_FEATURE_SCHEMA)
 
 
+def plan_frame_extraction(
+    media_df: DataFrame, frame_bytes: int, every_k: int
+) -> DataFrame:
+    """The pre-codec half of frame sampling, all native expressions: treat
+    the payload as `n_frames = n_bytes div frame_bytes` fixed-size frames,
+    keep every k-th index, and emit one row per sampled frame with its
+    exact (byte_offset, byte_length) range. This explode + offset
+    arithmetic is precisely what a production extractor computes before
+    handing ranges to the codec kernel (which then reads ONLY those ranges
+    - at 100 TB that's a ranged GET per frame, never a full-payload
+    fetch); sample_video_frames documents the codec half."""
+    n_frames = (F.col("meta.n_bytes") / frame_bytes).cast("long")
+    idx = F.explode(
+        F.when(
+            n_frames > 0, F.sequence(F.lit(0), n_frames - 1, F.lit(every_k))
+        ).otherwise(F.array().cast("array<long>"))
+    )
+    return media_df.select(
+        "doc_id", idx.alias("frame_idx"), F.col("meta.n_bytes").alias("n_bytes")
+    ).select(
+        "doc_id",
+        "frame_idx",
+        (F.col("frame_idx") * frame_bytes).alias("byte_offset"),
+        F.least(
+            F.lit(frame_bytes), F.col("n_bytes") - F.col("frame_idx") * frame_bytes
+        ).alias("byte_length"),
+    )
+
+
 def decode_image(media_df: DataFrame, target_size: tuple[int, int]) -> DataFrame:
     """Production signature: decode + resize image payloads to
     (id, pixels array<float>, width, height). Requires an image codec

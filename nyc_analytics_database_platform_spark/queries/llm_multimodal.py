@@ -77,3 +77,41 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("long").alias("height"),
         F.col("channels").cast("long").alias("channels"),
     ).orderBy("doc_id")
+
+
+_FRAME_BYTES, _EVERY_K = 16, 4
+
+
+@register(
+    "multimodal_frame_sample_plan",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes
+            FROM documents
+        )
+        SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+               CAST(i * {_FRAME_BYTES} AS BIGINT) AS byte_offset,
+               CAST(least({_FRAME_BYTES},
+                          n_bytes - i * {_FRAME_BYTES}) AS BIGINT) AS byte_length
+        FROM m, unnest(generate_series(0, n_bytes // {_FRAME_BYTES} - 1,
+                                       {_EVERY_K})) AS g(i)
+        WHERE n_bytes >= {_FRAME_BYTES}
+        ORDER BY doc_id, frame_idx
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling byte-range plan (operators/multimodal.
+    plan_frame_extraction): every 4th fixed-size frame of each payload as
+    (doc_id, frame_idx, byte_offset, byte_length) - the exact ranges a
+    production codec kernel would read (ranged GETs at scale, never a
+    full-payload fetch). Native sequence+explode; no Python anywhere."""
+    from nyc_analytics_database_platform_spark.operators.multimodal import (
+        plan_frame_extraction,
+    )
+
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    media = as_media_table(docs)
+    return plan_frame_extraction(media, _FRAME_BYTES, _EVERY_K).orderBy(
+        "doc_id", "frame_idx"
+    )
