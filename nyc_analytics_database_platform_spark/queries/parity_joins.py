@@ -152,3 +152,44 @@ def asof_join_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
         F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_ts"),
     ).orderBy("event_id")
+
+
+@register(
+    "salted_join_segment_revenue",
+    oracle=f"""
+        SELECT c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {ORACLE_SUM.format(col="o.o_totalprice")} AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+    tags=("J-ext", "skew"),
+)
+def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew path attested end-to-end: orders x customer through
+    operators/joins.salted_join (deterministic salt on o_orderkey splits any
+    hot customer across 8 reducers; the dim side replicates once per salt),
+    then revenue per segment. The oracle is the PLAIN join - a hash match
+    proves salting changes only the shuffle distribution, never the result
+    set. In production AQE's skew split handles moderate skew; explicit
+    salting is for the pathological keys AQE can't split (single-key
+    hotspots in a broadcast-ineligible join)."""
+    from nyc_analytics_database_platform_spark.operators.joins import salted_join
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        cust,
+        on="c_custkey",
+        salt_by="o_orderkey",
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("segment")
+    )
