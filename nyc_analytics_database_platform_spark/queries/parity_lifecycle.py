@@ -1,0 +1,173 @@
+"""Lifecycle / warehouse-maintenance parity queries: batch sessionization,
+SCD2 dimension build, and incremental aggregate maintenance.
+
+These extend the reference's current-state-only data model (reference:
+webserver/schema.sql:1-24 keeps one row per property; server.py recomputes
+every rollup from scratch per request) with the three operators a maintained
+100 TB warehouse actually runs: assign events to sessions, track attribute
+history as validity intervals, and refresh rollups from deltas without
+re-scanning history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.functions.numeric import ORACLE_SUM, exact_sum
+from nyc_analytics_database_platform_spark.operators.incremental import (
+    merge_partials,
+    partial_agg,
+    present,
+)
+from nyc_analytics_database_platform_spark.operators.scd import scd2_intervals
+from nyc_analytics_database_platform_spark.operators.sessions import sessionize
+from nyc_analytics_database_platform_spark.registry import register
+
+
+@register(
+    "sessionize_event_stats",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+            FROM events
+        ),
+        flags AS (
+            SELECT *,
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w >= 300000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        sess AS (
+            SELECT *,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flags
+        )
+        SELECT user_id,
+               CAST(session_seq AS BIGINT) AS session_seq,
+               MIN(us) AS session_start_us,
+               MAX(us) AS session_end_us,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT event_type) AS n_event_types,
+               {ORACLE_SUM.format(col="value")} AS total_value
+        FROM sess
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+    tags=("session", "window", "training-data"),
+)
+def sessionize_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session assignment (operators/sessions.sessionize, 5-minute
+    gap) rolled up to per-session stats. Unlike stream_session_windows (the
+    session_window AGGREGATE), the operator under test tags every row, which
+    is what session-document assembly needs; the rollup here just makes the
+    assignment oracle-checkable. Same >= gap-close convention as Spark's
+    session_window."""
+    events = load(spark, sf_dir, "events")
+    sess = sessionize(events, "user_id", "ts", gap_seconds=300, order_cols=("event_id",))
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            F.max(F.unix_micros("ts")).alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            exact_sum("value").alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@register(
+    "scd2_customer_status_history",
+    oracle="""
+        WITH ordered AS (
+            SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+                   lag(o_orderstatus) OVER w AS prev_status
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ),
+        ch AS (
+            SELECT * FROM ordered
+            WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+        ),
+        iv AS (
+            SELECT o_custkey, o_orderstatus,
+                   o_orderdate AS vf,
+                   lead(o_orderdate) OVER w2 AS vt,
+                   CAST(ROW_NUMBER() OVER w2 AS INT) AS version
+            FROM ch
+            WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        )
+        SELECT o_custkey AS custkey,
+               o_orderstatus AS status,
+               strftime(vf, '%Y-%m-%d') AS valid_from,
+               strftime(vt, '%Y-%m-%d') AS valid_to,
+               version,
+               (vt IS NULL) AS is_current
+        FROM iv
+        ORDER BY custkey, version
+    """,
+    tags=("scd2", "window", "warehouse"),
+)
+def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 build over the orders log: runs of equal o_orderstatus per
+    customer become validity intervals (operators/scd.scd2_intervals). The
+    reference keeps only current state (schema.sql:1-24); this is the
+    history-preserving dimension a warehouse derives from the same log."""
+    orders = load(spark, sf_dir, "orders")
+    scd = scd2_intervals(
+        orders,
+        key_col="o_custkey",
+        ts_col="o_orderdate",
+        attr_cols=("o_orderstatus",),
+        order_cols=("o_orderkey",),
+    )
+    return scd.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "version",
+        "is_current",
+    ).orderBy("custkey", "version")
+
+
+@register(
+    "incremental_monthly_revenue",
+    oracle=f"""
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               COUNT(*) AS n,
+               {ORACLE_SUM.format(col="o_totalprice")} AS total,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean,
+               MIN(o_totalprice) AS min_v,
+               MAX(o_totalprice) AS max_v
+        FROM orders
+        GROUP BY 1
+        ORDER BY month
+    """,
+    tags=("incremental", "materialized-view", "warehouse"),
+)
+def incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: history (orders before 1997-01-01) and
+    delta (the rest) are aggregated SEPARATELY into mergeable form and merged
+    (operators/incremental.py) — the oracle recomputes from scratch, so a
+    hash match proves the merge is exact, decimals included. At 100 TB the
+    merged path reads only the delta partition + the stored aggregate; the
+    oracle's path (full re-scan) is what it replaces."""
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    history = orders.filter(F.col("o_orderdate") < cutoff)
+    delta = orders.filter(F.col("o_orderdate") >= cutoff)
+    merged = merge_partials(
+        [partial_agg(history, ["month"], "o_totalprice"),
+         partial_agg(delta, ["month"], "o_totalprice")],
+        ["month"],
+    )
+    return present(merged).orderBy("month")
