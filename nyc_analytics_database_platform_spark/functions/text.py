@@ -111,3 +111,30 @@ def lang_guess_oracle_sql(text: str = "text", toks: str = "toks") -> str:
           ELSE 'de'
         END
     """
+
+
+# --- PII redaction -----------------------------------------------------------
+
+# Patterns restricted to the syntax Java regex (Spark) and RE2 (DuckDB) agree
+# on: character classes, bounded repeats, \b word boundaries. No lookarounds,
+# no \u escapes (RE2 rejects them).
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+SSN_PATTERN = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+PHONE_PATTERN = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+# Redaction order matters only if patterns overlap; these are disjoint
+# (email needs '@', phone needs a leading '+', SSN is bare 3-2-4 digits).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", EMAIL_PATTERN, "<EMAIL>"),
+    ("ssn", SSN_PATTERN, "<SSN>"),
+    ("phone", PHONE_PATTERN, "<PHONE>"),
+]
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Replace every email / SSN / phone occurrence with a typed tag.
+    Pure regexp_replace chain: JVM-side, codegen, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

@@ -5,19 +5,23 @@ All per-row logic is native Catalyst expressions (functions/text.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
 from nyc_analytics_database_platform_spark.operators.dedup import with_tokens
 from nyc_analytics_database_platform_spark.functions.text import (
     BPE_ISH_PATTERN,
+    EMAIL_PATTERN,
     LANG_STOPWORDS,
+    PHONE_PATTERN,
+    SSN_PATTERN,
     bpe_ish_tokens,
     count_in,
     lang_guess,
     lang_guess_oracle_sql,
     punct_ratio,
+    redact_pii,
     shingles,
     ws_tokens,
 )
@@ -247,6 +251,168 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fp").alias("n_fingerprints"),
             F.min("fp").alias("min_fp"),
             F.max("fp").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PII_INJECT_SQL = """
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                 || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+"""
+
+
+def _pii_inject_col() -> Column:
+    """Deterministic PII injection (the synthetic corpus has none): identical
+    expression to _PII_INJECT_SQL so both engines see the same input."""
+    d = F.col("doc_id")
+
+    def pad(mod: int, width: int) -> Column:
+        return F.lpad((d % mod).cast("string"), width, "0")
+
+    return F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" ssn "), pad(1000, 3), F.lit("-"), pad(100, 2),
+                     F.lit("-"), pad(10000, 4)),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0, F.concat(F.lit(" call +1-555-"), pad(10000, 4))
+        ).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+        WITH aug AS (
+            SELECT doc_id, {_PII_INJECT_SQL} AS t FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{SSN_PATTERN}')) AS BIGINT) AS n_ssns,
+               CAST(len(regexp_extract_all(t, '{PHONE_PATTERN}')) AS BIGINT) AS n_phones,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(t, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                       '{SSN_PATTERN}', '<SSN>', 'g'),
+                   '{PHONE_PATTERN}', '<PHONE>', 'g') AS redacted
+        FROM aug
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "pii"),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / SSNs / phone numbers -> typed tags) with
+    per-class counts — the redaction pass of a training-data pipeline. The
+    corpus is synthetic word soup, so deterministic PII is injected first
+    (identically in both engines); the oracle then independently re-derives
+    counts and the redacted text, proving the Java-regex and RE2 semantics
+    of functions/text.PII_PATTERNS agree.
+
+    Scale: narrow per-row regexp chain, whole-stage codegen, no shuffle."""
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    aug = docs.select("doc_id", _pii_inject_col().alias("t"))
+    return aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(SSN_PATTERN)).cast("long").alias("n_ssns"),
+        F.regexp_count("t", F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
+        redact_pii("t").alias("redacted"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_repetition_scores",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        words AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM words GROUP BY 1, 2),
+        ws AS (
+            SELECT doc_id, MAX(c) AS top_cnt, CAST(SUM(c) AS BIGINT) AS n_tok,
+                   COUNT(*) AS n_distinct
+            FROM wc GROUP BY 1
+        ),
+        bg AS (
+            SELECT doc_id, array_to_string(t[i:i+1], ' ') AS b
+            FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+        ),
+        bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        bs AS (
+            SELECT doc_id, MAX(c) AS top_bi, CAST(SUM(c) AS BIGINT) AS n_bi
+            FROM bc GROUP BY 1
+        )
+        SELECT ws.doc_id,
+               n_tok AS n_tokens,
+               round(1.0 - CAST(n_distinct AS DOUBLE) / n_tok, 6) AS dup_word_frac,
+               round(CAST(top_cnt AS DOUBLE) / n_tok, 6) AS top_word_frac,
+               round(coalesce(CAST(top_bi AS DOUBLE) / n_bi, 0.0), 6) AS top_bigram_frac,
+               (coalesce(CAST(top_bi AS DOUBLE) / n_bi, 0.0) <= 0.2) AS keep
+        FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+        ORDER BY ws.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the token-level analogue of Gopher's
+    repetition rules, Rae et al. 2021): duplicate-word fraction, most-common-
+    word fraction, most-common-bigram fraction, and a keep flag at the 0.20
+    top-bigram threshold.
+
+    Scale: two explode -> hash-agg pipelines keyed by doc (shuffle on
+    doc-sized keys, never corpus-wide), joined on doc_id. Frequencies are
+    per-document, so partial aggregation absorbs the explode fan-out."""
+    docs = with_tokens(load(spark, sf_dir, "documents", parallel=True))
+    words = docs.select("doc_id", F.explode("toks").alias("tok"))
+    ws = (
+        words.groupBy("doc_id", "tok").count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top_cnt"),
+            F.sum("count").alias("n_tok"),
+            F.count("*").alias("n_distinct"),
+        )
+    )
+    bg = docs.select("doc_id", F.explode(shingles("toks", 2)).alias("b"))
+    bs = (
+        bg.groupBy("doc_id", "b").count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bi"), F.sum("count").alias("n_bi"))
+    )
+    top_bi_frac = F.coalesce(
+        F.col("top_bi").cast("double") / F.col("n_bi"), F.lit(0.0)
+    )
+    return (
+        ws.join(bs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tok").alias("n_tokens"),
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tok"), 6
+            ).alias("dup_word_frac"),
+            F.round(F.col("top_cnt").cast("double") / F.col("n_tok"), 6).alias(
+                "top_word_frac"
+            ),
+            F.round(top_bi_frac, 6).alias("top_bigram_frac"),
+            (top_bi_frac <= 0.2).alias("keep"),
         )
         .orderBy("doc_id")
     )

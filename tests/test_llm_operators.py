@@ -127,3 +127,21 @@ def test_multimodal_real_codecs_are_stubbed(spark):
         sample_video_frames(media, 1.0)
     with pytest.raises(NotImplementedError):
         resample_audio(media, 16000)
+
+
+def test_pii_redaction_not_vacuous(spark, sf_dir):
+    """The oracle proves Spark==DuckDB; this guards that the injected PII is
+    actually present and actually removed (both engines agreeing on a no-op
+    would also hash-match)."""
+    from nyc_analytics_database_platform_spark.queries.llm_text import text_pii_redaction
+
+    df = text_pii_redaction(spark, sf_dir).cache()
+    try:
+        assert df.filter("n_emails > 0").count() > 0
+        assert df.filter("n_ssns > 0").count() > 0
+        assert df.filter("n_phones > 0").count() > 0
+        assert df.filter("redacted LIKE '%<EMAIL>%'").count() > 0
+        assert df.filter("redacted LIKE '%@example.com%'").count() == 0
+        assert df.filter("redacted RLIKE '\\\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'").count() == 0
+    finally:
+        df.unpersist()
