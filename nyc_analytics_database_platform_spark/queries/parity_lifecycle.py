@@ -171,3 +171,59 @@ def incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["month"],
     )
     return present(merged).orderBy("month")
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+        WITH new_snap AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            WHERE o_orderkey % 97 <> 0
+            UNION ALL
+            SELECT o_orderkey + 20000000, o_totalprice
+            FROM orders WHERE o_orderkey % 11 = 0
+        )
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+               END AS change_type
+        FROM orders o
+        FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+        WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+               OR o.o_totalprice <> n.o_totalprice)
+        ORDER BY orderkey
+    """,
+    tags=("diff", "warehouse", "cdc"),
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot regression diff (operators/diff.snapshot_diff): the 'next
+    snapshot' is derived deterministically from orders (drop key%97, bump
+    price on key%13, clone key%11 under new keys), then the full-outer diff
+    classifies every divergence. The oracle re-derives the same snapshot and
+    classifies by direct column comparison — a hash match proves the
+    digest-based change detection is exactly column equality."""
+    from nyc_analytics_database_platform_spark.operators.diff import snapshot_diff
+
+    orders = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    new_snap = (
+        orders.filter(~(key % 97 == 0))
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 13 == 0, F.col("o_totalprice") + F.lit(10.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            orders.filter(key % 11 == 0).withColumn("o_orderkey", key + F.lit(20000000))
+        )
+    )
+    return (
+        snapshot_diff(orders, new_snap, ["o_orderkey"])
+        .select(F.col("o_orderkey").alias("orderkey"), "change_type")
+        .orderBy("orderkey")
+    )

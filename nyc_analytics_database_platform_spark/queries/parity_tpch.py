@@ -156,3 +156,60 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         bad(F.col("l_orderkey").isNull(), "null_orderkey"),
         F.count("*").alias("total_rows"),
     )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+        )
+        SELECT c.c_name, c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+               o.o_totalprice AS total_price,
+               b.total_qty
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        LIMIT 100
+    """,
+    tags=("tpch", "A-ext", "J2", "O5"),
+    bench=True,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): full-fact aggregate, a
+    selective HAVING, then joins back to orders/customer. The classic plan
+    trap is re-scanning lineitem to recompute the quantity sum inside the
+    outer query (the spec's correlated IN) - here the aggregate is computed
+    ONCE and its post-filter survivors (tiny: ~0.03% of orders) are
+    BROADCAST into the orders join, so the only wide shuffle at any scale is
+    the single lineitem hash-aggregate. TakeOrderedAndProject keeps the
+    top-100 sort bounded. Deterministic tiebreak (orderkey) per the driver
+    top-k discipline."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_name",
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_price").desc(), "order_date", "orderkey")
+        .limit(100)
+    )

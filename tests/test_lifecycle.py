@@ -101,3 +101,26 @@ def test_incremental_merge_associative_and_exact(spark, sf_dir):
     direct = partial_agg(orders, ["o_orderpriority"], "o_totalprice")
     cols = ["o_orderpriority", "n", "sum_dec", "min_v", "max_v"]
     assert _rows(merged, *cols) == _rows(direct, *cols)
+
+
+def test_snapshot_diff_null_semantics(spark):
+    """Null-safe digests: null vs 'null-string' must differ; null == null must
+    not read as changed; null keys match null-safely."""
+    from nyc_analytics_database_platform_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "N"), (None, "a")],
+        "k int, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (None, "b")],
+        "k int, v string",
+    )
+    got = {
+        (r["k"], r["change_type"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    # k=1: null -> null is unchanged; k=2: value -> null changed;
+    # k=3: a string equal to the null marker vs real null MUST read as changed;
+    # k=null: matches null-safely, a -> b changed.
+    assert got == {(2, "changed"), (3, "changed"), (None, "changed")}
