@@ -92,3 +92,26 @@ def test_no_python_udf_in_native_paths(spark, sf_dir):
     ):
         p = plan_text(spark, sf_dir, name)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_q18_broadcasts_survivors_single_wide_shuffle(spark, sf_dir):
+    """Q18's only wide shuffle is the lineitem aggregate: the HAVING
+    survivors broadcast into orders, so no orders/customer shuffle appears."""
+    p = plan_text(spark, sf_dir, "tpch_q18_large_orders")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    # exactly one hashpartitioning exchange (the lineitem groupBy)
+    n_exchanges = sum(
+        1 for l in p.splitlines() if "Arguments: hashpartitioning" in l
+    )
+    assert n_exchanges == 1, p
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_dir):
+    """The SCD2 build's lag/lead/row_number windows all use the same
+    partitioning+ordering: one shuffle + at most two sorts, never three."""
+    p = plan_text(spark, sf_dir, "scd2_customer_status_history")
+    n_exchanges = sum(
+        1 for l in p.splitlines() if "Arguments: hashpartitioning" in l
+    )
+    assert n_exchanges == 1, p
