@@ -416,3 +416,40 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "vocab_top_bigrams",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        bg AS (
+            SELECT array_to_string(t[i:i+1], ' ') AS bigram
+            FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+        )
+        SELECT bigram, COUNT(*) AS n
+        FROM bg
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 50
+    """,
+    tags=("llm", "text", "vocab"),
+)
+def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide vocabulary induction (the first step of tokenizer/BPE
+    training): global top-50 word bigrams. Deterministic tiebreak on the
+    bigram string per the top-k discipline.
+
+    Scale: explode -> hash-agg with map-side partial aggregation (the
+    corpus-wide count shuffles only distinct bigrams, not occurrences);
+    TakeOrderedAndProject bounds the top-k — no global sort."""
+    docs = with_tokens(load(spark, sf_dir, "documents", parallel=True))
+    bg = docs.select(F.explode(shingles("toks", 2)).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )

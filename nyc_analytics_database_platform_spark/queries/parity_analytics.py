@@ -151,3 +151,78 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(clicked, 1).otherwise(0)).alias("clicked_after_view"),
         F.sum(F.when(purchased, 1).otherwise(0)).alias("purchased_after_click"),
     )
+
+
+@register(
+    "drift_psi_value_buckets",
+    oracle="""
+        WITH spine AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+        e AS (
+            SELECT CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bucket,
+                   (ts < TIMESTAMP '2024-01-15') AS in_a
+            FROM events
+        ),
+        a AS (SELECT bucket, COUNT(*) AS c FROM e WHERE in_a GROUP BY 1),
+        b AS (SELECT bucket, COUNT(*) AS c FROM e WHERE NOT in_a GROUP BY 1),
+        tot AS (
+            SELECT (SELECT COUNT(*) FROM e WHERE in_a) AS na,
+                   (SELECT COUNT(*) FROM e WHERE NOT in_a) AS nb
+        )
+        SELECT s.bucket,
+               coalesce(a.c, 0) AS n_ref,
+               coalesce(b.c, 0) AS n_cur,
+               round((CAST(coalesce(a.c, 0) + 1 AS DOUBLE) / (na + 10)
+                      - CAST(coalesce(b.c, 0) + 1 AS DOUBLE) / (nb + 10))
+                     * ln((CAST(coalesce(a.c, 0) + 1 AS DOUBLE) / (na + 10))
+                          / (CAST(coalesce(b.c, 0) + 1 AS DOUBLE) / (nb + 10))),
+                     6) AS psi_term
+        FROM spine s
+        LEFT JOIN a ON s.bucket = a.bucket
+        LEFT JOIN b ON s.bucket = b.bucket
+        CROSS JOIN tot
+        ORDER BY s.bucket
+    """,
+    tags=("drift", "quality", "training-data"),
+)
+def drift_psi_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report: per-bucket Population Stability Index terms
+    for the event `value` distribution, reference period (before Jan 15) vs
+    current (after). Laplace-smoothed so empty buckets stay finite; terms are
+    emitted per bucket (their sum is the headline PSI) so the oracle
+    comparison never depends on cross-engine summation order of ln() values.
+
+    Scale: two grouped counts over one scan + a 10-row spine join — the
+    per-bucket aggregate is a single shuffle; the totals are a broadcast
+    one-row frame. The drift monitor every training-data refresh runs."""
+    events = load(spark, sf_dir, "events")
+    e = events.select(
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("long").alias("bucket"),
+        (F.col("ts") < F.lit("2024-01-15").cast("timestamp")).alias("in_a"),
+    )
+    a = e.filter("in_a").groupBy("bucket").agg(F.count("*").alias("c_a"))
+    b = e.filter("NOT in_a").groupBy("bucket").agg(F.count("*").alias("c_b"))
+    tot = e.agg(
+        F.sum(F.col("in_a").cast("long")).alias("na"),
+        F.sum((~F.col("in_a")).cast("long")).alias("nb"),
+    )
+    spine = spark.range(10).select(F.col("id").alias("bucket"))
+    joined = (
+        spine.join(a, "bucket", "left")
+        .join(b, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.coalesce("c_a", F.lit(0)).alias("n_ref"),
+            F.coalesce("c_b", F.lit(0)).alias("n_cur"),
+            ((F.coalesce("c_a", F.lit(0)) + 1).cast("double") / (F.col("na") + 10)).alias("pa"),
+            ((F.coalesce("c_b", F.lit(0)) + 1).cast("double") / (F.col("nb") + 10)).alias("pb"),
+        )
+    )
+    return joined.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 6).alias(
+            "psi_term"
+        ),
+    ).orderBy("bucket")
