@@ -22,6 +22,7 @@ from nyc_analytics_database_platform_spark.operators.incremental import (
     present,
 )
 from nyc_analytics_database_platform_spark.operators.scd import scd2_intervals
+from nyc_analytics_database_platform_spark.functions.zorder import zvalue, zvalue_oracle_sql
 from nyc_analytics_database_platform_spark.operators.sessions import sessionize
 from nyc_analytics_database_platform_spark.registry import register
 
@@ -225,5 +226,43 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         snapshot_diff(orders, new_snap, ["o_orderkey"])
         .select(F.col("o_orderkey").alias("orderkey"), "change_type")
+        .orderBy("orderkey")
+    )
+
+
+@register(
+    "zorder_layout_keys",
+    oracle=f"""
+        SELECT o_orderkey AS orderkey,
+               o_custkey & 65535 AS x,
+               datediff('day', TIMESTAMP '1970-01-01', o_orderdate) & 65535 AS y,
+               {zvalue_oracle_sql("o_custkey & 65535",
+                                  "datediff('day', TIMESTAMP '1970-01-01', o_orderdate) & 65535")}
+                 AS zval
+        FROM orders
+        WHERE o_orderkey % 250 = 0
+        ORDER BY orderkey
+    """,
+    tags=("layout", "zorder", "warehouse"),
+)
+def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order key derivation (functions/zorder.zvalue): Morton-interleave of
+    (customer, order-day) — the two-dimensional clustering key behind
+    zorder_sort's write layout. The oracle recomputes the interleave with
+    independent arithmetic, pinning every bit position.
+
+    Scale: narrow per-row expression; the layout write it feeds
+    (functions/zorder.zorder_sort) adds one range exchange."""
+    x = "o_custkey & 65535"
+    y = "datediff(o_orderdate, DATE '1970-01-01') & 65535"
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 250 == 0)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.expr(x).alias("x"),
+            F.expr(y).alias("y"),
+            zvalue(x, y).alias("zval"),
+        )
         .orderBy("orderkey")
     )

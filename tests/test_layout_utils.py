@@ -71,3 +71,40 @@ def test_write_partitioned_with_sort(spark, sf_dir):
         assert back.count() == df.count()
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_zorder_sort_clusters_both_dimensions(spark, sf_dir):
+    """After z-order layout, each output partition covers a much narrower
+    range of BOTH dimensions than the table's global range - the min/max
+    bounds a parquet writer would persist per file, i.e. two-dimensional
+    scan pruning actually works."""
+    from pyspark.sql import functions as F
+
+    from nyc_analytics_database_platform_spark.catalog import load
+    from nyc_analytics_database_platform_spark.functions.zorder import zorder_sort
+
+    # both dimensions quantized to the same 10-bit width (z-order only
+    # balances dimensions of comparable bit width)
+    orders = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 1024).alias("x"),
+        (F.expr("datediff(o_orderdate, DATE '1970-01-01')") % 1024).alias("y"),
+    )
+    glob = orders.agg(
+        (F.max("x") - F.min("x")).alias("sx"), (F.max("y") - F.min("y")).alias("sy")
+    ).collect()[0]
+
+    laid = zorder_sort(orders, "x", "y", bits=10, num_partitions=16)
+    spreads = (
+        laid.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") > 20)  # tiny partitions have degenerate spreads
+        .agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay"))
+        .collect()[0]
+    )
+    assert spreads["ax"] < 0.6 * glob["sx"], (spreads, glob)
+    assert spreads["ay"] < 0.6 * glob["sy"], (spreads, glob)
