@@ -11,7 +11,7 @@ re-scanning history.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
@@ -263,6 +263,138 @@ def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(x).alias("x"),
             F.expr(y).alias("y"),
             zvalue(x, y).alias("zval"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+        WITH ordered AS (
+            SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+                   lag(o_orderstatus) OVER w AS prev_status
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ),
+        ch AS (
+            SELECT * FROM ordered
+            WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+        ),
+        iv AS (
+            SELECT o_custkey AS k, o_orderstatus AS status,
+                   o_orderdate AS vf,
+                   lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey) AS vt
+            FROM ch
+        )
+        SELECT o.o_orderkey AS orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+               i.status AS status_asof,
+               (i.status = o.o_orderstatus) AS consistent
+        FROM orders o
+        JOIN iv i ON i.k = o.o_custkey
+                 AND o.o_orderdate >= i.vf
+                 AND (i.vt IS NULL OR o.o_orderdate < i.vt)
+        WHERE o.o_orderkey % 5 = 0
+        ORDER BY orderkey
+    """,
+    tags=("scd2", "point-in-time", "feature-store"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join - the feature-store primitive that prevents
+    training-data leakage: each fact row joins the dimension version that was
+    valid AT ITS OWN timestamp, never a later one. Implemented as the SCD2
+    build (operators/scd.py) + an interval join on [valid_from, valid_to).
+    `consistent` must be uniformly true (each order's as-of status is, by
+    construction, the run it belongs to) - and the oracle checks every row.
+
+    Scale: the interval join keys on o_custkey first (equi-join shuffle),
+    the validity-range predicate filters within key groups - never a cross
+    product. One fact row matches exactly one interval."""
+    orders = load(spark, sf_dir, "orders")
+    scd = scd2_intervals(
+        orders,
+        key_col="o_custkey",
+        ts_col="o_orderdate",
+        attr_cols=("o_orderstatus",),
+        order_cols=("o_orderkey",),
+    ).select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderstatus").alias("status_asof"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = orders.filter(F.col("o_orderkey") % 5 == 0)
+    joined = facts.join(
+        scd,
+        (facts.o_custkey == scd.k)
+        & (facts.o_orderdate >= scd.valid_from)
+        & (scd.valid_to.isNull() | (facts.o_orderdate < scd.valid_to)),
+    )
+    return joined.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "status_asof",
+        (F.col("status_asof") == F.col("o_orderstatus")).alias("consistent"),
+    ).orderBy("orderkey")
+
+
+@register(
+    "trailing_90d_customer_features",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey, o_orderkey,
+                   datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS d,
+                   o_orderdate, o_totalprice
+            FROM orders
+        )
+        SELECT o_orderkey AS orderkey,
+               CAST(COUNT(*) OVER w - 1 AS BIGINT) AS prior_90d_orders,
+               CAST(coalesce(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w
+                             - CAST(o_totalprice AS DECIMAL(18,4)), 0)
+                    AS DOUBLE) AS prior_90d_revenue
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                     RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+        QUALIFY o_orderkey % 10 = 0
+        ORDER BY orderkey
+    """,
+    tags=("feature-store", "window", "training-data"),
+)
+def trailing_90d_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window features as-of each fact row (leakage-safe: the
+    current row is excluded by subtracting it from the CURRENT ROW frame,
+    which keeps the frame spec identical in both engines even when several
+    orders share a day): per customer, order count and decimal-exact revenue
+    over the prior 90 days. The standard feature-backfill shape.
+
+    Scale: one shuffle on the key; the RANGE frame is bounded (90 days), so
+    state per key is bounded regardless of history length."""
+    orders = load(spark, sf_dir, "orders")
+    day = F.expr("datediff(o_orderdate, DATE '1970-01-01')")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-90, Window.currentRow)
+    )
+    price_dec = F.col("o_totalprice").cast("decimal(18,4)")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            day.alias("d"),
+            "o_totalprice",
+            (F.count("*").over(w) - 1).cast("long").alias("prior_90d_orders"),
+            F.coalesce(F.sum(price_dec).over(w) - price_dec, F.lit(0))
+            .cast("double")
+            .alias("prior_90d_revenue"),
+        )
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            "prior_90d_orders",
+            "prior_90d_revenue",
         )
         .orderBy("orderkey")
     )
