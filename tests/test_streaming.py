@@ -96,3 +96,25 @@ def test_streaming_dedupe_one_row_per_key(spark, sf_dir, events_stream_dir):
     )
     assert got.count() == n_keys
     assert got.groupBy("user_id", "event_type").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_stream_static_broadcast_enrich_equals_batch(spark, sf_dir, events_stream_dir):
+    """Stream-static join: the unbounded side joins a broadcast static
+    dimension per micro-batch (no state store needed). Enriched counts per
+    segment must equal the batch run."""
+    static_dim = F.broadcast(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+
+    def enrich(events_df):
+        return (
+            events_df.join(static_dim, events_df.user_id == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_events"))
+        )
+
+    batch = enrich(load(spark, sf_dir, "events"))
+    stream = _run_stream(
+        spark, enrich(_stream_source(spark, events_stream_dir)), "stream_static_enrich"
+    )
+    _assert_same(batch, stream, ["c_mktsegment"])
