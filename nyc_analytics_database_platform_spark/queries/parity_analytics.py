@@ -226,3 +226,100 @@ def drift_psi_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_term"
         ),
     ).orderBy("bucket")
+
+
+@register(
+    "ntile_decile_price_bounds",
+    oracle="""
+        WITH t AS (
+            SELECT o_totalprice,
+                   NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+            FROM orders
+        )
+        SELECT decile, COUNT(*) AS n,
+               MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        FROM t GROUP BY decile ORDER BY decile
+    """,
+    tags=("A-ext", "window", "histogram"),
+)
+def ntile_decile_price_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram via NTILE deciles (the complement of
+    price_histogram's equi-WIDTH binning): bucket boundaries adapt to the
+    distribution. Deterministic tiebreak on o_orderkey so both engines cut
+    identical buckets.
+
+    Scale note: a global NTILE is a single-partition sort - correct but
+    serial; at 100 TB the same report comes from approx_percentile bounds.
+    This query attests the exact semantics at oracle scale."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "customer_revenue_share_in_nation",
+    oracle="""
+        WITH cr AS (
+            SELECT c.c_nationkey, o.o_custkey,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev_dec
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        shares AS (
+            SELECT c_nationkey AS nationkey, o_custkey AS custkey, revenue,
+                   round(CAST(rev_dec / SUM(rev_dec) OVER (PARTITION BY c_nationkey)
+                              AS DOUBLE), 6) AS nation_share,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                      ORDER BY rev_dec DESC, o_custkey) AS rn
+            FROM cr
+        )
+        SELECT nationkey, custkey, revenue, nation_share
+        FROM shares WHERE rn <= 3
+        ORDER BY nationkey, custkey
+    """,
+    tags=("A-ext", "window", "share"),
+)
+def customer_revenue_share_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-group analysis: each customer's fraction of their nation's
+    revenue (windowed sum over a grouped aggregate - the decorrelated form
+    of a correlated scalar subquery), top-3 per nation. The share divides
+    DECIMALS (order-independent) and casts the quotient once, so both
+    engines round identically.
+
+    Scale: the window reads the already-aggregated per-customer frame
+    (|customers| rows, not |orders|); WindowGroupLimit bounds the rank."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cr = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev_dec"))
+    )
+    wn = Window.partitionBy("c_nationkey")
+    wr = Window.partitionBy("c_nationkey").orderBy(
+        F.col("rev_dec").desc(), "o_custkey"
+    )
+    return (
+        cr.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.round(
+                (F.col("rev_dec") / F.sum("rev_dec").over(wn)).cast("double"), 6
+            ).alias("nation_share"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("nationkey", "custkey", "revenue", "nation_share")
+        .orderBy("nationkey", "custkey")
+    )

@@ -60,6 +60,7 @@ from nyc_analytics_database_platform_spark.registry import register
         ORDER BY user_id, session_seq
     """,
     tags=("session", "window", "training-data"),
+    bench=True,
 )
 def sessionize_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event session assignment (operators/sessions.sessionize, 5-minute
@@ -199,6 +200,7 @@ def incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY orderkey
     """,
     tags=("diff", "warehouse", "cdc"),
+    bench=True,
 )
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot regression diff (operators/diff.snapshot_diff): the 'next
@@ -300,6 +302,7 @@ def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY orderkey
     """,
     tags=("scd2", "point-in-time", "feature-store"),
+    bench=True,
 )
 def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join - the feature-store primitive that prevents
