@@ -323,3 +323,66 @@ def customer_revenue_share_in_nation(spark: SparkSession, sf_dir: str) -> DataFr
         .select("nationkey", "custkey", "revenue", "nation_share")
         .orderBy("nationkey", "custkey")
     )
+
+
+@register(
+    "winsorized_price_by_segment",
+    oracle="""
+        WITH bounds AS (
+            SELECT c.c_mktsegment AS segment,
+                   PERCENTILE_CONT(0.05) WITHIN GROUP (ORDER BY o.o_totalprice) AS lo,
+                   PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY o.o_totalprice) AS hi
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        )
+        SELECT b.segment,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN o.o_totalprice < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clipped_lo,
+               CAST(SUM(CASE WHEN o.o_totalprice > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clipped_hi,
+               CAST(SUM(CAST(least(greatest(o.o_totalprice, b.lo), b.hi)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS winsorized_sum
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN bounds b ON b.segment = c.c_mktsegment
+        GROUP BY b.segment
+        ORDER BY b.segment
+    """,
+    tags=("A-ext", "preprocessing", "training-data"),
+)
+def winsorized_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature preprocessing: winsorize order prices to each segment's
+    [p05, p95] band (outlier clipping before normalization/training) and
+    report clip counts + the decimal-exact clipped sum.
+
+    Scale: percentile bounds come from one grouped aggregate over segments
+    (tiny), broadcast back into the scan - the fact table is read once per
+    pass; exact percentiles are the oracle-scale semantics, approx_percentile
+    is the documented 100 TB swap."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    bounds = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+    )
+    clipped = joined.join(
+        F.broadcast(bounds), F.col("c_mktsegment") == F.col("segment")
+    ).select(
+        "segment",
+        "o_totalprice",
+        F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")).alias("w"),
+        (F.col("o_totalprice") < F.col("lo")).cast("long").alias("clip_lo"),
+        (F.col("o_totalprice") > F.col("hi")).cast("long").alias("clip_hi"),
+    )
+    return (
+        clipped.groupBy("segment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("clip_lo").alias("n_clipped_lo"),
+            F.sum("clip_hi").alias("n_clipped_hi"),
+            F.sum(F.col("w").cast("decimal(18,4)")).cast("double").alias("winsorized_sum"),
+        )
+        .orderBy("segment")
+    )
