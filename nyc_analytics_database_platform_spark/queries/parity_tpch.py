@@ -39,32 +39,51 @@ from nyc_analytics_database_platform_spark.registry import register
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: wide multi-aggregate over a date-filtered fact scan.
-    All sums are decimal-exact (order-independent) then cast back to double;
-    derived expressions (disc price, charge) are cast AFTER the multiply so
-    both engines round the same product."""
+    All arithmetic is exact and order-independent; derived expressions (disc
+    price, charge) multiply in integer cents BEFORE any cast so both engines
+    round the same product (the decimal-cast of a double PRODUCT hits
+    engine-specific rounding modes - HALF_UP vs half-even - observed as a
+    0.005 drift at sf0.01).
+
+    Two-stage aggregation for speed + overflow safety: the full-table pass
+    sums LONGS (cents / cent-products - ~2x faster than Spark's decimal
+    aggregate buffer, measured at sf0.1) grouped by (keys, partition id), so
+    a per-task partial never exceeds ~1e17 (bounded by
+    spark.sql.files.maxPartitionBytes: a <=1e8-row task x <=1e11 per-row
+    charge product); the tiny second stage combines the per-task partials
+    as DECIMAL(38,0), where a 100 TB group count can no longer overflow.
+    This is operators/incremental.py's mergeable-partial pattern applied
+    inside one query."""
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
     )
-    # Derived money expressions in exact integer arithmetic: prices/discounts/
-    # taxes are 2dp by construction, so cents / percent units are exact longs
-    # and the multiplication never rounds - the decimal-cast of a double
-    # PRODUCT would hit engine-specific rounding modes (HALF_UP vs half-even)
-    # on boundary values, observed as a 0.005 drift at sf0.01.
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_pct = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    disc_pct = F.lit(100) - disc_c
     tax_pct = F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")
-    disc_num = (price_c * disc_pct).cast("decimal(38,0)")
-    charge_num = (price_c * disc_pct * tax_pct).cast("decimal(38,0)")
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
+    partial = (
+        li.groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_p"))
         .agg(
-            exact_sum("l_quantity").alias("sum_qty"),
-            exact_sum("l_extendedprice").alias("sum_base_price"),
-            (F.sum(disc_num).cast("double") / 1e4).alias("sum_disc_price"),
-            (F.sum(charge_num).cast("double") / 1e6).alias("sum_charge"),
-            exact_avg("l_quantity").alias("avg_qty"),
-            exact_avg("l_discount").alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.sum(qty_c).alias("qty_c"),
+            F.sum(price_c).alias("price_c"),
+            F.sum(price_c * disc_pct).alias("disc_c4"),
+            F.sum(price_c * disc_pct * tax_pct).alias("charge_c6"),
+            F.sum(disc_c).alias("disc_c"),
+            F.count("*").alias("n"),
+        )
+    )
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)"))  # noqa: E731
+    return (
+        partial.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (dec("qty_c").cast("double") / 1e2).alias("sum_qty"),
+            (dec("price_c").cast("double") / 1e2).alias("sum_base_price"),
+            (dec("disc_c4").cast("double") / 1e4).alias("sum_disc_price"),
+            (dec("charge_c6").cast("double") / 1e6).alias("sum_charge"),
+            (dec("qty_c").cast("double") / 1e2 / F.sum("n")).alias("avg_qty"),
+            (dec("disc_c").cast("double") / 1e2 / F.sum("n")).alias("avg_disc"),
+            F.sum("n").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
