@@ -453,3 +453,70 @@ def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(50)
     )
+
+
+@register(
+    "tokenize_documents_to_ids",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        vocab AS (
+            SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS id
+            FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+            ORDER BY id LIMIT 20
+        ),
+        pos AS (
+            SELECT doc_id, i, t[i] AS tok
+            FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+        ),
+        mapped AS (
+            SELECT p.doc_id, p.i, coalesce(v.id, 0) AS id
+            FROM pos p LEFT JOIN vocab v ON p.tok = v.tok
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               array_agg(id ORDER BY i) AS ids
+        FROM mapped
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "tokenize"),
+)
+def tokenize_documents_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application: encode every document as a sequence of vocab
+    ids (top-20 corpus words by frequency, deterministic rank tiebreak;
+    out-of-vocabulary -> 0) - the step between vocabulary induction
+    (vocab_top_bigrams) and sequence packing (sequence_packing_bins) in a
+    training-data pipeline.
+
+    Scale: the vocab is a tiny aggregate broadcast into the exploded token
+    stream (per-token narrow join, no shuffle of the corpus); re-assembly
+    groups by doc with an order key, so sequences come back deterministic
+    regardless of partitioning."""
+    docs = with_tokens(load(spark, sf_dir, "documents", parallel=True))
+    words = docs.select(F.explode("toks").alias("tok"))
+    w_rank = Window.orderBy(F.col("n").desc(), "tok")
+    vocab = (
+        words.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .select("tok", F.row_number().over(w_rank).alias("id"))
+        .limit(20)
+    )
+    pos = docs.select("doc_id", F.posexplode("toks").alias("i", "tok"))
+    mapped = pos.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "i", F.coalesce("id", F.lit(0)).alias("id")
+    )
+    return (
+        mapped.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum((F.col("id") == 0).cast("long")).alias("n_oov"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "id"))), lambda s: s["id"]
+            ).alias("ids"),
+        )
+        .orderBy("doc_id")
+    )
