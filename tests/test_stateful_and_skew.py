@@ -81,3 +81,28 @@ def test_salted_join_equals_plain_join(spark):
     salted = salted_join(left, right, on="k", salt_by="row_id", n_salts=8)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
     assert salted.count() == 501
+
+
+def test_salt_is_deterministic_and_balanced(spark):
+    """The salt must be a pure function of the salt_by column (a rand() salt
+    corrupts results on task retry - Spark may recompute a partition) and
+    must spread a hot key's rows across all n_salts buckets."""
+    from pyspark.sql import functions as F
+
+    n = 40_000
+    hot = spark.range(n).select(
+        F.lit(1).alias("k"), F.col("id").alias("row_id")
+    )
+    salt = F.pmod(F.xxhash64(F.col("row_id")), F.lit(8))
+    once = hot.select(salt.alias("s")).groupBy("s").count().collect()
+    twice = (
+        hot.repartition(13)
+        .select(salt.alias("s"))
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))  # layout-independent
+    counts = {r["s"]: r["count"] for r in once}
+    assert len(counts) == 8
+    assert max(counts.values()) < 2 * n / 8  # no bucket more than 2x fair share
