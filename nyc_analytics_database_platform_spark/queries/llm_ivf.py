@@ -16,7 +16,7 @@ storage partition key and step 3 reads one partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
@@ -203,6 +203,84 @@ def ivf_probe_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         emb.join(F.broadcast(probe), "label")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(5)
+    )
+
+
+@register(
+    "ivf_probe2_top5",
+    oracle=f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        cent AS (
+            SELECT label, list(centroid_v ORDER BY dim) AS cv
+            FROM (
+                SELECT label, i AS dim,
+                       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_v
+                FROM embeddings,
+                     unnest(generate_series(1, len(embedding))) AS g(i)
+                GROUP BY label, i
+            )
+            GROUP BY label
+        ),
+        probe AS (
+            SELECT label FROM cent, q
+            ORDER BY list_dot_product(cv, qv) /
+                     (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+                     label
+            LIMIT 2
+        )
+        SELECT vec_id, {_COS_SQL} AS score
+        FROM embeddings, q
+        WHERE label IN (SELECT label FROM probe)
+        ORDER BY score DESC, vec_id
+        LIMIT 5
+    """,
+    tags=("llm", "similarity", "ivf"),
+)
+def ivf_probe2_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multi-probe (nprobe=2): rank partitions by centroid similarity and
+    search the best TWO - the standard recall/cost knob (a query near a
+    partition boundary finds neighbors the single-probe search misses). Same
+    single-plan discipline as ivf_probe_top5: the probe set is a 2-row
+    broadcast, the search touches 2/n_labels of the corpus."""
+    from nyc_analytics_database_platform_spark.operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    centroids = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+    )
+    ranked = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("label", cosine(F.col("cvec"), F.col("qv")).alias("c"))
+        .select(
+            "label",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), "label"))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= 2)
+        .select("label")
+    )
+    return (
+        emb.join(F.broadcast(ranked), "label")
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
