@@ -128,3 +128,45 @@ def grouped_map_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     function formulation bit-for-bit (same IEEE subtraction/division)."""
     events = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return grouped_minmax_scale(events, "event_type", "value").orderBy("event_id")
+
+
+@register(
+    "grouping_sets_priority_segment",
+    oracle="""
+        SELECT CASE WHEN GROUPING(o.o_orderpriority) = 0 THEN o.o_orderpriority END
+                 AS priority,
+               CASE WHEN GROUPING(c.c_mktsegment) = 0 THEN c.c_mktsegment END
+                 AS segment,
+               CAST(GROUPING(o.o_orderpriority) * 2 + GROUPING(c.c_mktsegment)
+                    AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY GROUPING SETS ((o.o_orderpriority), (c.c_mktsegment), ())
+        ORDER BY gid, priority NULLS FIRST, segment NULLS FIRST
+    """,
+    tags=("A-ext", "grouping-sets"),
+)
+def grouping_sets_priority_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id disambiguation: per-priority totals,
+    per-segment totals, and the grand total in ONE pass (the general form
+    rollup/cube specialize; the reference runs these as separate queries -
+    server.py's analytics endpoints - one scan each). Spark expands the sets
+    into a single Expand + hash-agg: one scan, one shuffle, any number of
+    simultaneous rollup views."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    grouped = joined.groupingSets(
+        [["o_orderpriority"], ["c_mktsegment"], []],
+        "o_orderpriority",
+        "c_mktsegment",
+    ).agg(
+        F.grouping_id("o_orderpriority", "c_mktsegment").cast("long").alias("gid"),
+        F.count("*").alias("n"),
+    )
+    return grouped.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("c_mktsegment").alias("segment"),
+        "gid",
+        "n",
+    ).orderBy("gid", F.col("priority").asc_nulls_first(), F.col("segment").asc_nulls_first())

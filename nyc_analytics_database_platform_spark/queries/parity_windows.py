@@ -84,3 +84,57 @@ def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("nation", "rnk")
     )
+
+
+@register(
+    "percentile_rank_spend_by_segment",
+    oracle="""
+        WITH cr AS (
+            SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                     AS spend
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        )
+        SELECT segment, custkey, spend,
+               round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               round(CUME_DIST() OVER w, 6) AS cume_dist,
+               CAST(NTILE(4) OVER w AS INT) AS quartile
+        FROM cr
+        WINDOW w AS (PARTITION BY segment ORDER BY spend, custkey)
+        QUALIFY custkey % 20 = 0
+        ORDER BY segment, custkey
+    """,
+    tags=("W", "window", "rank"),
+)
+def percentile_rank_spend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing windows (percent_rank / cume_dist / ntile) over
+    per-customer spend within segment - the remaining ranked-window family
+    members (rank/dense_rank/row_number are covered by the top-k queries).
+    Deterministic tiebreak on custkey; ranks computed over the aggregated
+    per-customer frame (|customers| rows), then sampled for the report.
+
+    Scale: the window reads the grouped aggregate, not the fact table; one
+    shuffle on segment."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cr = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("o_custkey").alias("custkey")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("spend"))
+    )
+    w = Window.partitionBy("segment").orderBy("spend", "custkey")
+    return (
+        cr.select(
+            "segment",
+            "custkey",
+            "spend",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("custkey") % 20 == 0)
+        .orderBy("segment", "custkey")
+    )
