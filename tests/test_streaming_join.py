@@ -75,9 +75,12 @@ def test_stream_stream_left_outer_join_equals_batch(spark, sf_dir):
             (F.lit(None).cast("long")).alias("_drop"),
         )
         .select(
-            (F.lit(-1) - F.col("i")).alias("event_id"),
+            # types must match the events file EXACTLY: parquet schema
+            # inference samples one file, and an int32 user_id in the
+            # sentinel file intermittently breaks reading the int64 one
+            (F.lit(-1) - F.col("i")).cast("long").alias("event_id"),
             F.lit("2024-03-01 00:00:00").cast("timestamp").alias("ts"),
-            F.lit(-999).alias("user_id"),
+            F.lit(-999).cast("long").alias("user_id"),
             F.when(F.col("i") == 0, "purchase").otherwise("click").alias("event_type"),
             F.lit(0.0).alias("value"),
             F.lit(None).cast("string").alias("props"),
