@@ -4,6 +4,8 @@ LLM operators together the way a real corpus pipeline runs them:
     raw documents
       -> quality gate        (length + punctuation heuristics, cheap first)
       -> exact dedup         (md5 digest groups, cheapest dedup pass)
+      -> repetition gate     (Gopher-style top-bigram fraction; the explode
+                              runs only on exact-dedup survivors)
       -> near-dup removal    (MinHash-LSH candidates -> connected
                               components -> keep each cluster's min id)
       -> stats + curated set (token counts for cost accounting)
@@ -35,6 +37,7 @@ class CurationReport:
     n_input: int
     n_after_quality: int
     n_after_exact_dedup: int
+    n_after_repetition: int
     n_after_near_dedup: int
     total_tokens: int
 
@@ -43,6 +46,7 @@ def curate_corpus(
     docs: DataFrame,
     min_tokens: int = 20,
     max_punct_ratio: float = 0.2,
+    max_top_bigram_frac: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> tuple[DataFrame, CurationReport]:
@@ -66,14 +70,30 @@ def curate_corpus(
     exact_survivors = quality.join(keep_exact, id_col, "left_semi").cache()
     n_exact = exact_survivors.count()
 
-    # 3. near-dup removal: LSH candidates -> components -> drop non-canonical
-    sigs = minhash_signatures(exact_survivors, num_perm=12, k=5, id_col=id_col)
+    # 3. repetition gate (Gopher-style): drop docs whose most common bigram
+    # exceeds the fraction threshold. The explode only runs on exact-dedup
+    # survivors; docs with <2 tokens have no bigrams and pass.
+    from nyc_analytics_database_platform_spark.functions.text import shingles
+
+    bfrac = (
+        exact_survivors.select(id_col, F.explode(shingles("_toks", 2)).alias("_b"))
+        .groupBy(id_col, "_b")
+        .count()
+        .groupBy(id_col)
+        .agg((F.max("count").cast("double") / F.sum("count")).alias("_f"))
+    )
+    rep_drops = bfrac.filter(F.col("_f") > max_top_bigram_frac).select(id_col)
+    rep_survivors = exact_survivors.join(rep_drops, id_col, "left_anti").cache()
+    n_repetition = rep_survivors.count()
+
+    # 4. near-dup removal: LSH candidates -> components -> drop non-canonical
+    sigs = minhash_signatures(rep_survivors, num_perm=12, k=5, id_col=id_col)
     pairs = lsh_candidate_pairs(sigs, num_perm=12, rows_per_band=2, id_col=id_col)
     components = connected_components(pairs)
     drops = components.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    curated = exact_survivors.join(drops, id_col, "left_anti").cache()
+    curated = rep_survivors.join(drops, id_col, "left_anti").cache()
     n_near = curated.count()
 
     total_tokens = int(
@@ -83,6 +103,7 @@ def curate_corpus(
         n_input=n_input,
         n_after_quality=n_quality,
         n_after_exact_dedup=n_exact,
+        n_after_repetition=n_repetition,
         n_after_near_dedup=n_near,
         total_tokens=total_tokens,
     )

@@ -197,7 +197,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- corpus curation funnel --------------------------------------------------
 
-_MIN_TOKENS, _MAX_PUNCT = 20, 0.2
+_MIN_TOKENS, _MAX_PUNCT, _MAX_BIGRAM = 20, 0.2, 0.2
 _NUM_PERM, _ROWS_PER_BAND, _K = 12, 2, 5
 
 
@@ -240,9 +240,23 @@ def _curation_oracle() -> str:
             SELECT q.doc_id, q.t FROM quality q
             JOIN keep_exact k ON q.doc_id = k.doc_id
         ),
+        bg AS (
+            SELECT doc_id, array_to_string(t[i:i+1], ' ') AS b
+            FROM exact_survivors,
+                 unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+        ),
+        bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        bfrac AS (
+            SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS f
+            FROM bc GROUP BY 1
+        ),
+        rep_survivors AS (
+            SELECT doc_id, t FROM exact_survivors
+            WHERE doc_id NOT IN (SELECT doc_id FROM bfrac WHERE f > {_MAX_BIGRAM})
+        ),
         sh AS (
             SELECT DISTINCT doc_id, array_to_string(t[i:i+{_K - 1}], ' ') AS s
-            FROM exact_survivors,
+            FROM rep_survivors,
                  unnest(generate_series(1, greatest(len(t) - {_K - 1}, 0))) AS g(i)
         ),
         sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
@@ -274,12 +288,13 @@ def _curation_oracle() -> str:
         comp AS (SELECT node, MIN(dst) AS component FROM members GROUP BY node),
         drops AS (SELECT node FROM comp WHERE node <> component),
         curated AS (
-            SELECT doc_id, t FROM exact_survivors
+            SELECT doc_id, t FROM rep_survivors
             WHERE doc_id NOT IN (SELECT node FROM drops)
         )
         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_input,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM quality) AS n_after_quality,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_survivors) AS n_after_exact_dedup,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM rep_survivors) AS n_after_repetition,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM curated) AS n_after_near_dedup,
                (SELECT CAST(COALESCE(SUM(len(t)), 0) AS BIGINT) FROM curated) AS total_tokens
     """
@@ -293,15 +308,18 @@ def _curation_oracle() -> str:
 )
 def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus-curation composite (plans/curation.curate_corpus)
-    as a driver-attested query: runs quality gate -> exact dedup -> MinHash-
-    LSH + connected-components near-dedup over the documents corpus and
-    reports the stage-by-stage funnel counts, which the oracle reproduces
-    (including the recursive-CTE connected components)."""
+    as a driver-attested query: quality gate -> exact dedup -> Gopher-style
+    repetition gate -> MinHash-LSH + connected-components near-dedup over the
+    documents corpus, reporting the stage-by-stage funnel counts, which the
+    oracle reproduces (including the recursive-CTE connected components)."""
     from nyc_analytics_database_platform_spark.plans.curation import curate_corpus
 
     docs = load(spark, sf_dir, "documents", parallel=True)
     _, report = curate_corpus(
-        docs, min_tokens=_MIN_TOKENS, max_punct_ratio=_MAX_PUNCT
+        docs,
+        min_tokens=_MIN_TOKENS,
+        max_punct_ratio=_MAX_PUNCT,
+        max_top_bigram_frac=_MAX_BIGRAM,
     )
     return spark.createDataFrame(
         [
@@ -309,10 +327,11 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 report.n_input,
                 report.n_after_quality,
                 report.n_after_exact_dedup,
+                report.n_after_repetition,
                 report.n_after_near_dedup,
                 report.total_tokens,
             )
         ],
         "n_input long, n_after_quality long, n_after_exact_dedup long, "
-        "n_after_near_dedup long, total_tokens long",
+        "n_after_repetition long, n_after_near_dedup long, total_tokens long",
     )
