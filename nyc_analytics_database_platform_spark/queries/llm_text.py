@@ -503,7 +503,9 @@ def tokenize_documents_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.groupBy("tok")
         .agg(F.count("*").alias("n"))
         .select("tok", F.row_number().over(w_rank).alias("id"))
-        .limit(20)
+        # rank filter, NOT limit(): limit on an unordered frame may take an
+        # arbitrary 20 rows; the rank predicate is deterministic by content
+        .filter(F.col("id") <= 20)
     )
     pos = docs.select("doc_id", F.posexplode("toks").alias("i", "tok"))
     mapped = pos.join(F.broadcast(vocab), "tok", "left").select(
