@@ -22,6 +22,7 @@ from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
     parity_sql,
     parity_timeseries,
     parity_tpch,
+    parity_tpch_sub,
     parity_windows,
     streaming_batch,
     streaming_join,

@@ -1,0 +1,270 @@
+"""TPC-H subquery/decorrelation family (Q13/Q17/Q21/Q22 shapes), adapted to
+the driver tables (no o_comment / l_commitdate / c_phone columns - each
+query keeps the reference benchmark's *plan shape* and swaps the filter onto
+an available column).
+
+These exercise the decorrelation patterns a warehouse engine must plan well:
+outer-join aggregation (Q13), correlated scalar aggregate (Q17), correlated
+EXISTS + NOT EXISTS over the same fact (Q21), and scalar-subquery crossjoin
+plus anti join (Q22). All numeric comparisons against computed averages are
+rewritten into integer-cent arithmetic so both engines make bit-identical
+keep/drop decisions (a double AVG is order-dependent in the last ulp - a
+boundary row could differ between Spark and the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.registry import register
+
+
+@register(
+    "tpch_q13_custdist",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("tpch", "J4", "A-ext"),
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): outer join with a
+    join-side predicate, per-customer count, then a distribution re-aggregate.
+
+    Plan choice: aggregate orders FIRST (one shuffle of two narrow columns),
+    then left-join customer against the per-customer counts - not the naive
+    customer LEFT JOIN orders row-multiplying join the SQL spells. At 100 TB
+    the fact is reduced to |customers| rows before any join, and the second
+    aggregate runs on a frame bounded by max orders-per-customer."""
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("cnt", F.lit(0).cast("long")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+        WITH target AS (
+            SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+        ),
+        stats AS (
+            SELECT l_partkey,
+                   SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_cents,
+                   COUNT(*) AS n
+            FROM lineitem JOIN target ON l_partkey = p_partkey
+            GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 / 7.0 AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM lineitem l
+        JOIN stats s ON l.l_partkey = s.l_partkey
+        WHERE CAST(ROUND(l.l_quantity * 100) AS BIGINT) * 5 * s.n < s.qty_cents
+    """,
+    tags=("tpch", "A-ext"),
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): a correlated scalar
+    aggregate - "lines whose quantity is below 20% of that part's average" -
+    decorrelated into a per-part aggregate joined back to the fact.
+
+    The 0.2*AVG threshold is evaluated as `qty_cents*5*n < sum_qty_cents`
+    (integer, exact, no double AVG at the boundary). The per-part stats frame
+    is tiny (only the brand-filtered parts) and broadcast back into the fact
+    scan, so the fact shuffles zero times: one scan computes the stats (after
+    a broadcast semi-reduction on the part filter), a second broadcast-joined
+    scan applies the threshold. At 100 TB the alternative - shuffling the
+    fact on l_partkey - would dominate the query; this plan never does it."""
+    target = load(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem")
+    qty_cents = F.round(F.col("l_quantity") * 100).cast("long")
+    filtered = li.join(
+        F.broadcast(target), li.l_partkey == target.p_partkey
+    )
+    stats = filtered.groupBy("l_partkey").agg(
+        F.sum(qty_cents).alias("qty_cents"), F.count("*").alias("n")
+    )
+    joined = li.join(F.broadcast(stats), "l_partkey").filter(
+        qty_cents * 5 * F.col("n") < F.col("qty_cents")
+    )
+    return joined.agg(
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast(
+                "double"
+            )
+            / 100
+            / 7.0
+        ).alias("avg_yearly"),
+        F.count("*").alias("n_small"),
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+        WITH lo AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        )
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lo l1 ON s.s_suppkey = l1.l_suppkey
+        WHERE l1.late
+          AND EXISTS (
+              SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lo l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.late
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+    """,
+    tags=("tpch", "J-ext"),
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): correlated EXISTS
+    and NOT EXISTS against the same fact, decorrelated into ONE per-order
+    aggregate instead of two self-joins. "Late" = shipped more than 90 days
+    after the order date (the trimmed schema has no commit/receipt dates).
+
+    Per order, count distinct suppliers and distinct LATE suppliers; a late
+    line qualifies iff its order has >=2 suppliers (the EXISTS) and exactly 1
+    late supplier (the NOT EXISTS - the one late supplier is l1's own). The
+    fact is scanned once, shuffled once on l_orderkey for the aggregate, and
+    the per-order flags frame (2 small ints per order) joins back on the same
+    key - AQE reuses the partitioning; no O(n^2) self-join ever happens."""
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    flags = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey")
+    late_lines = lo.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late_lines.join(flags, "l_orderkey")
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22_dormant_value_customers",
+    oracle="""
+        WITH sel AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM customer
+            WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        ),
+        avg_bal AS (
+            SELECT SUM(bal_cents) AS sum_cents, COUNT(*) AS n
+            FROM sel WHERE bal_cents > 0
+        )
+        SELECT s.c_nationkey AS cntrycode,
+               COUNT(*) AS numcust,
+               CAST(SUM(s.bal_cents) AS DOUBLE) / 100 AS totacctbal
+        FROM sel s, avg_bal a
+        WHERE s.bal_cents * a.n > a.sum_cents
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = s.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+        GROUP BY s.c_nationkey
+        ORDER BY cntrycode
+    """,
+    tags=("tpch", "J-ext", "A-ext"),
+)
+def tpch_q22_dormant_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar-subquery average
+    broadcast against the dimension, then an anti join for "no recent
+    orders". Country-code prefixing becomes a nationkey IN-list (the trimmed
+    schema has no phone column); "no orders in 7 years" becomes a date-bounded
+    anti join (every sf0.01 customer has SOME order).
+
+    The above-average test is `bal_cents * n > sum_cents` (integer, exact).
+    The scalar aggregate is one row - crossJoin(broadcast) keeps it a map-side
+    literal, not a shuffle. The anti join's right side is orders reduced by
+    the date filter BEFORE the join (pushed to the scan); at 100 TB that's
+    the semi-join-reduction shape, and AQE can still pick broadcast-anti if
+    the filtered side is small."""
+    sel = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        )
+    )
+    avg_bal = sel.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("sum_cents"), F.count("*").alias("n")
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = sel.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("bal_cents") * F.col("n") > F.col("sum_cents")
+    )
+    dormant = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return (
+        dormant.groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("bal_cents").cast("double") / 100).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
