@@ -1,0 +1,241 @@
+"""Corpus-curation operators over the documents table: global span-level
+exact dedup (C4-style repeated-span removal), unigram-LM quality scoring
+(CCNet-style perplexity filter), and overlapping-window chunking (the
+training-example / RAG assembly step).
+
+All per-row logic is native Catalyst expressions; the only shuffles are the
+corpus-wide aggregates each operator fundamentally needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.operators.dedup import with_tokens
+from nyc_analytics_database_platform_spark.registry import register
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+# Span-dedup granularity: non-overlapping 8-token spans (C4 removes repeated
+# 3-sentence spans; the synthetic corpus has no sentence marks, so fixed
+# token windows stand in for sentences).
+_SPAN = 8
+
+# Chunking: 40-token windows, stride 30 (10-token overlap), chosen so the
+# final window always has >= _CHUNK - _STRIDE tokens.
+_CHUNK = 40
+_STRIDE = 30
+
+
+@register(
+    "corpus_span_dedup",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(t[i:i + {_SPAN - 1}], ' ') AS span
+            FROM toks,
+                 unnest(generate_series(1, len(t), {_SPAN})) AS g(i)
+        ),
+        firsts AS (
+            SELECT span, MIN(doc_id * 100000 + pos) AS first_key
+            FROM spans GROUP BY span
+        ),
+        kept AS (
+            SELECT s.doc_id, s.pos, s.span
+            FROM spans s JOIN firsts f ON s.span = f.span
+            WHERE s.doc_id * 100000 + s.pos = f.first_key
+        ),
+        totals AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM spans
+            GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_spans,
+               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(k.kept_text, '') AS kept_text
+        FROM totals t
+        LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(span, ' ' ORDER BY pos) AS kept_text
+            FROM kept GROUP BY doc_id
+        ) k ON t.doc_id = k.doc_id
+        ORDER BY t.doc_id
+    """,
+    tags=("llm", "dedup", "corpus"),
+)
+def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-span removal: split every document into fixed
+    8-token spans, keep only the GLOBALLY FIRST occurrence of each span
+    (ordered by (doc_id, position)), and reassemble the surviving text in
+    document order. Unlike document-level dedup (dedup_exact_groups), this
+    removes boilerplate that repeats INSIDE otherwise-unique documents -
+    the C4/Lee-et-al. pipeline stage.
+
+    Scale shape: one explode (spans-per-doc is bounded by doc length / 8),
+    one shuffle on the span key for the global argmin, one join back on the
+    same key (AQE reuses the exchange), one per-doc re-aggregate. The argmin
+    is a single packed long (doc_id*100000 + pos) so the aggregate state is
+    8 bytes per distinct span, and reassembly sorts only within each
+    document's own kept spans."""
+    docs = with_tokens(load(spark, sf_dir, "documents", parallel=True))
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks), {_SPAN}), "
+                f"i -> array_join(slice(toks, i, {_SPAN}), ' '))"
+            )
+        ).alias("k", "span"),
+    ).select(
+        "doc_id", (F.col("k") * _SPAN + 1).alias("pos"), "span"
+    )
+    key = (F.col("doc_id") * 100000 + F.col("pos")).alias("key")
+    spans = spans.select("doc_id", "pos", "span", key)
+    firsts = spans.groupBy("span").agg(F.min("key").alias("first_key"))
+    kept = (
+        spans.join(firsts, "span")
+        .filter(F.col("key") == F.col("first_key"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                    lambda x: x.span,
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+    totals = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_unigram_logprob",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ),
+        tokens AS (
+            SELECT doc_id, unnest(t) AS tok FROM toks
+        ),
+        vocab AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tokens GROUP BY tok
+        ),
+        model AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+            FROM vocab
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               round(SUM(-ln((v.c + 1.0) / (m.n + m.v))) / COUNT(*), 6)
+                 AS avg_nll,
+               round(SUM(-ln((v.c + 1.0) / (m.n + m.v))) / COUNT(*), 6) < 3.45
+                 AS keep
+        FROM tokens t
+        JOIN vocab v ON t.tok = v.tok
+        CROSS JOIN model m
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """,
+    tags=("llm", "quality", "corpus"),
+)
+def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter with a corpus-trained unigram LM: the
+    add-one-smoothed unigram log-probability of each document's tokens,
+    averaged per token; documents above the negative-log-likelihood
+    threshold are flagged for removal (high NLL = far from the corpus
+    distribution = boilerplate/noise).
+
+    Scale shape: the unigram model is two aggregates - per-token counts (one
+    shuffle of (token) keys) and a one-row (N, V) total. Natural-language
+    vocabularies are bounded (<= millions of types however large the corpus),
+    so the count table BROADCASTs back onto the token stream and the one-row
+    model is a broadcast crossJoin literal; the fact-side data is never
+    shuffled except the per-document final aggregate. The keep flag compares
+    the ROUNDED score so both engines make the identical boundary decision."""
+    docs = with_tokens(load(spark, sf_dir, "documents", parallel=True))
+    tokens = docs.select("doc_id", F.explode("toks").alias("tok"))
+    vocab = tokens.groupBy("tok").agg(F.count("*").alias("c"))
+    model = vocab.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    nll = -F.ln((F.col("c") + 1.0) / (F.col("n") + F.col("v")))
+    score = F.round(F.sum(nll) / F.count("*"), 6)
+    return (
+        tokens.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(model))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            score.alias("avg_nll"),
+            (score < 3.45).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_chunk_windows",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        )
+        SELECT doc_id,
+               CAST((i - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(i AS BIGINT) AS start_tok,
+               CAST(len(t[i:i + {_CHUNK - 1}]) AS BIGINT) AS n_tok_chunk,
+               array_to_string(t[i:i + {_CHUNK - 1}], ' ') AS chunk_text
+        FROM toks,
+             unnest(generate_series(1, greatest(len(t) - {_CHUNK - _STRIDE - 1}, 1),
+                                    {_STRIDE})) AS g(i)
+        ORDER BY doc_id, chunk_idx
+    """,
+    tags=("llm", "chunking", "corpus"),
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (RAG / context-window assembly): split
+    each document into 40-token chunks at stride 30 (10-token overlap), with
+    deterministic (doc_id, chunk_idx) identity, start offset, and chunk
+    text. Start positions run to len - (chunk - stride) + 1 so the final
+    window always keeps at least the overlap's worth of fresh tokens and the
+    tail is never orphaned.
+
+    Scale shape: pure per-row explode - no shuffle at all (the ORDER BY is
+    presentation; a production writer would partition by hash(doc_id)). Row
+    growth is len/stride per doc, the same multiplier any trainer pays; the
+    chunk text is sliced from the one tokenized array, so text bytes are
+    read once."""
+    docs = with_tokens(load(spark, sf_dir, "documents", parallel=True))
+    starts = F.expr(
+        f"sequence(1, greatest(size(toks) - {_CHUNK - _STRIDE - 1}, 1), {_STRIDE})"
+    )
+    return (
+        docs.select("doc_id", "toks", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            (((F.col("i") - 1) / _STRIDE).cast("long")).alias("chunk_idx"),
+            F.col("i").cast("long").alias("start_tok"),
+            F.size(F.slice("toks", F.col("i"), _CHUNK))
+            .cast("long")
+            .alias("n_tok_chunk"),
+            F.array_join(F.slice("toks", F.col("i"), _CHUNK), " ").alias(
+                "chunk_text"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
