@@ -20,6 +20,7 @@ from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
     parity_joins,
     parity_lifecycle,
     parity_misc,
+    parity_profile,
     parity_sql,
     parity_timeseries,
     parity_tpch,

@@ -29,6 +29,13 @@ def get_spark(app_name: str = "nyc-analytics-spark", cpus: int | None = None) ->
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom-filter join pruning: on a selective fact-fact join the
+        # build side's keys are bloom-compacted and pushed into the probe
+        # side's SCAN (the 100 TB analogue of the hand-written semi-join
+        # reductions in the query layer). Creation threshold lowered so the
+        # optimization is exercised at bench SFs, not just in production.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64m")
         # Dimension tables (region/nation/customer/supplier/part at small SF)
         # stay under this; fact-fact joins exceed it and go sort-merge.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
