@@ -4,6 +4,7 @@ Each module maps one SURVEY.md section 2 area onto the driver testdata tables.
 """
 
 from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
+    graph_analytics,
     llm_clusters,
     llm_corpus,
     llm_dedup,

@@ -159,3 +159,70 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricts scoring to shared sign-LSH buckets."""
     emb = load(spark, sf_dir, "embeddings", parallel=True)
     return cosine_near_pairs(emb, _NEAR_T).orderBy("a_id", "b_id")
+
+
+_PROJ_IN = 64  # input dims (embeddings table)
+_PROJ_OUT = 16  # output dims
+# Deterministic +-1 projection matrix from an LCG over (i, j): integer
+# arithmetic only, so Spark and the oracle derive the identical matrix with
+# no shared RNG. Achlioptas-style sign projections preserve pairwise
+# distances (JL lemma) at 1 bit of matrix state per cell.
+_SIGN = "((({i} * 2654435761 + {j} * 40503) % 97) % 2)"
+
+
+@register(
+    "embedding_random_projection",
+    oracle=f"""
+        SELECT vec_id, j,
+               round(list_sum(list_transform(generate_series(0, {_PROJ_IN - 1}),
+                     i -> CAST(embedding[i + 1] AS DOUBLE) *
+                          (CASE WHEN (((i * 2654435761 + j * 40503) % 97) % 2) = 0
+                                THEN 1 ELSE -1 END))), 6) AS val
+        FROM embeddings,
+             unnest(generate_series(0, {_PROJ_OUT - 1})) AS g(j)
+        ORDER BY vec_id, j
+    """,
+    tags=("llm", "similarity", "projection"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection 64 -> 16 dims: the embedding
+    compression step before indexing/clustering at scale (store 4x fewer
+    floats, or feed the LSH family). The +-1 matrix is derived per-cell from
+    an LCG over (row, col) - deterministic, partition-independent, never
+    materialized.
+
+    Scale shape: pure per-row map, zero shuffle (the ORDER BY is
+    presentation). Output is exploded to (vec_id, dim, value) rows so the
+    driver's value-hash covers every cell; a production writer would keep
+    the 16-float array column. The dot products fold in ascending dimension
+    order through F.aggregate, matching the oracle's list_sum fold, and both
+    engines multiply exact float->double promotions."""
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
+    return (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(_PROJ_OUT - 1))).alias("j"),
+        )
+        .select(
+            "vec_id",
+            "j",
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(_PROJ_IN - 1)),
+                    F.lit(0.0),
+                    lambda acc, i: acc
+                    + (
+                        F.element_at("embedding", i + 1).cast("double")
+                        * F.when(
+                            (((i * 2654435761) + F.col("j") * 40503) % 97) % 2
+                            == 0,
+                            F.lit(1.0),
+                        ).otherwise(F.lit(-1.0))
+                    ),
+                ),
+                6,
+            ).alias("val"),
+        )
+        .orderBy("vec_id", "j")
+    )
