@@ -23,6 +23,7 @@ from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
     parity_misc,
     parity_profile,
     parity_sql,
+    parity_stats,
     parity_timeseries,
     parity_tpch,
     parity_tpch_sub,

@@ -1,15 +1,18 @@
-"""TPC-H subquery/decorrelation family (Q13/Q17/Q21/Q22 shapes), adapted to
-the driver tables (no o_comment / l_commitdate / c_phone columns - each
-query keeps the reference benchmark's *plan shape* and swaps the filter onto
-an available column).
+"""TPC-H breadth beyond Q1/Q3/Q4/Q5/Q18 (parity_tpch.py, parity_sql.py):
+the subquery/decorrelation family Q13/Q17/Q21/Q22 plus the join-shape
+family Q7/Q10/Q14, adapted to the driver tables (no o_comment /
+l_commitdate / c_phone columns - each query keeps the reference
+benchmark's *plan shape* and swaps the filter onto an available column).
 
-These exercise the decorrelation patterns a warehouse engine must plan well:
-outer-join aggregation (Q13), correlated scalar aggregate (Q17), correlated
-EXISTS + NOT EXISTS over the same fact (Q21), and scalar-subquery crossjoin
-plus anti join (Q22). All numeric comparisons against computed averages are
-rewritten into integer-cent arithmetic so both engines make bit-identical
-keep/drop decisions (a double AVG is order-dependent in the last ulp - a
-boundary row could differ between Spark and the oracle).
+These exercise the patterns a warehouse engine must plan well: outer-join
+aggregation (Q13), correlated scalar aggregate (Q17), correlated EXISTS +
+NOT EXISTS over the same fact (Q21), scalar-subquery crossjoin plus anti
+join (Q22), double-role dimension join with a symmetric OR predicate (Q7),
+selective multi-join top-k (Q10), and conditional-share aggregation (Q14).
+All numeric comparisons against computed averages are rewritten into
+integer-cent arithmetic so both engines make bit-identical keep/drop
+decisions (a double AVG is order-dependent in the last ulp - a boundary
+row could differ between Spark and the oracle).
 """
 
 from __future__ import annotations
@@ -267,4 +270,187 @@ def tpch_q22_dormant_value_customers(spark: SparkSession, sf_dir: str) -> DataFr
             (F.sum("bal_cents").cast("double") / 100).alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+_REV_CENTS = """CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+           AS DECIMAL(38,0))"""
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM({_REV_CENTS}) AS DOUBLE) / 1e4 AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   l.l_extendedprice, l.l_discount
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6')
+                OR (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9'))
+              AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                                   AND TIMESTAMP '1997-12-31'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "J1"),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): the same dimension joined TWICE
+    under different roles (supplier nation / customer nation) with a
+    symmetric OR pair predicate, yearly revenue rollup.
+
+    Plan: nation is broadcast on both sides (two independent
+    BroadcastHashJoins, not a self-join); the pair predicate prunes to the
+    two relevant nations BEFORE the fact joins by filtering each broadcast
+    input, so the OR never prevents pushdown - the classic rewrite of Q7's
+    disjunction."""
+    nations = ("NATION_9", "NATION_6")
+    n1 = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    cust = load(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    ).cast("decimal(38,0)")
+    return (
+        li.join(F.broadcast(supp.select("s_suppkey", "supp_nation")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "cust_nation"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((F.sum(rev).cast("double") / 1e4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=f"""
+        SELECT c.c_custkey AS custkey, c.c_name,
+               CAST(SUM({_REV_CENTS}) AS DOUBLE) / 1e4 AS revenue,
+               c.c_acctbal AS acctbal, n.n_name AS nation
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY custkey, c.c_name, acctbal, nation
+        ORDER BY revenue DESC, custkey
+        LIMIT 20
+    """,
+    tags=("tpch", "J2", "O5"),
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item losers): quarter-bounded orders join
+    return-flagged lineitems, customer rollup, top 20 by lost revenue.
+    Filters live on both fact scans (pushdown prunes the quarter and the
+    return flag before any join); nation broadcasts; top-20 is
+    TakeOrderedAndProject with a custkey tiebreak."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    ).cast("decimal(38,0)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg((F.sum(rev).cast("double") / 1e4).alias("revenue"))
+        .select("custkey", "c_name", "revenue", "acctbal", "nation")
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+        SELECT CAST(100 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                   THEN {_REV_CENTS} ELSE 0 END) AS DOUBLE)
+               / CAST(SUM({_REV_CENTS}) AS DOUBLE) AS promo_pct,
+               COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-07-01'
+    """,
+    tags=("tpch", "A2"),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): conditional revenue share over a
+    month of shipments joined to the part dimension. The month filter is
+    pushed into the fact scan; part broadcasts; the CASE lives inside the
+    aggregate so one pass computes both numerator and denominator. Both
+    sums are exact decimal cents - the ratio divides two exact numbers, so
+    the double result is bit-identical across engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    ).cast("decimal(38,0)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(38,0)")
+    )
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        (
+            (F.lit(100) * F.sum(promo)).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_pct"),
+        F.count("*").alias("n_lines"),
     )
