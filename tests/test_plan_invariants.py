@@ -115,3 +115,58 @@ def test_scd2_windows_share_one_exchange(spark, sf_dir):
         1 for l in p.splitlines() if "Arguments: hashpartitioning" in l
     )
     assert n_exchanges == 1, p
+
+
+def test_q17_fact_never_shuffles_whole(spark, sf_dir):
+    """Q17's fact joins are both broadcast (part filter in, stats back), so
+    the only hashpartitioning exchange is the brand-filtered per-part
+    aggregate - the full lineitem never shuffles."""
+    p = plan_text(spark, sf_dir, "tpch_q17_small_qty_revenue")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_q13_aggregates_orders_before_join(spark, sf_dir):
+    """Q13 must reduce orders to per-customer counts BEFORE joining customer
+    (the naive row-multiplying outer join would shuffle the fact wide): the
+    plan's first hashpartitioning exchange carries only the narrow count
+    aggregate, and the join consumes it."""
+    p = plan_text(spark, sf_dir, "tpch_q13_custdist")
+    agg_pos = p.find("HashAggregate")
+    join_pos = max(p.find("SortMergeJoin"), p.find("BroadcastHashJoin"))
+    assert 0 <= agg_pos < join_pos, p
+
+
+def test_q21_single_fact_shuffle_key(spark, sf_dir):
+    """Q21 decorrelates both EXISTS into one per-order aggregate: every
+    hashpartitioning exchange in the plan keys on l_orderkey (the flags
+    join reuses the aggregate's partitioning; no second shuffle key, no
+    self-join explosion)."""
+    p = plan_text(spark, sf_dir, "tpch_q21_waiting_suppliers")
+    keys = [
+        l for l in p.splitlines() if "Arguments: hashpartitioning" in l
+    ]
+    # fact-side exchanges all key on l_orderkey; the only other exchange is
+    # the tiny final per-supplier-name aggregate
+    assert keys and all(
+        "l_orderkey" in k or "s_name" in k for k in keys
+    ), p
+
+
+def test_profile_single_scan(spark, sf_dir):
+    """The column profile must read orders ONCE (the oracle's UNION ALL
+    re-scans per column; the engine plan may not)."""
+    p = plan_text(spark, sf_dir, "profile_orders_columns")
+    # formatted explain prints each scan twice (tree + detail); count the
+    # numbered detail entries only
+    import re
+
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M))
+    assert n_scans == 1, p
+
+
+def test_unigram_vocab_broadcasts(spark, sf_dir):
+    """The unigram model joins back onto the token stream as broadcasts
+    (vocab + one-row totals) - the token fact must not shuffle for either."""
+    p = plan_text(spark, sf_dir, "corpus_unigram_logprob")
+    assert p.count("BroadcastExchange") >= 2
