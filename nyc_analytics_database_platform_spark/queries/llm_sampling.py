@@ -326,3 +326,48 @@ def quantile_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.first("hi"), 6).alias("hi"),
         )
     )
+
+
+@register(
+    "exact_quota_sample_by_lang",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 10
+        ORDER BY lang, rk
+    """,
+    tags=("llm", "sampling"),
+)
+def exact_quota_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified sampling: EXACTLY min(10, |stratum|) documents
+    per language, chosen by ranking on a content-independent deterministic
+    key (md5 of the id) - reproducible across runs, partitionings, and
+    engines, unlike rate-based Bernoulli sampling
+    (stratified_sample_by_lang), which only hits quotas in expectation.
+    The md5 ordering IS the uniformity argument: it is a fixed pseudorandom
+    permutation of ids, so every stratum member is equally likely under id
+    assignment.
+
+    Scale shape: one shuffle on the stratum key; the rank<=k predicate
+    compiles to WindowGroupLimit, so each partition keeps only its running
+    top-k by hash order - state is O(k) per stratum, never the stratum
+    itself."""
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+        .orderBy("lang", "rk")
+    )

@@ -154,3 +154,35 @@ def test_geocode_online_batched_shape(spark):
     out = {r["house_number"]: r["key_code"] for r in enrich_addresses_online(addrs).collect()}
     assert out["100"] == "1-00047-0010"
     assert out["999"] is None
+
+
+def test_schema_evolution_merge_and_union(spark, tmp_path):
+    """Schema evolution across parquet generations: an old partition without
+    a column and a new partition with it must read as ONE frame via
+    mergeSchema (missing values null), and the same contract holds for
+    frame-level unionByName(allowMissingColumns=True) - the append-only
+    table-evolution path a 100 TB dataset takes when a column is added."""
+    import pyspark.sql.functions as F
+
+    v1 = spark.range(5).select(
+        F.col("id").alias("k"), F.lit("a").alias("val")
+    )
+    v2 = spark.range(5, 8).select(
+        F.col("id").alias("k"),
+        F.lit("b").alias("val"),
+        F.lit(1.5).alias("score"),
+    )
+    base = str(tmp_path / "evo")
+    v1.write.parquet(base + "/gen=1")
+    v2.write.parquet(base + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=1", base + "/gen=2"
+    )
+    assert set(merged.columns) == {"k", "val", "score"}
+    rows = {r.k: r for r in merged.collect()}
+    assert len(rows) == 8
+    assert rows[0].score is None and rows[6].score == 1.5
+
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    got = {r.k: r.score for r in unioned.collect()}
+    assert got[3] is None and got[7] == 1.5
