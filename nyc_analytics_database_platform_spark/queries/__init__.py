@@ -19,6 +19,7 @@ from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
     parity_etl,
     parity_extras,
     parity_joins,
+    parity_json,
     parity_lifecycle,
     parity_misc,
     parity_profile,

@@ -226,3 +226,72 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "j")
     )
+
+
+@register(
+    "hard_negatives_per_query",
+    oracle=f"""
+        WITH queries AS (
+            SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < 5
+        ),
+        scored AS (
+            SELECT q.qid, e.vec_id AS neg_id, e.label AS neg_label,
+                   {_COS_SQL} AS score
+            FROM embeddings e, queries q
+            WHERE e.label <> q.qlabel
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY score DESC, neg_id) AS rk
+            FROM scored
+        )
+        SELECT qid, neg_id, neg_label, score, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 3
+        ORDER BY qid, rk
+    """,
+    tags=("llm", "similarity", "training"),
+)
+def hard_negatives_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query vector,
+    the top-3 most similar vectors with a DIFFERENT label - the negatives a
+    trainer wants because they are hard to separate. Scores are rounded to 6
+    decimals before ranking with an id tiebreak (the ANN discipline: an
+    unrounded double boundary could order differently per engine).
+
+    Scale shape: the query set broadcasts (mining runs in query-sized
+    batches); the corpus streams through score + WindowGroupLimit top-3
+    per query, state O(k x |queries|). The label filter rides the scan. At
+    full-corpus mining scale the same query swaps the broadcast side for
+    the IVF/sign-LSH probe path (ann_signlsh_top5) to avoid the dense
+    scoring pass."""
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    from pyspark.sql import Window
+
+    from nyc_analytics_database_platform_spark.operators.similarity import cosine
+
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(cosine(to_d(F.col("embedding")), to_d(F.col("qv"))), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), "neg_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("qid", "neg_id", "neg_label", "score", F.col("rk").cast("long").alias("rk"))
+        .orderBy("qid", "rk")
+    )
