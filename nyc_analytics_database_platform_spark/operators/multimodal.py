@@ -78,6 +78,41 @@ def fake_decode_features(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(kernel, FAKE_FEATURE_SCHEMA)
 
 
+def fake_decode_features_arrow(media_df: DataFrame) -> DataFrame:
+    """The same deterministic decode through mapInArrow: the worker receives
+    raw pyarrow RecordBatches (no pandas materialization), which is the
+    preferred kernel shape when the decode library consumes buffers directly
+    (torch/tensor codecs, pyarrow-native image ops) - one copy fewer per
+    batch than mapInPandas. Output is bit-identical to fake_decode_features;
+    tests assert the two surfaces agree row-for-row."""
+    import pyarrow as pa
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            media = batch.column("media").to_pylist()
+            digests = [hashlib.md5(b).hexdigest() for b in media]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_bytes": pa.array(
+                        [len(b) for b in media], type=pa.int32()
+                    ),
+                    "width": pa.array(
+                        [int(h[0:2], 16) for h in digests], type=pa.int32()
+                    ),
+                    "height": pa.array(
+                        [int(h[2:4], 16) for h in digests], type=pa.int32()
+                    ),
+                    "channels": pa.array(
+                        [1 + int(h[4], 16) % 4 for h in digests],
+                        type=pa.int32(),
+                    ),
+                }
+            )
+
+    return media_df.mapInArrow(kernel, FAKE_FEATURE_SCHEMA)
+
+
 def plan_frame_extraction(
     media_df: DataFrame, frame_bytes: int, every_k: int
 ) -> DataFrame:

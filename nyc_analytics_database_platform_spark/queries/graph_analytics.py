@@ -68,6 +68,7 @@ _ORACLE = (
     "pagerank_trade_graph",
     oracle=_ORACLE,
     tags=("graph", "iterative"),
+    bench=True,
 )
 def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, 3 synchronous iterations) over the undirected

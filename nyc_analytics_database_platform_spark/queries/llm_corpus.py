@@ -66,6 +66,7 @@ _STRIDE = 30
         ORDER BY t.doc_id
     """,
     tags=("llm", "dedup", "corpus"),
+    bench=True,
 )
 def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style repeated-span removal: split every document into fixed

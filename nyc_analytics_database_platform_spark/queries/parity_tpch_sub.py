@@ -155,6 +155,7 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
     """,
     tags=("tpch", "J-ext"),
+    bench=True,
 )
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting): correlated EXISTS

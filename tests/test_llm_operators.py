@@ -145,3 +145,17 @@ def test_pii_redaction_not_vacuous(spark, sf_dir):
         assert df.filter("redacted RLIKE '\\\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'").count() == 0
     finally:
         df.unpersist()
+
+
+def test_multimodal_arrow_and_pandas_surfaces_agree(spark):
+    """mapInArrow and mapInPandas decode kernels must be bit-identical -
+    same rows, same values - so either surface can serve the pipeline."""
+    from nyc_analytics_database_platform_spark.operators.multimodal import (
+        fake_decode_features_arrow,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = as_media_table(docs)
+    a = sorted(map(tuple, fake_decode_features_arrow(media).collect()))
+    p = sorted(map(tuple, fake_decode_features(media).collect()))
+    assert a == p and len(a) > 0
