@@ -9,6 +9,7 @@ from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
     llm_corpus,
     llm_dedup,
     llm_ivf,
+    llm_mixture,
     llm_multimodal,
     llm_sampling,
     llm_similarity,
@@ -27,6 +28,7 @@ from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
     parity_stats,
     parity_timeseries,
     parity_tpch,
+    parity_tpch_rest,
     parity_tpch_sub,
     parity_windows,
     streaming_batch,

@@ -1,0 +1,253 @@
+"""Corpus-assembly operators: domain mixture resampling, SemDeDup-style
+within-cluster near-dedup, and kNN-graph construction.
+
+These close the loop between curation (llm_dedup / llm_text) and dataset
+assembly (llm_sampling): once documents are clean, a training corpus is a
+*mixture* - per-domain weights, re-sampled deterministically - and the
+embedding-space structure (clusters, neighbor graphs) drives semantic dedup
+and curriculum grouping. All hash/math is integer-or-rounded so every query
+has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.operators.similarity import cosine
+from nyc_analytics_database_platform_spark.registry import register
+
+# Domain map over the synthetic sources (src0..src19 -> 4 domains) and the
+# target mixture the resampled corpus should converge to (by characters).
+_DOMAIN_SQL = """CASE
+    WHEN CAST(substr(source, 4) AS INT) < 5  THEN 'web'
+    WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'books'
+    WHEN CAST(substr(source, 4) AS INT) < 15 THEN 'code'
+    ELSE 'reference' END"""
+_WEIGHTS = {"web": 0.1, "books": 0.3, "code": 0.3, "reference": 0.3}
+
+# uniform-in-[0,1) hash draw from a doc id: first 8 md5 hex chars as an int,
+# scaled by 2^32. Pure integer parse -> the double is identical cross-engine.
+_FRAC_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)"
+    " / 4294967296.0"
+)
+
+
+def _frac_col() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
+def _domain_col() -> F.Column:
+    num = F.substring("source", 4, 10).cast("int")
+    return (
+        F.when(num < 5, "web")
+        .when(num < 10, "books")
+        .when(num < 15, "code")
+        .otherwise("reference")
+    )
+
+
+def _weight_col() -> F.Column:
+    w = F.lit(None).cast("double")
+    expr = None
+    for dom, wt in _WEIGHTS.items():
+        expr = (
+            F.when(F.col("domain") == dom, F.lit(wt))
+            if expr is None
+            else expr.when(F.col("domain") == dom, F.lit(wt))
+        )
+    return expr.otherwise(w)
+
+
+@register(
+    "domain_mixture_resample",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT doc_id, n_chars, {_DOMAIN_SQL} AS domain,
+                   {_FRAC_SQL} AS frac
+            FROM documents
+        ),
+        totals AS (
+            SELECT domain,
+                   CASE domain WHEN 'web' THEN 0.1 WHEN 'books' THEN 0.3
+                               WHEN 'code' THEN 0.3 ELSE 0.3 END AS w,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_in,
+                   CAST(COUNT(*) AS BIGINT) AS docs_in
+            FROM tagged GROUP BY domain
+        ),
+        cap AS (SELECT MIN(chars_in / w) AS c FROM totals),
+        rates AS (
+            SELECT t.domain, t.docs_in, t.chars_in,
+                   cap.c * t.w / t.chars_in AS rate
+            FROM totals t CROSS JOIN cap
+        )
+        SELECT r.domain, r.docs_in, r.chars_in,
+               round(r.rate, 6) AS rate,
+               CAST(COUNT(CASE WHEN g.frac < r.rate THEN 1 END) AS BIGINT)
+                   AS docs_kept,
+               CAST(COALESCE(SUM(CASE WHEN g.frac < r.rate
+                                      THEN g.n_chars END), 0) AS BIGINT)
+                   AS chars_kept
+        FROM rates r JOIN tagged g ON g.domain = r.domain
+        GROUP BY r.domain, r.docs_in, r.chars_in, r.rate
+        ORDER BY r.domain
+    """,
+    tags=("llm", "sampling", "mixture"),
+)
+def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling: down-sample each domain so the
+    kept corpus converges to the target weights, keeping the binding domain
+    at rate 1.0 (water-filling: c = min over domains of chars/weight; rate_d
+    = c * w_d / chars_d). The per-domain totals are a 4-row aggregate
+    broadcast back over the corpus; acceptance is the same hash-uniform
+    draw as operators/sampling.py, so membership is reproducible across
+    runs, engines, and partitionings. At 100 TB this is one narrow scan +
+    one tiny agg - the mixture never shuffles the corpus."""
+    docs = load(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", "n_chars", _domain_col().alias("domain"), _frac_col().alias("frac")
+    )
+    totals = (
+        docs.groupBy("domain")
+        .agg(F.sum("n_chars").alias("chars_in"), F.count("*").alias("docs_in"))
+        .withColumn("w", _weight_col())
+    )
+    cap = totals.agg(
+        F.min(F.col("chars_in").cast("double") / F.col("w")).alias("c")
+    )
+    rates = totals.crossJoin(F.broadcast(cap)).select(
+        "domain",
+        "docs_in",
+        "chars_in",
+        (F.col("c") * F.col("w") / F.col("chars_in").cast("double")).alias("rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "domain")
+        .groupBy("domain", "docs_in", "chars_in", "rate")
+        .agg(
+            F.sum(F.when(F.col("frac") < F.col("rate"), 1).otherwise(0)).alias("docs_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("frac") < F.col("rate"), F.col("n_chars"))),
+                F.lit(0),
+            ).alias("chars_kept"),
+        )
+        .select(
+            "domain",
+            "docs_in",
+            "chars_in",
+            F.round("rate", 6).alias("rate"),
+            "docs_kept",
+            "chars_kept",
+        )
+        .orderBy("domain")
+    )
+
+
+_SEM_T = 0.42
+
+
+@register(
+    "semdedup_within_cluster",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        )
+        SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6) >= {_SEM_T}
+        ORDER BY a.label, a_id, b_id
+    """,
+    tags=("llm", "similarity", "dedup"),
+)
+def semdedup_within_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: near-duplicate pairs are only sought
+    WITHIN a cluster of the embedding space (here the `label` partition;
+    kmeans_train_centroids is the operator that produces such labels when
+    absent). This is the step that makes embedding dedup tractable at
+    100 TB: candidate generation is an equi-join on the cluster id - the
+    corpus shuffles once by cluster, and the quadratic term is bounded by
+    the largest cluster, not the corpus. Pairs above the threshold are the
+    drop candidates (keep-lowest-id convention, as in dedup_minhash_clusters)."""
+    emb = load(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("a_id"), F.col("v").alias("va")
+    )
+    b = emb.select(
+        F.col("label").alias("lb"), F.col("vec_id").alias("b_id"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, (a.label == b.lb) & (F.col("a_id") < F.col("b_id")))
+        .select(
+            "label",
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= _SEM_T)
+        .orderBy("label", "a_id", "b_id")
+    )
+
+
+@register(
+    "knn_graph_top3",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 6) AS score,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round(list_dot_product(a.v, b.v) /
+                                (sqrt(list_dot_product(a.v, a.v))
+                                 * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+                                b.vec_id
+                   ) AS rk
+            FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        )
+        SELECT src, dst, score, CAST(rk AS BIGINT) AS rk
+        FROM scored WHERE rk <= 3 AND src < 40
+        ORDER BY src, rk
+    """,
+    tags=("llm", "similarity", "graph"),
+)
+def knn_graph_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph construction (3 nearest neighbors by cosine per node) -
+    the backbone of graph-based semantic clustering, curriculum grouping,
+    and diversity sampling. Exact all-pairs scoring with a per-source
+    WindowGroupLimit top-3 (running heap per node, never the full neighbor
+    list). The src < 40 slice bounds the *attested output*, not the
+    computation. At 100 TB exact all-pairs is replaced by the bucketed
+    candidate generators (sign-LSH / IVF partitions) feeding the same
+    window; the window stage is identical either way."""
+    emb = load(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    w = Window.partitionBy("src").orderBy(F.desc("score"), "dst")
+    return (
+        a.join(b, F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("src") < 40))
+        .select("src", "dst", "score", F.col("rk").cast("long").alias("rk"))
+        .orderBy("src", "rk")
+    )
