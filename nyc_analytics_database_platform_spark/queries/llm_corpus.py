@@ -77,11 +77,11 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the C4/Lee-et-al. pipeline stage.
 
     Scale shape: one explode (spans-per-doc is bounded by doc length / 8),
-    one shuffle on the span key for the global argmin, one join back on the
-    same key (AQE reuses the exchange), one per-doc re-aggregate. The argmin
-    is a single packed long (doc_id*100000 + pos) so the aggregate state is
-    8 bytes per distinct span, and reassembly sorts only within each
-    document's own kept spans."""
+    one shuffle on the span key for the global argmin, one per-doc
+    re-aggregate - NO join back: exactly one occurrence of each distinct
+    span survives, so the argmin output IS the kept set and (doc_id, pos)
+    unpack arithmetically from the packed 8-byte key. Reassembly sorts only
+    within each document's own kept spans."""
     docs = with_tokens(load(spark, sf_dir, "documents", parallel=True))
     spans = docs.select(
         "doc_id",
@@ -96,10 +96,16 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     key = (F.col("doc_id") * 100000 + F.col("pos")).alias("key")
     spans = spans.select("doc_id", "pos", "span", key)
+    # The global argmin per span IS the kept set (exactly one survivor per
+    # distinct span), so no join-back is needed: recover (doc_id, pos) from
+    # the packed key arithmetically. One shuffle on span, one on doc_id.
     firsts = spans.groupBy("span").agg(F.min("key").alias("first_key"))
     kept = (
-        spans.join(firsts, "span")
-        .filter(F.col("key") == F.col("first_key"))
+        firsts.select(
+            "span",
+            F.expr("first_key div 100000").alias("doc_id"),
+            (F.col("first_key") % 100000).alias("pos"),
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_kept"),

@@ -371,3 +371,47 @@ def exact_quota_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
         .orderBy("lang", "rk")
     )
+
+
+# numeric hash draw in [0,1): first 8 md5 hex chars as integer / 2^32
+# (integer parse, so the double is identical cross-engine)
+_FRAC = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)"
+    " / 4294967296.0"
+)
+
+
+@register(
+    "weighted_sample_top10",
+    oracle=f"""
+        SELECT doc_id, n_chars,
+               round(pow({_FRAC}, 1.0 / n_chars), 9) AS es_key
+        FROM documents
+        ORDER BY pow({_FRAC}, 1.0 / n_chars) DESC, doc_id
+        LIMIT 10
+    """,
+    tags=("llm", "sampling", "weighted"),
+)
+def weighted_sample_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each document draws key = u^(1/w) with u the deterministic hash-uniform
+    and w = n_chars; the top-k keys ARE a weighted sample without
+    replacement - a single narrow expression + TakeOrderedAndProject, no
+    shuffle, reproducible across engines and runs. This is how a 100 TB
+    corpus takes a size-weighted subsample in one pass (the per-partition
+    heap keeps k rows; the driver merges P heaps). The ES key is exact
+    cross-engine because u is an integer-parsed double and pow/division
+    follow IEEE semantics on identical operands."""
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    return (
+        docs.select("doc_id", "n_chars", key.alias("_k"))
+        .orderBy(F.desc("_k"), "doc_id")
+        .limit(10)
+        .select("doc_id", "n_chars", F.round("_k", 9).alias("es_key"))
+    )

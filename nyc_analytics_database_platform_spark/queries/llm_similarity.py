@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from nyc_analytics_database_platform_spark.catalog import load
 from nyc_analytics_database_platform_spark.operators.similarity import (
     brute_force_topk,
+    cosine,
     cosine_near_pairs,
     signlsh_bucket,
     signlsh_topk,
@@ -294,4 +295,73 @@ def hard_negatives_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("qid", "neg_id", "neg_label", "score", F.col("rk").cast("long").alias("rk"))
         .orderBy("qid", "rk")
+    )
+
+
+_BUCKET_SQL = (
+    "list_sum(list_transform(generate_series(0, 7), "
+    "i -> CASE WHEN v[i + 1] >= 0 THEN (1 << i) ELSE 0 END))"
+)
+
+
+@register(
+    "ann_two_stage_rerank",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {_BUCKET_SQL} AS bkt FROM e),
+        q AS (SELECT v AS qv, bkt AS qb FROM b WHERE vec_id = 0),
+        probes AS (
+            SELECT xor(qb, p) AS pb, qv
+            FROM q, unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS t(p)
+        ),
+        cand AS (
+            SELECT b.vec_id, b.v, p.qv FROM b JOIN probes p ON b.bkt = p.pb
+        )
+        SELECT vec_id,
+               round(list_dot_product(v, qv) /
+                     (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                     6) AS score
+        FROM cand
+        ORDER BY score DESC, vec_id
+        LIMIT 5
+    """,
+    tags=("llm", "similarity", "rerank"),
+)
+def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (the RAG serving shape): a cheap high-recall
+    candidate stage - multi-probe sign-LSH, the query's bucket plus all 8
+    Hamming-distance-1 neighbors - followed by exact cosine rerank of the
+    candidate set only. Everything is one declarative plan: the query row
+    and its 9 probe bucket ids travel as a broadcast frame (explode of the
+    XOR flips), candidates come from a BroadcastHashJoin on bucket id, and
+    the top-5 is TakeOrderedAndProject. At 100 TB the bucket id is the
+    storage partition key, so stage 1 is partition pruning, and rerank cost
+    is bounded by candidate count - never corpus size. Multi-probe trades
+    9x candidate volume for recall without touching the index layout
+    (contrast ivf_probe2_top5, which widens the IVF probe list)."""
+    emb = load(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        signlsh_bucket(F.col("embedding"), _SIGN_BITS).alias("bkt"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("bkt").alias("qb")
+    )
+    probes = q.select(
+        "qv",
+        F.explode(
+            F.array(
+                F.col("qb"),
+                *[F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(_SIGN_BITS)],
+            )
+        ).alias("pb"),
+    )
+    return (
+        emb.join(F.broadcast(probes), F.col("bkt") == F.col("pb"))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(5)
     )

@@ -170,3 +170,66 @@ def grouping_sets_priority_segment(spark: SparkSession, sf_dir: str) -> DataFram
         "gid",
         "n",
     ).orderBy("gid", F.col("priority").asc_nulls_first(), F.col("segment").asc_nulls_first())
+
+
+@register(
+    "grouped_agg_geomean_price",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               round(exp(SUM(round(ln(o.o_totalprice), 9)) / COUNT(*)), 2)
+                   AS geomean_price,
+               COUNT(*) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY segment
+    """,
+    tags=("UDF", "grouped-agg"),
+)
+def grouped_agg_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas_udf GROUPED_AGG surface (the one sanctioned Python path
+    not yet exercised elsewhere: a vectorized *aggregate* kernel, Arrow
+    batch in -> scalar out, usable inside groupBy().agg alongside native
+    aggregates). Computes the per-segment geometric mean of order totals.
+
+    Determinism discipline: the kernel sums ln(price) values PRE-ROUNDED to
+    9dp - the rounding makes each addend identical across engines, and the
+    final round(..., 2) sits ~7 orders above the residual summation-order
+    noise (~1e-9 relative over 30k addends), so the oracle is exact. Like
+    all grouped-agg UDFs this has no partial aggregation (full rows of each
+    group ship to the UDF) - the docstring's 100 TB note: prefer native
+    exp(avg(ln(x))) when exactness tolerances allow; the UDF surface is for
+    kernels Spark lacks."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _geomean(prices):
+        import numpy as np
+
+        logs = np.round(np.log(prices.to_numpy()), 9)
+        return float(np.exp(logs.sum() / len(logs)))
+
+    # Real annotation objects (this module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # signature inference cannot resolve).
+    _geomean.__annotations__ = {"prices": pd.Series, "return": float}
+    geomean = pandas_udf(_geomean, "double")
+
+    def _n(prices):
+        return len(prices)
+
+    # Spark disallows mixing a grouped-agg pandas UDF with native aggregates
+    # in one agg() - the group count rides along as a second pandas kernel.
+    _n.__annotations__ = {"prices": pd.Series, "return": int}
+    pandas_count = pandas_udf(_n, "long")
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.round(geomean("o_totalprice"), 2).alias("geomean_price"),
+            pandas_count("o_totalprice").alias("n"),
+        )
+        .orderBy("segment")
+    )
