@@ -18,7 +18,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 _WORDS = (
@@ -71,8 +76,45 @@ class SyntheticDocsDataSource(DataSource):
     def reader(self, schema: StructType) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType):
+        # defined below; resolved at call time
+        return SyntheticDocsStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration: spark.read.format('synthetic_docs') works
     afterwards on this session."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same deterministic id space: each batch
+    advances the offset by `batch` ids and generates rows with the SAME
+    (doc_id, seed)-keyed LCG as the batch reader - so replaying any offset
+    range reproduces identical rows (the exactly-once contract Structured
+    Streaming needs from a source), and stream output equals a batch read
+    of the same id range (asserted in tests)."""
+
+    def __init__(self, options: dict):
+        self.batch = int(options.get("batch", 100))
+        self.limit = int(options.get("n", 1000))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.batch, self.limit)
+        return self._gen(lo, hi), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay for recovery
+        return self._gen(start["next"], end["next"])
+
+    def _gen(self, lo: int, hi: int):
+        rd = SyntheticDocsReader(
+            {"n": str(self.limit), "parts": "1", "seed": str(self.seed)}
+        )
+        # materialized (not a generator): the prefetch cache pickles entries
+        return list(rd.read(_IdRange(lo, hi, self.seed)))

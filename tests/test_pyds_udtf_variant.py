@@ -94,3 +94,39 @@ def test_variant_extract_matches_from_json(spark, sf_dir):
     ).collect()
     assert sorted(map(tuple, via_variant)) == sorted(map(tuple, via_json))
     ev.unpersist()
+
+
+def test_python_datasource_stream_equals_batch(spark, tmp_path):
+    """The streaming reader over the same id space must emit exactly the
+    batch reader's rows (deterministic LCG keyed by (doc_id, seed)), across
+    multiple micro-batches with offset tracking."""
+    register(spark)
+    q = (
+        spark.readStream.format("synthetic_docs")
+        .option("n", 250)
+        .option("batch", 100)  # -> batches of 100, 100, 50
+        .load()
+        .writeStream.format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        got = spark.sql("SELECT COUNT(*) AS n FROM pyds_stream").collect()[0].n
+        if got >= 250:
+            break
+        time.sleep(0.5)
+    q.stop()
+    stream_rows = sorted(
+        map(tuple, spark.sql("SELECT * FROM pyds_stream").collect())
+    )
+    batch_rows = sorted(
+        map(
+            tuple,
+            spark.read.format("synthetic_docs").option("n", 250).load().collect(),
+        )
+    )
+    assert stream_rows == batch_rows
