@@ -165,12 +165,17 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def banded_buckets(
     signatures: DataFrame, num_perm: int = 12, rows_per_band: int = 2, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Band the signature (num_perm / rows_per_band bands); docs sharing any
-    band bucket become a candidate pair. The bucket id is md5 of the band's
-    concatenated minhashes, so the shuffle key is (band, 32-char bucket)."""
+    """(id, band, bucket) rows: the LSH band index. The bucket id is md5 of
+    the band's concatenated minhashes, so the shuffle key is (band, 32-char
+    bucket). Materialized eagerly: every consumer joins it at least twice,
+    and without materialization the whole signature pipeline (shingle
+    explode + 12-way min agg) recomputes per side (~10x measured). Rows are
+    tiny (num_bands per doc); at 100 TB this IS the persisted dedup index -
+    written bucketed by (band, bucket), probed by each increment
+    (dedup_incremental_vs_corpus)."""
     num_bands = num_perm // rows_per_band
     bands = F.array(
         *[
@@ -185,11 +190,6 @@ def lsh_candidate_pairs(
             for b in range(num_bands)
         ]
     )
-    # Materialize the banded rows eagerly: the candidate self-join reads them
-    # twice, and without materialization the whole signature pipeline
-    # (shingle explode + 12-way min agg) recomputes per side (~10x measured).
-    # They are tiny (num_bands rows per doc); at 100 TB this intermediate is
-    # written to storage instead - same idea, durable.
     exploded = (
         signatures.select(id_col, F.explode(bands).alias("bb"))
         .select(
@@ -197,7 +197,16 @@ def lsh_candidate_pairs(
         )
         .cache()
     )
-    exploded.count()  # eager: both join sides read the materialized bands
+    exploded.count()  # eager: all join sides read the materialized bands
+    return exploded
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_perm: int = 12, rows_per_band: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature (num_perm / rows_per_band bands); docs sharing any
+    band bucket become a candidate pair."""
+    exploded = banded_buckets(signatures, num_perm, rows_per_band, id_col)
     a = exploded.select(F.col(id_col).alias("a_id"), "band", "bucket")
     b = exploded.select(F.col(id_col).alias("b_id"), "band", "bucket")
     return (

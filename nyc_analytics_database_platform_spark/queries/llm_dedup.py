@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
 from nyc_analytics_database_platform_spark.operators.dedup import (
+    banded_buckets,
     exact_dedup_groups,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -256,3 +257,83 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface - also reusable as a clustering key)."""
     docs = load(spark, sf_dir, "documents")
     return simhash_fingerprints(docs, k=3).orderBy("doc_id")
+
+
+_SPLIT_ID = 450  # doc_id >= _SPLIT_ID is the "new batch"; below is history
+
+
+def _incremental_oracle(num_perm: int = 12, rows_per_band: int = 2) -> str:
+    sig_cols = ", ".join(
+        f"MIN(md5('{p}:' || s)) AS m{p}" for p in range(num_perm)
+    )
+    num_bands = num_perm // rows_per_band
+    cases = " ".join(
+        "WHEN {b} THEN md5({cat})".format(
+            b=b,
+            cat=" || ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(num_bands)
+    )
+    return f"""
+        WITH {_shingle_cte(5)},
+        sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, bnd, CASE bnd {cases} END AS bucket
+            FROM sig, (SELECT unnest(generate_series(0, {num_bands - 1})) AS bnd) g
+        ),
+        new_bands AS (SELECT * FROM bands WHERE doc_id >= {_SPLIT_ID}),
+        m AS (
+            SELECT n.doc_id, MIN(p.doc_id) AS dup_of
+            FROM new_bands n
+            JOIN bands p ON p.bnd = n.bnd AND p.bucket = n.bucket
+                        AND p.doc_id < n.doc_id
+            GROUP BY n.doc_id
+        )
+        SELECT d.doc_id, m.dup_of, m.dup_of IS NOT NULL AS is_dup
+        FROM (SELECT DISTINCT doc_id FROM new_bands) d
+        LEFT JOIN m USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
+@register(
+    "dedup_incremental_vs_corpus",
+    oracle=_incremental_oracle(),
+    tags=("llm", "dedup", "incremental"),
+)
+def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup - the production shape for a growing corpus: each
+    NEW batch (here doc_id >= 450) is screened against the historical
+    corpus AND earlier members of its own batch, unified by one rule: a doc
+    is a duplicate iff some LOWER-id doc shares an LSH band bucket; dup_of
+    reports the smallest such partner (the canonical survivor, same
+    keep-lowest convention as dedup_minhash_clusters).
+
+    Scale design: at 100 TB the historical band table is a PERSISTED index
+    (bucketed by (band, bucket) at write time) - each daily increment
+    computes signatures for the new docs only (shingle explode over the
+    increment, not the corpus) and probes the index with a co-located join;
+    history is append-only (the increment's own bands append after
+    screening). The full-corpus signature recompute here exists only
+    because the driver testdata is read-only."""
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_perm=12, k=5)
+    bb = banded_buckets(sig, num_perm=12, rows_per_band=2)
+    new = bb.filter(F.col("doc_id") >= _SPLIT_ID).select(
+        F.col("doc_id").alias("n_id"), "band", "bucket"
+    )
+    matches = (
+        new.join(
+            bb.withColumnRenamed("doc_id", "p_id"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("p_id") < F.col("n_id"))
+        .groupBy("n_id")
+        .agg(F.min("p_id").alias("dup_of"))
+    )
+    new_ids = new.select(F.col("n_id").alias("doc_id")).distinct()
+    return (
+        new_ids.join(matches.withColumnRenamed("n_id", "doc_id"), "doc_id", "left")
+        .select("doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup"))
+        .orderBy("doc_id")
+    )
