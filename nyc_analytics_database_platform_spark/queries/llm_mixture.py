@@ -251,3 +251,146 @@ def knn_graph_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "score", F.col("rk").cast("long").alias("rk"))
         .orderBy("src", "rk")
     )
+
+
+@register(
+    "curriculum_phase_stats",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, n_chars, CAST(n_chars AS DOUBLE) AS score
+            FROM documents
+        ),
+        b AS (
+            SELECT PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY score) AS p25,
+                   PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY score) AS p50,
+                   PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY score) AS p75
+            FROM scored
+        ),
+        phased AS (
+            SELECT s.doc_id, s.n_chars, s.score,
+                   CASE WHEN s.score <= b.p25 THEN 1
+                        WHEN s.score <= b.p50 THEN 2
+                        WHEN s.score <= b.p75 THEN 3
+                        ELSE 4 END AS phase
+            FROM scored s CROSS JOIN b
+        )
+        SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS phase_chars,
+               round(MIN(score), 6) AS min_score,
+               round(MAX(score), 6) AS max_score
+        FROM phased
+        GROUP BY phase
+        ORDER BY phase
+    """,
+    tags=("llm", "sampling", "curriculum"),
+)
+def curriculum_phase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment (short -> long training phases): documents
+    bucket into 4 phases by quartiles of a deterministic difficulty score
+    (document length; swap in any text_quality_scores signal). Unlike a global
+    ntile window (one giant partition), the phase comes from comparing each
+    row against three PRECOMPUTED quantile boundaries broadcast as a 1-row
+    frame - the corpus never globally sorts and never shuffles; at 100 TB
+    the boundaries come from approx_percentile on a sample and assignment
+    stays embarrassingly parallel. The integer-derived score makes quantile
+    boundaries and comparisons exact cross-engine."""
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    scored = docs.select(
+        "doc_id", "n_chars", F.col("n_chars").cast("double").alias("score")
+    )
+    b = scored.agg(
+        F.percentile("score", 0.25).alias("p25"),
+        F.percentile("score", 0.50).alias("p50"),
+        F.percentile("score", 0.75).alias("p75"),
+    )
+    phase = (
+        F.when(F.col("score") <= F.col("p25"), 1)
+        .when(F.col("score") <= F.col("p50"), 2)
+        .when(F.col("score") <= F.col("p75"), 3)
+        .otherwise(4)
+    )
+    return (
+        scored.crossJoin(F.broadcast(b))
+        .withColumn("phase", phase)
+        .groupBy("phase")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("phase_chars"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+        .orderBy("phase")
+    )
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS g(i)
+        ),
+        stats AS (
+            SELECT dim, MIN(v) AS lo, MAX(v) AS hi,
+                   (MAX(v) - MIN(v)) / 255.0 AS scale
+            FROM e GROUP BY dim
+        ),
+        q AS (
+            SELECT e.vec_id, e.dim,
+                   round(CAST(round((e.v - s.lo) / s.scale) AS DOUBLE)
+                         * s.scale + s.lo - e.v, 9) AS err
+            FROM e JOIN stats s ON e.dim = s.dim
+        )
+        SELECT CAST(q.dim AS INT) AS dim,
+               round(ANY_VALUE(s.scale), 9) AS scale,
+               round(MAX(abs(q.err)), 9) AS max_abs_err,
+               CAST(SUM(CAST(round(abs(q.err), 9) AS DECIMAL(18,12))) AS DOUBLE)
+                   / COUNT(*) AS mean_abs_err
+        FROM q JOIN stats s ON q.dim = s.dim
+        WHERE q.dim < 8
+        GROUP BY q.dim
+        ORDER BY dim
+    """,
+    tags=("llm", "similarity", "compression"),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 quantization of the embedding table (the 4x
+    storage/bandwidth compression an ANN index applies before sharding):
+    symmetric min-max affine to [0, 255], with per-dim reconstruction-error
+    audit (max and mean absolute error). The per-dim stats are a dims-row
+    broadcast; quantization is a narrow map - one posexplode shuffle for
+    stats, zero shuffles to quantize at any corpus size. The dim < 8 slice
+    bounds the attested output, not the computation. Mean error sums
+    9dp-pre-rounded decimals, so the oracle is exact; scale/err doubles are
+    identical cross-engine (same IEEE operands)."""
+    emb = load(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    stats = emb.groupBy("dim").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        ((F.max("v") - F.min("v")) / F.lit(255.0)).alias("scale"),
+    )
+    err = F.round(
+        F.round((F.col("v") - F.col("lo")) / F.col("scale"))
+        * F.col("scale")
+        + F.col("lo")
+        - F.col("v"),
+        9,
+    )
+    return (
+        emb.join(F.broadcast(stats), "dim")
+        .select("dim", "scale", err.alias("err"))
+        .filter(F.col("dim") < 8)
+        .groupBy("dim")
+        .agg(
+            F.round(F.first("scale"), 9).alias("scale"),
+            F.round(F.max(F.abs("err")), 9).alias("max_abs_err"),
+            (
+                F.sum(F.round(F.abs("err"), 9).cast("decimal(18,12)")).cast("double")
+                / F.count("*")
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("dim")
+    )
