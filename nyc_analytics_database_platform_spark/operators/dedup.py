@@ -143,6 +143,76 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame, threshold: float, id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard >= threshold - IDENTICAL
+    output to ngram_jaccard_pairs, via prefix-filtered candidate generation
+    (the AllPairs/PPJoin family) instead of the full shingle self-join.
+
+    Under any fixed global order of shingles, two sets with Jaccard >= t
+    MUST share an element within their prefixes of length
+    |S| - ceil(t*|S|) + 1 (if A's prefix misses B entirely, the overlap is
+    at most ceil(t*|A|) - 1 < t*|A|). Ordering by ascending document
+    frequency makes prefixes RARE shingles, so the candidate join fans out
+    minimally - the boilerplate shingle every doc shares sits at the END of
+    the order and never generates candidates. Verification then counts
+    intersections ONLY for candidate pairs (join restricted through the
+    candidate list, never all-pairs).
+
+    Exactness discipline: prefix length uses pure integer arithmetic -
+    ceil(0.8*n) computed as (4n+4) div 5, never double rounding (0.8*35 in
+    doubles is 28.000000000000004: a double ceil would shorten the prefix
+    and silently drop pairs). Scale shape: df-ordering costs one extra
+    aggregate over (hs); candidates shuffle on rare shingles only; the
+    verify join is linear in candidate count x doc shingles."""
+    num, den = int(round(threshold * 10)), 10  # t as an exact rational
+    sh = distinct_hashed_shingles(with_tokens(docs), id_col, k).cache()
+    sh.count()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    dfreq = sh.groupBy("hs").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "hs")
+    ordered = (
+        sh.join(dfreq, "hs")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, id_col)
+        # prefix length: n - ceil(t*n) + 1, integer-exact
+        .filter(F.col("rk") <= F.col("n") - F.expr(f"({num} * n + {den} - 1) div {den}") + 1)
+        .select(id_col, "hs")
+    )
+    cand = (
+        ordered.alias("pa")
+        .join(ordered.alias("pb"), "hs")
+        .select(
+            F.col(f"pa.{id_col}").alias("a_id"), F.col(f"pb.{id_col}").alias("b_id")
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .distinct()
+    )
+    # verify: intersection counts restricted to candidate pairs
+    sa = sh.select(F.col(id_col).alias("a_id"), "hs")
+    sb = sh.select(F.col(id_col).alias("bb_id"), F.col("hs").alias("hsb"))
+    inter = (
+        cand.join(sa, "a_id")
+        .join(sb, (F.col("b_id") == F.col("bb_id")) & (F.col("hs") == F.col("hsb")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
+    zb = sizes.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
+    return (
+        inter.join(za, "a_id")
+        .join(zb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "inter", "na", "nb", "jaccard")
+    )
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 
 

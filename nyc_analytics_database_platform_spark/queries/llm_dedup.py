@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from nyc_analytics_database_platform_spark.catalog import load
 from nyc_analytics_database_platform_spark.operators.dedup import (
     banded_buckets,
+    prefix_filter_jaccard_pairs,
     exact_dedup_groups,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -65,9 +66,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_T = 0.8
 
 
-@register(
-    "dedup_ngram_jaccard_pairs",
-    oracle=f"""
+_JACCARD_ORACLE = f"""
         WITH {_shingle_cte(5)},
         pairs AS (
             SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
@@ -82,7 +81,12 @@ _JACCARD_T = 0.8
         JOIN sizes sb ON sb.doc_id = p.b_id
         WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= {_JACCARD_T}
         ORDER BY a_id, b_id
-    """,
+    """
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=_JACCARD_ORACLE,
     tags=("llm", "dedup"),
     bench=True,
 )
@@ -337,3 +341,22 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    oracle=_JACCARD_ORACLE,
+    tags=("llm", "dedup", "prefix-filter"),
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs (threshold 0.8) via PREFIX-FILTERED candidate
+    generation (AllPairs/PPJoin family) - same oracle, same rows as
+    dedup_ngram_jaccard_pairs, but candidates come only from docs sharing a
+    LOW-document-frequency prefix shingle, and the intersection count runs
+    only over candidate pairs. This is the exact-answer scale path between
+    the quadratic baseline and approximate MinHash: no all-pairs blowup on
+    boilerplate shingles, no probabilistic recall loss. See
+    operators/dedup.prefix_filter_jaccard_pairs for the integer-exact
+    prefix-length discipline."""
+    docs = load(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs, _JACCARD_T, k=5).orderBy("a_id", "b_id")
