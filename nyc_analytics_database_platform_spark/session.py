@@ -43,6 +43,12 @@ def get_spark(app_name: str = "nyc-analytics-spark", cpus: int | None = None) ->
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long and normalize in catalog.load.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Testdata timestamps are naive parquet TIMESTAMP(MICROS)
+        # (isAdjustedToUTC=false); read them as session-TZ LTZ (session TZ is
+        # pinned UTC below) instead of TIMESTAMP_NTZ so timestamp functions
+        # (unix_micros, window, watermarks) apply uniformly and rendering
+        # matches the DuckDB oracle's naive timestamps.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
