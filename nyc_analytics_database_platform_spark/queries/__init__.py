@@ -24,7 +24,9 @@ from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
     parity_lifecycle,
     parity_misc,
     parity_profile,
+    parity_sketches,
     parity_sql,
+    parity_sql_recursive,
     parity_stats,
     parity_timeseries,
     parity_tpch,

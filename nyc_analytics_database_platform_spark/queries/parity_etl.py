@@ -335,3 +335,44 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_input long, n_after_quality long, n_after_exact_dedup long, "
         "n_after_repetition long, n_after_near_dedup long, total_tokens long",
     )
+
+
+@register(
+    "etl_orc_roundtrip",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS key_sum,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               md5(string_agg(sub, '|' ORDER BY sub)) AS text_digest
+        FROM (
+            SELECT doc_id, n_chars, lang,
+                   substr(text, 1, 16) || CAST(doc_id AS VARCHAR) AS sub
+            FROM documents
+        )
+    """,
+    tags=("S2", "etl", "sink", "orc"),
+)
+def etl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source attestation (the third columnar format beside
+    parquet and CSV): documents -> distributed ORC write -> read back ->
+    integrity aggregates including an order-independent md5 digest over
+    (text prefix || doc_id), which catches any row-content corruption the
+    count/sum aggregates would miss. Hash match vs the oracle computed on
+    the source parquet = lossless round-trip."""
+    path = _scratch(sf_dir, "orc_documents")
+    docs = load(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    sub = F.concat(
+        F.substring("text", 1, 16), F.col("doc_id").cast("string")
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("doc_id").alias("key_sum"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.md5(
+            F.concat_ws("|", F.sort_array(F.collect_list(sub))).cast("binary")
+        ).alias("text_digest"),
+    )

@@ -217,3 +217,81 @@ def json_extract_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "unpivot_nation_metrics",
+    oracle="""
+        WITH cust AS (
+            SELECT c_nationkey,
+                   CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                       AS customer_balance
+            FROM customer GROUP BY c_nationkey
+        ),
+        supp AS (
+            SELECT s_nationkey,
+                   CAST(COUNT(DISTINCT s_suppkey) AS DOUBLE) AS n_suppliers
+            FROM supplier GROUP BY s_nationkey
+        ),
+        wide AS (
+            SELECT n.n_name,
+                   COALESCE(c.n_customers, 0) AS n_customers,
+                   COALESCE(s.n_suppliers, 0) AS n_suppliers,
+                   COALESCE(c.customer_balance, 0) AS customer_balance
+            FROM nation n
+            LEFT JOIN cust c ON c.c_nationkey = n.n_nationkey
+            LEFT JOIN supp s ON s.s_nationkey = n.n_nationkey
+        )
+        SELECT n_name, metric, val FROM (
+            SELECT n_name, 'customer_balance' AS metric, customer_balance AS val FROM wide
+            UNION ALL
+            SELECT n_name, 'n_customers' AS metric, n_customers AS val FROM wide
+            UNION ALL
+            SELECT n_name, 'n_suppliers' AS metric, n_suppliers AS val FROM wide
+        )
+        ORDER BY n_name, metric
+    """,
+    tags=("reshape", "unpivot"),
+)
+def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape via DataFrame.unpivot (the melt dual of
+    pivot_status_by_nation): per-nation metric columns become
+    (n_name, metric, val) rows. The wide build aggregates customer and
+    supplier SEPARATELY before joining nation (no fan-out between the two
+    dims), with the decimal-cast exact sum for order-independent balances.
+    The unpivot itself is a zero-shuffle Expand - rows x metrics without an
+    exchange - which is why long format is the scale-safe shape for metric
+    stores. Oracle reproduces it with UNION ALL selects."""
+    from nyc_analytics_database_platform_spark.functions.numeric import exact_sum
+
+    nation = load(spark, sf_dir, "nation")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("c_custkey").cast("double").alias("n_customers"),
+            exact_sum("c_acctbal").alias("customer_balance"),
+        )
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.countDistinct("s_suppkey").cast("double").alias("n_suppliers"))
+    )
+    wide = (
+        nation.join(cust, nation.n_nationkey == cust.c_nationkey, "left")
+        .join(supp, nation.n_nationkey == supp.s_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("customer_balance", F.lit(0.0)).alias("customer_balance"),
+            F.coalesce("n_customers", F.lit(0.0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0.0)).alias("n_suppliers"),
+        )
+    )
+    return wide.unpivot(
+        "n_name",
+        ["customer_balance", "n_customers", "n_suppliers"],
+        "metric",
+        "val",
+    ).orderBy("n_name", "metric")

@@ -1,0 +1,100 @@
+"""Semantic tests: Misra-Gries heavy hitters (superset guarantee, exactness
+under pruning pressure) and the Spark-4 SQL surfaces (recursive CTE BFS,
+correlated LATERAL top-k, unpivot reshape)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.operators.sketches import (
+    heavy_hitters,
+    misra_gries_candidates,
+)
+
+
+def _skewed_df(spark, n_parts=4):
+    # One 60% hitter, one 20% hitter, long unique tail: the MG summary must
+    # evict tail values (capacity << distinct count) yet keep both hitters.
+    rows = [(0,)] * 600 + [(1,)] * 200 + [(i,) for i in range(100, 300)]
+    return spark.createDataFrame(rows, "v long").repartition(n_parts)
+
+
+def test_mg_candidates_superset_and_bounded(spark):
+    df = _skewed_df(spark)
+    capacity = 10
+    cands = {r["v"] for r in misra_gries_candidates(df, "v", capacity).collect()}
+    counts = Counter(r["v"] for r in df.collect())
+    n = sum(counts.values())
+    must_keep = {v for v, c in counts.items() if c > n / capacity}
+    assert must_keep <= cands  # the MG guarantee
+    assert len(cands) <= capacity * df.rdd.getNumPartitions()
+    assert len(cands) < len(counts)  # pruning actually happened
+
+
+def test_heavy_hitters_exact_under_pruning(spark):
+    df = _skewed_df(spark)
+    got = {
+        r["v"]: r["n_rows"]
+        for r in heavy_hitters(df, "v", phi=0.1, capacity=10).collect()
+    }
+    counts = Counter(r["v"] for r in df.collect())
+    n = sum(counts.values())
+    want = {v: c for v, c in counts.items() if c > n * 0.1}
+    assert got == want  # exact counts, exact membership
+
+
+def test_heavy_hitters_capacity_guard(spark):
+    df = _skewed_df(spark)
+    try:
+        heavy_hitters(df, "v", phi=0.5, capacity=1)
+    except ValueError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("capacity below 1/phi must be rejected")
+
+
+def test_recursive_reach_bfs_invariants(spark, sf_dir):
+    from nyc_analytics_database_platform_spark.queries.parity_sql_recursive import (
+        sql_recursive_trade_reach,
+    )
+
+    rows = sql_recursive_trade_reach(spark, sf_dir).collect()
+    hops = {r["nationkey"]: r["min_hops"] for r in rows}
+    assert hops[6] == 0  # seed at distance zero
+    assert len(hops) == len(rows)  # one row per reached nation
+    assert all(0 <= h <= 3 for h in hops.values())  # depth guard respected
+
+
+def test_lateral_top2_per_group(spark, sf_dir):
+    from nyc_analytics_database_platform_spark.queries.parity_sql_recursive import (
+        sql_lateral_top2_customers,
+    )
+
+    rows = sql_lateral_top2_customers(spark, sf_dir).collect()
+    per_nation: dict[str, list[float]] = {}
+    for r in rows:
+        per_nation.setdefault(r["nation"], []).append(r["acctbal"])
+    for bals in per_nation.values():
+        assert len(bals) <= 2
+        assert bals == sorted(bals, reverse=True)
+
+
+def test_unpivot_shape_and_no_shuffle(spark, sf_dir):
+    from nyc_analytics_database_platform_spark.queries.parity_misc import (
+        unpivot_nation_metrics,
+    )
+
+    df = unpivot_nation_metrics(spark, sf_dir)
+    rows = df.collect()
+    n_nations = df.select("n_name").distinct().count()
+    assert len(rows) == 3 * n_nations  # rows x metrics, nothing dropped
+    assert {r["metric"] for r in rows} == {
+        "customer_balance",
+        "n_customers",
+        "n_suppliers",
+    }
+    # the reshape itself is an Expand, not an exchange
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
