@@ -98,3 +98,34 @@ def test_unpivot_shape_and_no_shuffle(spark, sf_dir):
     # the reshape itself is an Expand, not an exchange
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan
+
+
+def test_lateral_plan_decorrelates_to_window_group_limit(spark, sf_dir):
+    from nyc_analytics_database_platform_spark.queries.parity_sql_recursive import (
+        sql_lateral_top2_customers,
+    )
+
+    plan = (
+        sql_lateral_top2_customers(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # Catalyst must rewrite the correlated LATERAL LIMIT into the rank-based
+    # top-k (WindowGroupLimit), not a per-outer-row nested loop.
+    assert "WindowGroupLimit" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_recursive_plan_uses_union_loop(spark, sf_dir):
+    from nyc_analytics_database_platform_spark.queries.parity_sql_recursive import (
+        sql_recursive_trade_reach,
+    )
+
+    plan = (
+        sql_recursive_trade_reach(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "UnionLoop" in plan  # native recursive execution, not a manual unroll
