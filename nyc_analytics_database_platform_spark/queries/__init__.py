@@ -35,4 +35,5 @@ from nyc_analytics_database_platform_spark.queries import (  # noqa: F401
     parity_windows,
     streaming_batch,
     streaming_join,
+    streaming_stateful,
 )

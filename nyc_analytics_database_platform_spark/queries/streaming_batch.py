@@ -131,3 +131,27 @@ def stream_first_seen_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "stream_static_enrich_counts",
+    oracle="""
+        SELECT c.c_mktsegment, COUNT(*) AS n_events
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+    tags=("streaming", "stream-static", "J1"),
+)
+def stream_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch registration of the stream-static broadcast-enrich plan
+    (streaming/windows.py:static_enrich_segment_counts); the availableNow
+    streaming run of the SAME builder is proven equal in
+    tests/test_streaming.py::test_stream_static_broadcast_enrich_equals_batch."""
+    from nyc_analytics_database_platform_spark.streaming.windows import (
+        static_enrich_segment_counts,
+    )
+
+    return static_enrich_segment_counts(
+        load(spark, sf_dir, "events"), load(spark, sf_dir, "customer")
+    ).orderBy("c_mktsegment")

@@ -91,3 +91,18 @@ def first_seen_dedupe(events: DataFrame, watermark: str | None = "1 hour") -> Da
     queries/streaming_batch.py."""
     df = _maybe_watermark(events, watermark)
     return df.dropDuplicates(["user_id", "event_type"])
+
+
+def static_enrich_segment_counts(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join the (possibly unbounded) events side
+    against a broadcast static dimension and count per segment. In
+    streaming, the static side is re-broadcast per micro-batch and needs no
+    state store; in batch, the identical plan is a BroadcastHashJoin + agg.
+    The dimension projection happens before the broadcast so only the two
+    join/output columns ship to executors."""
+    dim = F.broadcast(customers.select("c_custkey", "c_mktsegment"))
+    return (
+        events.join(dim, events.user_id == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+    )

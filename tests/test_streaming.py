@@ -118,3 +118,25 @@ def test_stream_static_broadcast_enrich_equals_batch(spark, sf_dir, events_strea
         spark, enrich(_stream_source(spark, events_stream_dir)), "stream_static_enrich"
     )
     _assert_same(batch, stream, ["c_mktsegment"])
+
+
+def test_stateful_query_entry_matches_batch_agg(spark, sf_dir):
+    """The driver-attested executed-streaming query (real availableNow run
+    of applyInPandasWithState over a 4-file staged source, 2 files per
+    trigger) must converge to the plain batch group aggregate."""
+    from nyc_analytics_database_platform_spark.queries.streaming_stateful import (
+        stream_stateful_user_counters,
+    )
+
+    got = stream_stateful_user_counters(spark, sf_dir)
+    want = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(F.unix_micros("ts")).alias("last_ts_us"),
+        )
+    )
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
