@@ -111,3 +111,41 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val")
         .orderBy("col_name")
     )
+
+
+@register(
+    "observe_lineitem_scan_metrics",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_sum,
+               CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+                   AS n_returned
+        FROM lineitem
+    """,
+    tags=("profile", "observe"),
+)
+def observe_lineitem_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API surface: accumulator-style metrics collected
+    DURING a pass (here a count() action over the scan) with zero extra
+    jobs - the engine's way to audit a pipeline run without re-reading
+    100 TB. The observed metrics come back to the driver as a dict; the
+    query re-emits them as a one-row frame the oracle reproduces with plain
+    aggregates, proving the in-flight metrics equal a dedicated scan."""
+    from pyspark.sql import Observation
+
+    from nyc_analytics_database_platform_spark.functions.numeric import exact_sum
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = Observation("lineitem_scan")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum("l_quantity").alias("qty_sum"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+    )
+    observed.count()  # the single pass that feeds the observation
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["qty_sum"], m["n_returned"])],
+        "n_rows long, qty_sum double, n_returned long",
+    )

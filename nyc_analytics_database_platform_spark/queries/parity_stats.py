@@ -124,3 +124,86 @@ def chi2_priority_vs_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("n"),
         )
     )
+
+
+@register(
+    "cogroup_nation_balance_stats",
+    oracle="""
+        WITH c AS (
+            SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS cust_bal_cents
+            FROM customer GROUP BY 1
+        ),
+        s AS (
+            SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS supp_bal_cents
+            FROM supplier GROUP BY 1
+        )
+        SELECT COALESCE(c.nk, s.nk) AS nationkey,
+               COALESCE(c.n_customers, 0) AS n_customers,
+               COALESCE(s.n_suppliers, 0) AS n_suppliers,
+               COALESCE(c.cust_bal_cents, 0) AS cust_bal_cents,
+               COALESCE(s.supp_bal_cents, 0) AS supp_bal_cents,
+               COALESCE(c.cust_bal_cents, 0) - COALESCE(s.supp_bal_cents, 0)
+                   AS gap_cents
+        FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        ORDER BY nationkey
+    """,
+    tags=("U", "cogroup", "A-ext"),
+)
+def cogroup_nation_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided grouped UDF surface: customers and suppliers cogrouped on
+    the nation key, one Arrow-batched pandas call per key receiving BOTH
+    sides (flatMapCoGroupsInPandas) - the API for per-key logic that needs
+    two tables at once without a pre-join. Cogroup keys are the union of
+    both sides (full-outer semantics), which the oracle mirrors with a FULL
+    JOIN of the per-side aggregates.
+
+    Balances convert to integer cents JVM-side (Spark round == DuckDB ROUND
+    half-away for positive 2dp values, the _REVENUE convention) so the
+    pandas sums are exact int64 arithmetic - the Python stage cannot drift.
+
+    Scale: each side shuffles once on the key (same exchange a join would
+    need); per-key pandas state is bounded by the key's group sizes, and the
+    output is one row per key."""
+    import pandas as pd
+
+    cust = (
+        load(spark, sf_dir, "customer")
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_nationkey").alias("nk"),
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+        )
+    )
+
+    def stats(key, cdf: "pd.DataFrame", sdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "nationkey": [int(key[0])],
+                "n_customers": [len(cdf)],
+                "n_suppliers": [len(sdf)],
+                "cust_bal_cents": [int(cdf["cents"].sum()) if len(cdf) else 0],
+                "supp_bal_cents": [int(sdf["cents"].sum()) if len(sdf) else 0],
+            }
+        )
+
+    out_schema = (
+        "nationkey int, n_customers long, n_suppliers long, "
+        "cust_bal_cents long, supp_bal_cents long"
+    )
+    return (
+        cust.groupBy("nk")
+        .cogroup(supp.groupBy("nk"))
+        .applyInPandas(stats, out_schema)
+        .withColumn(
+            "gap_cents", F.col("cust_bal_cents") - F.col("supp_bal_cents")
+        )
+        .orderBy("nationkey")
+    )
