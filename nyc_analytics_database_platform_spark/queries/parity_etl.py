@@ -376,3 +376,46 @@ def etl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("|", F.sort_array(F.collect_list(sub))).cast("binary")
         ).alias("text_digest"),
     )
+
+
+@register(
+    "layout_partition_pruned_read",
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-03', '1996-04')
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("layout", "partition-pruning", "S1"),
+)
+def layout_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout attestation: orders written month-partitioned
+    through sources/layout.write_partitioned, then read back with a
+    partition-key predicate. The month filter resolves against DIRECTORY
+    NAMES (PartitionFilters in the scan, asserted by
+    tests/test_partitioned_layout.py) - at 100 TB the two-month read touches
+    2/~80 of the files and the rest are never opened. The oracle computes
+    the same two months from the unpartitioned source, so a hash match
+    proves the layout round-trip loses nothing."""
+    from nyc_analytics_database_platform_spark.sources.layout import (
+        write_partitioned,
+    )
+
+    path = _scratch(sf_dir, "orders_by_month")
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    write_partitioned(orders, path, ["order_month"])
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("order_month").isin("1996-03", "1996-04"))
+        .groupBy("order_month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("order_month")
+    )

@@ -193,3 +193,61 @@ def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "nullsafe_join_event_props",
+    oracle="""
+        WITH keyed AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_type = 'view' THEN NULL
+                        ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+                   END AS bucket
+            FROM events
+        ),
+        dim AS (
+            SELECT DISTINCT bucket FROM keyed WHERE event_type = 'purchase'
+            UNION
+            SELECT NULL AS bucket
+        )
+        SELECT k.bucket, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM keyed k
+        JOIN dim d ON k.bucket IS NOT DISTINCT FROM d.bucket
+        GROUP BY k.bucket
+        ORDER BY k.bucket NULLS FIRST
+    """,
+    tags=("J-ext", "null-semantics"),
+)
+def nullsafe_join_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): the derived
+    JSON bucket key is deliberately NULL for 'view' events (modeling a
+    missing payload field), and the dim side contains a NULL bucket - a plain equi-join would drop
+    every NULL-keyed event; the null-safe join matches them. Catalyst still
+    plans a hash join (null-safe equality is hashable), so the scale shape
+    is identical to the equi-join. Oracle uses DuckDB's
+    IS NOT DISTINCT FROM."""
+    events = load(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_type") != "view",
+            F.get_json_object("props", "$.k").cast("int") % 10,
+        ).alias("bucket"),
+    )
+    dim = (
+        keyed.filter(F.col("event_type") == "purchase")
+        .select("bucket")
+        .distinct()
+        .unionByName(
+            events.sparkSession.createDataFrame([(None,)], "bucket int")
+        )
+        .distinct()
+    )
+    return (
+        keyed.alias("k")
+        .join(F.broadcast(dim.alias("d")), F.expr("k.bucket <=> d.bucket"))
+        .groupBy("k.bucket")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.col("bucket").asc_nulls_first())
+    )
