@@ -84,3 +84,61 @@ def heavy_hitters(
         .drop("_total")
         .orderBy(F.desc("n_rows"), col)
     )
+
+
+def bloom_screen_new(
+    new_df: DataFrame,
+    hist_df: DataFrame,
+    col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Rows of `new_df` whose `col` value does NOT appear in `hist_df`,
+    computed with a Bloom-filter pre-screen so the exact (shuffling)
+    anti-join only touches the rows the filter could not clear.
+
+    Build: k xxhash64(value, seed) bit positions per history row, JVM-side;
+    the distinct set-bit list collects to the driver (bounded by m_bits,
+    index-build metadata like the IVF centroids) and broadcasts as an
+    m_bits/8-byte bitmap. Probe: the new side computes ITS positions
+    JVM-side too - the Arrow-batched pandas UDF only tests bits against the
+    broadcast bitmap, so both engines' hash arithmetic is identical by
+    construction (no Python hashing to drift).
+
+    No false negatives: a clear miss is definitely new and skips the join
+    entirely; only might-contain candidates (true dups + fpp share) take
+    the exact anti-join. Result is EXACT - the sketch prunes join traffic,
+    never answers. At 2^30 bits the bitmap broadcast is 128 MB - the
+    practical ceiling; beyond that, partition the filter or use the LSH
+    band index (operators/incremental.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def positions(c: str):
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(m_bits)).cast("long")
+                for i in range(k_hashes)
+            ]
+        )
+
+    set_bits = hist_df.select(F.explode(positions(col)).alias("b")).distinct()
+    bitmap = bytearray(m_bits // 8)
+    for r in set_bits.collect():
+        b = int(r["b"])
+        bitmap[b >> 3] |= 1 << (b & 7)
+    bc = new_df.sparkSession.sparkContext.broadcast(bytes(bitmap))
+
+    @pandas_udf("boolean")
+    def might_contain(bits: pd.Series) -> pd.Series:
+        bm = bc.value
+        return bits.apply(
+            lambda arr: all(bm[int(b) >> 3] & (1 << (int(b) & 7)) for b in arr)
+        )
+
+    screened = new_df.withColumn("_might", might_contain(positions(col)))
+    definite_new = screened.filter(~F.col("_might")).drop("_might")
+    candidates = screened.filter(F.col("_might")).drop("_might")
+    verified_new = candidates.join(
+        hist_df.select(col).distinct(), on=col, how="left_anti"
+    )
+    return definite_new.unionByName(verified_new)

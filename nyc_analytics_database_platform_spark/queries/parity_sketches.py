@@ -9,6 +9,7 @@ the sketch replaces at scale.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
 from nyc_analytics_database_platform_spark.operators.sketches import heavy_hitters
@@ -37,3 +38,51 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expensive plan; the sketch caps state at capacity x partitions."""
     events = load(spark, sf_dir, "events", parallel=True)
     return heavy_hitters(events, "user_id", phi=_PHI)
+
+
+@register(
+    "dedup_bloom_screen_new_docs",
+    oracle="""
+        WITH hist AS (
+            SELECT md5(lower(trim(text))) AS digest
+            FROM documents WHERE doc_id % 5 <> 0
+        ),
+        newbatch AS (
+            SELECT doc_id, source, md5(lower(trim(text))) AS digest
+            FROM documents WHERE doc_id % 5 = 0
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_new,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM newbatch
+        WHERE digest NOT IN (SELECT digest FROM hist)
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("sketch", "bloom", "dedup", "incremental"),
+)
+def dedup_bloom_screen_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-dedup screening with a Bloom pre-filter: the new
+    batch (doc_id % 5 == 0) is checked against the historical corpus digest
+    set; clear bitmap misses skip the anti-join entirely (no false
+    negatives), might-contain candidates get the exact anti-join. The
+    aggregate output is exact, so the oracle is the plain NOT IN anti-join.
+    Complements dedup_incremental_vs_corpus (LSH band index) for the
+    EXACT-duplicate incremental path."""
+    from nyc_analytics_database_platform_spark.operators.sketches import (
+        bloom_screen_new,
+    )
+
+    docs = load(spark, sf_dir, "documents", parallel=True).withColumn(
+        "digest", F.md5(F.lower(F.trim(F.col("text"))))
+    )
+    hist = docs.filter(F.col("doc_id") % 5 != 0).select("digest")
+    new = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "source", "digest"
+    )
+    return (
+        bloom_screen_new(new, hist, "digest")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_new"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("source")
+    )

@@ -129,3 +129,28 @@ def test_recursive_plan_uses_union_loop(spark, sf_dir):
         .toString()
     )
     assert "UnionLoop" in plan  # native recursive execution, not a manual unroll
+
+
+def test_bloom_screen_exact_and_prunes(spark):
+    from nyc_analytics_database_platform_spark.operators.sketches import (
+        bloom_screen_new,
+    )
+
+    hist = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(500)], "digest string"
+    )
+    # new batch: 100 known dups + 200 genuinely new values
+    new = spark.createDataFrame(
+        [(i, f"doc-{i}") for i in range(100)]
+        + [(1000 + i, f"new-{i}") for i in range(200)],
+        "id long, digest string",
+    )
+    want = {1000 + i for i in range(200)}
+    got = {r["id"] for r in bloom_screen_new(new, hist, "digest").collect()}
+    assert got == want  # exact: all new kept, all dups dropped
+    # tiny filter -> every probe collides -> still exact via the verify join
+    got_tiny = {
+        r["id"]
+        for r in bloom_screen_new(new, hist, "digest", m_bits=64).collect()
+    }
+    assert got_tiny == want
