@@ -365,3 +365,48 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "vec_id")
         .limit(5)
     )
+
+
+@register(
+    "embedding_coverage_audit",
+    oracle="""
+        SELECT CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL
+                    THEN 'matched'
+                    WHEN e.vec_id IS NULL THEN 'missing_embedding'
+                    ELSE 'orphan_embedding' END AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs
+        FROM documents d
+        FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+        GROUP BY status
+        ORDER BY status
+    """,
+    tags=("llm", "integrity", "J-ext"),
+)
+def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline integrity audit: FULL OUTER join of the document
+    corpus against its embedding table, classifying every key as matched /
+    missing_embedding (doc without vector - would silently drop from
+    retrieval) / orphan_embedding (vector without doc - stale index entry).
+    The fan-out-free one-to-one join shuffles both sides once on the key;
+    at 100 TB this is the standard pre-training consistency gate run after
+    every embedding backfill."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    vecs = load(spark, sf_dir, "embeddings").select("vec_id")
+    joined = docs.join(vecs, docs.doc_id == vecs.vec_id, "full_outer")
+    status = (
+        F.when(
+            F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(),
+            "matched",
+        )
+        .when(F.col("vec_id").isNull(), "missing_embedding")
+        .otherwise("orphan_embedding")
+    )
+    return (
+        joined.groupBy(status.alias("status"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("status")
+    )

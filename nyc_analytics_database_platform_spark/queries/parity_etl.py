@@ -419,3 +419,61 @@ def layout_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+@register(
+    "schema_evolution_merged_read",
+    oracle="""
+        WITH gen1 AS (
+            SELECT o_orderkey, o_totalprice, NULL AS priority_tag
+            FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        gen2 AS (
+            SELECT o_orderkey, o_totalprice, o_orderpriority AS priority_tag
+            FROM orders WHERE o_orderkey % 2 = 1
+        ),
+        merged AS (SELECT * FROM gen1 UNION ALL SELECT * FROM gen2)
+        SELECT COALESCE(priority_tag, '<pre-evolution>') AS priority_tag,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS revenue
+        FROM merged
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("S1", "etl", "schema-evolution"),
+)
+def schema_evolution_merged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only schema evolution attested end to end: generation 1 is
+    written WITHOUT the priority_tag column, generation 2 WITH it; a single
+    mergeSchema read returns one frame where pre-evolution rows carry NULL.
+    The aggregate fills those with a sentinel so the oracle (UNION ALL of
+    the two generations) reproduces the exact same grouping. At 100 TB this
+    is the contract that lets a column ship without rewriting history."""
+    from nyc_analytics_database_platform_spark.functions.numeric import exact_sum
+
+    base = _scratch(sf_dir, "orders_evolution")
+    orders = load(spark, sf_dir, "orders")
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(base + "/gen=1")
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderpriority").alias("priority_tag"),
+    ).write.mode("overwrite").parquet(base + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=1", base + "/gen=2"
+    )
+    return (
+        merged.groupBy(
+            F.coalesce("priority_tag", F.lit("<pre-evolution>")).alias(
+                "priority_tag"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("priority_tag")
+    )

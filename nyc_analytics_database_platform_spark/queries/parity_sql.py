@@ -112,3 +112,68 @@ def sql_late_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o.o_orderpriority
         """,
     )
+
+
+_GROUP_BY_ALL_SQL = f"""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           {_REVENUE.replace("l_extendedprice", "o_totalprice").replace("l_discount", "0.0")} AS gross,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ALL
+    ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+@register(
+    "sql_group_by_all_status_priority",
+    oracle="""
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(0.0 * 100) AS BIGINT))
+                   AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS gross,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    tags=("sql-surface", "modern-sql", "A3"),
+)
+def sql_group_by_all_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (modern-SQL shorthand: every non-aggregate select item
+    becomes a grouping key) - same text in both engines; the exact-cents
+    revenue convention keeps the double sum bit-identical."""
+    return sql(spark, sf_dir, _GROUP_BY_ALL_SQL)
+
+
+@register(
+    "sql_bool_aggs_per_nation",
+    oracle="""
+        SELECT c_nationkey,
+               BOOL_AND(c_acctbal > 0) AS all_positive,
+               BOOL_OR(c_acctbal > 9000) AS any_rich,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    tags=("sql-surface", "A-ext"),
+)
+def sql_bool_aggs_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface (bool_and / bool_or - Spark's every/some
+    family): per-nation account-balance invariants. Both are single-pass,
+    map-side-combinable aggregates."""
+    return sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_nationkey,
+               bool_and(c_acctbal > 0) AS all_positive,
+               bool_or(c_acctbal > 9000) AS any_rich,
+               COUNT(*) AS n_customers
+        FROM customer
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """,
+    )
