@@ -415,3 +415,66 @@ def weighted_sample_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", "n_chars", F.round("_k", 9).alias("es_key"))
     )
+
+
+@register(
+    "token_budget_sample",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   len(string_split_regex(lower(trim(text)), '\s+')) AS toks,
+                   md5(CAST(doc_id AS VARCHAR)) AS k
+            FROM documents
+        ),
+        tot AS (SELECT SUM(toks) // 2 AS budget FROM t),
+        r AS (
+            SELECT lang, toks,
+                   SUM(toks) OVER (ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS running_total
+            FROM t
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS tok_sum
+        FROM r, tot
+        WHERE running_total <= budget
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("llm", "sampling", "prefix-sum"),
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample documents up to an exact global token budget (half the corpus)
+    in deterministic md5-of-key order - the reproducible way to cut a
+    fixed-size training slice. The running total comes from
+    operators/prefixsum.bucketed_running_sum: per-bucket totals + broadcast
+    offsets + WITHIN-BUCKET windows, so no single-partition global window
+    anywhere (the oracle's OVER (ORDER BY k) is exactly the shape this
+    replaces at 100 TB). Budget is an exact integer (total // 2), so the
+    cut point is engine-independent."""
+    from nyc_analytics_database_platform_spark.functions.text import ws_tokens
+    from nyc_analytics_database_platform_spark.operators.prefixsum import (
+        bucketed_running_sum,
+    )
+
+    docs = load(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id",
+        "lang",
+        F.size(ws_tokens("text")).alias("toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    with_rt = bucketed_running_sum(docs, "k", "toks")
+    budget = docs.agg(
+        F.expr("sum(toks) div 2").cast("long").alias("_budget")
+    )
+    return (
+        with_rt.crossJoin(F.broadcast(budget))
+        .filter(F.col("running_total") <= F.col("_budget"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("tok_sum"),
+        )
+        .orderBy("lang")
+    )

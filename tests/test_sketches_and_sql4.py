@@ -154,3 +154,51 @@ def test_bloom_screen_exact_and_prunes(spark):
         for r in bloom_screen_new(new, hist, "digest", m_bits=64).collect()
     }
     assert got_tiny == want
+
+
+def test_bucketed_running_sum_equals_global_window(spark):
+    from pyspark.sql import Window
+
+    from nyc_analytics_database_platform_spark.operators.prefixsum import (
+        bucketed_running_sum,
+    )
+
+    df = (
+        spark.range(2000)
+        .select(
+            F.md5(F.col("id").cast("string")).alias("k"),
+            (F.col("id") % 37 + 1).alias("v"),
+        )
+        .repartition(8)
+    )
+    got = {
+        r["k"]: r["running_total"]
+        for r in bucketed_running_sum(df, "k", "v").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["k"]: r["rt"]
+        for r in df.withColumn("rt", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_bucketed_running_sum_no_single_partition_window(spark):
+    """The point of the operator: the window partitions by bucket, so the
+    physical plan must contain a partitioned Window (hashpartitioning on
+    the bucket), never the single-partition global-order exchange."""
+    from nyc_analytics_database_platform_spark.operators.prefixsum import (
+        bucketed_running_sum,
+    )
+
+    df = spark.range(100).select(
+        F.md5(F.col("id").cast("string")).alias("k"), F.lit(1).alias("v")
+    )
+    plan = (
+        bucketed_running_sum(df, "k", "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
