@@ -522,3 +522,103 @@ def tokenize_documents_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(t, x -> x = '{w}')) AS BIGINT) AS tf{i}"
+        for i, w in enumerate(_TFIDF_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN list_contains(t, '{w}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, w in enumerate(_TFIDF_TERMS)
+    )
+    score = " + ".join(
+        f"ln(1.0 + (CAST(cnt AS DOUBLE) - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * ({_BM25_K1} + 1.0))"
+        f" / (tf{i} + {_BM25_K1} * (1.0 - {_BM25_B}"
+        f" + {_BM25_B} * dl / avgdl))"
+        for i in range(len(_TFIDF_TERMS))
+    )
+    return f"""
+        WITH {_TOKS_CTE},
+        lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+        n AS (
+            SELECT COUNT(*) AS cnt,
+                   CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM toks
+        ),
+        df AS (SELECT {df_cols} FROM toks),
+        tf AS (SELECT doc_id, {tf_cols} FROM toks)
+        SELECT tf.doc_id, dl, round({score}, 6) AS score
+        FROM tf
+        JOIN lens ON tf.doc_id = lens.doc_id, n, df
+        ORDER BY tf.doc_id
+    """
+
+
+@register(
+    "text_bm25_scores",
+    oracle=_bm25_oracle(),
+    tags=("llm", "text", "retrieval"),
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance (k1=1.2, b=0.75) of every document to the fixed query
+    terms - TF saturation + document-length normalization on top of the
+    TF-IDF shape. Same determinism discipline as text_tfidf_scores: the
+    corpus stats (N, avgdl, per-term df) are ONE broadcast row, the
+    per-term contributions sum in a fixed order, and round(6) absorbs libm
+    ln() ulp differences.
+
+    Scale: scoring is a single scan (narrow per-row expressions x a
+    broadcast stats row); ranking consumers put TakeOrderedAndProject on
+    top rather than a global sort."""
+    docs = load(spark, sf_dir, "documents", parallel=True).withColumn(
+        "toks", ws_tokens()
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            count_in("toks", [w]).cast("long").alias(f"tf{i}")
+            for i, w in enumerate(_TFIDF_TERMS)
+        ],
+    )
+    stats = docs.agg(
+        F.count("*").alias("cnt"),
+        (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(
+                F.when(F.array_contains("toks", w), 1).otherwise(0)
+            ).alias(f"df{i}")
+            for i, w in enumerate(_TFIDF_TERMS)
+        ],
+    )
+    score = None
+    for i in range(len(_TFIDF_TERMS)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("cnt").cast("double") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        term = (
+            idf
+            * (F.col(f"tf{i}") * F.lit(_BM25_K1 + 1.0))
+            / (
+                F.col(f"tf{i}")
+                + F.lit(_BM25_K1)
+                * (
+                    F.lit(1.0 - _BM25_B)
+                    + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+                )
+            )
+        )
+        score = term if score is None else score + term
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", F.round(score, 6).alias("score"))
+        .orderBy("doc_id")
+    )
