@@ -289,3 +289,95 @@ def ivf_probe2_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "vec_id")
         .limit(5)
     )
+
+
+@register(
+    "ivf_persisted_probe_top5",
+    oracle=f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        cent AS (
+            SELECT label, list(centroid_v ORDER BY dim) AS cv
+            FROM (
+                SELECT label, i AS dim,
+                       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_v
+                FROM embeddings,
+                     unnest(generate_series(1, len(embedding))) AS g(i)
+                GROUP BY label, i
+            )
+            GROUP BY label
+        ),
+        probe AS (
+            SELECT label FROM cent, q
+            ORDER BY list_dot_product(cv, qv) /
+                     (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+                     label
+            LIMIT 1
+        )
+        SELECT vec_id, {_COS_SQL} AS score
+        FROM embeddings, q
+        WHERE label = (SELECT label FROM probe)
+        ORDER BY score DESC, vec_id
+        LIMIT 5
+    """,
+    tags=("llm", "similarity", "ivf", "layout"),
+)
+def ivf_persisted_probe_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index LIFECYCLE: build once, persist, search the files. The
+    inverted cells persist as label-partitioned parquet (label=N
+    directories) and the centroid table beside them; the search reloads
+    both and joins the broadcast 1-row probe on the PARTITION COLUMN, so
+    dynamic partition pruning restricts the scan to the probed cell's
+    directory - the on-disk realization of "IVF reads 1/n_labels of the
+    corpus" (file-level, not just row-group). Same oracle as
+    ivf_probe_top5: persistence must not change a single score."""
+    import hashlib
+    import os
+    import tempfile
+
+    from nyc_analytics_database_platform_spark.operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_ivf", tag)
+    cells_path = os.path.join(base, "cells")
+    cent_path = os.path.join(base, "centroids")
+
+    centroids = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+    )
+    emb.write.mode("overwrite").partitionBy("label").parquet(cells_path)
+    centroids.write.mode("overwrite").parquet(cent_path)
+
+    cells = spark.read.parquet(cells_path)
+    cent = spark.read.parquet(cent_path)
+    q = cells.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select("label", cosine(F.col("cvec"), F.col("qv")).alias("c"))
+        .agg(
+            F.max_by(
+                "label", F.struct(F.col("c"), (-F.col("label")).alias("neg"))
+            ).alias("label")
+        )
+    )
+    return (
+        cells.join(F.broadcast(probe), "label")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(5)
+    )

@@ -202,3 +202,20 @@ def test_bucketed_running_sum_no_single_partition_window(spark):
     )
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_ivf_persisted_probe_uses_dynamic_partition_pruning(spark, sf_dir):
+    """The persisted-cell search must prune at the FILE level: the probed
+    label arrives as a runtime broadcast, so the cells scan has to carry a
+    dynamicpruningexpression partition filter (reads one label=N dir)."""
+    from nyc_analytics_database_platform_spark.queries.llm_ivf import (
+        ivf_persisted_probe_top5,
+    )
+
+    plan = (
+        ivf_persisted_probe_top5(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruningexpression" in plan
