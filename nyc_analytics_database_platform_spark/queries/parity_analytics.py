@@ -386,3 +386,115 @@ def winsorized_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "cohort_retention_matrix",
+    oracle="""
+        WITH activity AS (
+            SELECT user_id, event_type,
+                   CAST(datediff('day', DATE '1970-01-01', ts) AS BIGINT)
+                       AS didx
+            FROM events
+        ),
+        cohorts AS (
+            SELECT user_id, MIN(didx) AS cohort_idx
+            FROM activity WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        joined AS (
+            SELECT c.cohort_idx, a.didx - c.cohort_idx AS offset_d, a.user_id
+            FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+            WHERE a.didx - c.cohort_idx BETWEEN 0 AND 6
+        )
+        SELECT cohort_idx, offset_d,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM joined
+        GROUP BY cohort_idx, offset_d
+        ORDER BY cohort_idx, offset_d
+    """,
+    tags=("analytics", "cohort", "A-ext"),
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-purchase DAY, counted as
+    active on each of the following 7 days (the events table spans one
+    month, so daily grain gives a real matrix). Days are integer epoch-day
+    indexes - exact arithmetic, no date-diff convention drift. Shape: two aggregations and one join on user_id - the
+    self-join-free retention matrix; at 100 TB both aggs and the join
+    shuffle on the same user_id key, so AQE coalesces them into one
+    exchange chain."""
+    events = load(spark, sf_dir, "events")
+    activity = events.select(
+        "user_id",
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("didx"),
+    )
+    cohorts = (
+        activity.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("didx").alias("cohort_idx"))
+    )
+    joined = (
+        activity.join(cohorts, "user_id")
+        .withColumn("offset_d", F.col("didx") - F.col("cohort_idx"))
+        .filter(F.col("offset_d").between(0, 6))
+    )
+    return (
+        joined.groupBy("cohort_idx", "offset_d")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_idx", "offset_d")
+    )
+
+
+@register(
+    "fuzzy_customer_name_pairs",
+    oracle="""
+        WITH named AS (SELECT c_custkey, c_name FROM customer),
+        blocked AS (
+            SELECT substr(c_name, 1, 16) AS block, c_custkey, c_name
+            FROM named
+        ),
+        pairs AS (
+            SELECT a.block, a.c_name AS name_a, b.c_name AS name_b
+            FROM blocked a
+            JOIN blocked b
+              ON a.block = b.block AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        )
+        SELECT block,
+               CAST(COUNT(*) AS BIGINT) AS n_close_pairs,
+               CAST(COUNT(DISTINCT name_a) AS BIGINT) AS n_left_names
+        FROM pairs
+        GROUP BY block
+        ORDER BY block
+    """,
+    tags=("entity-resolution", "fuzzy-join", "J-ext"),
+)
+def fuzzy_customer_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (the record-linkage shape): a cheap BLOCKING
+    key (16-char name prefix) partitions the quadratic candidate space into
+    within-block groups, then the expensive predicate (levenshtein <= 1)
+    runs only inside blocks - the same prune-then-verify discipline as the
+    LSH dedup family, with the standard blocking trade-off that cross-block
+    near-matches are out of scope by design. The equi-join on the block key
+    is a plain hash join; block size bounds the quadratic term (~100 names
+    here), exactly how it must at 100 TB."""
+    named = load(spark, sf_dir, "customer").select(
+        F.substring("c_name", 1, 16).alias("block"), "c_custkey", "c_name"
+    )
+    a, b = named.alias("a"), named.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+    return (
+        pairs.groupBy(F.col("a.block").alias("block"))
+        .agg(
+            F.count("*").alias("n_close_pairs"),
+            F.countDistinct(F.col("a.c_name")).alias("n_left_names"),
+        )
+        .orderBy("block")
+    )
