@@ -44,3 +44,27 @@ def test_entry_under_driver_session(driver_like_spark):
 def test_events_queries_under_driver_session(driver_like_spark, sf_dir, name):
     df = entrymod.queries()[name](driver_like_spark, sf_dir)
     assert len(df.collect()) > 0
+
+
+def test_catalog_load_pins_utc_for_any_table(driver_like_spark, sf_dir):
+    """ENGINE CONTRACT: every catalog load pins the session to UTC (all
+    stored timestamps are naive micros read as LTZ), so date rendering is
+    host-timezone-independent - not just for events, for orders too."""
+    from nyc_analytics_database_platform_spark.catalog import load
+
+    driver_like_spark.conf.set(
+        "spark.sql.session.timeZone", "America/New_York"
+    )
+    try:
+        df = load(driver_like_spark, sf_dir, "orders")
+        assert (
+            driver_like_spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        )
+        from pyspark.sql import functions as F
+
+        first = df.orderBy("o_orderkey").select(
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("d")
+        ).first()["d"]
+        assert first.endswith("00:00:00")  # midnight stays midnight in UTC
+    finally:
+        driver_like_spark.conf.set("spark.sql.session.timeZone", "UTC")
