@@ -207,3 +207,109 @@ def cogroup_nation_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "stats_exact_linear_fit",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sx,
+                   SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       AS DECIMAL(38,0))) AS sy,
+                   SUM(CAST(CAST(l_quantity AS BIGINT)
+                       * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sxx,
+                   SUM(CAST(CAST(l_quantity AS BIGINT)
+                       * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       AS DECIMAL(38,0))) AS sxy,
+                   SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       AS DECIMAL(38,0))) AS syy
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               CAST((n * sxy - sx * sy) AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr,
+               CAST((n * sxy - sx * sy) AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope
+        FROM m
+        ORDER BY l_returnflag
+    """,
+    tags=("stats", "A-ext", "exact-numerics"),
+)
+def stats_exact_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed correlation + regression slope with EXACT moments:
+    built-in corr()/regr_slope() accumulate doubles in partition order (the
+    result changes with partitioning - unusable for cross-engine or even
+    rerun-stable audits). Here every moment (n, Sx, Sy, Sxx, Sxy, Syy) is
+    an exact DECIMAL(38,0) sum of integer quantities and price-cents -
+    order-independent, map-side combinable, one shuffle - and the closed
+    formulas evaluate on doubles cast from identical decimals in a fixed
+    order, so corr and slope are bit-identical across engines with no
+    rounding convention. Slope is cents-per-unit scaled back to currency
+    (/100)."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = "decimal(38,0)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+        F.sum((y * y).cast(dec)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        (num / (F.sqrt(varx) * F.sqrt(vary))).alias("corr"),
+        (num / varx / F.lit(100.0)).alias("slope"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "percentile_disc_price_by_status",
+    oracle="""
+        SELECT o_orderstatus,
+               PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS p90_price,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("stats", "A-ext", "percentile"),
+)
+def percentile_disc_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentile (an actual data value, never interpolated -
+    PERCENTILE_DISC semantics: the first value whose cume_dist >= p).
+    Spark has only the continuous percentile built-in, so this derives the
+    discrete one from rank arithmetic: value at position ceil(p * n) in
+    group order. One shuffle on the group key; the per-group sort is the
+    same work the ordered-set aggregate does in any engine. A data value is
+    exact by construction - no float convention needed."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_orderstatus")).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")))
+        .select(
+            "o_orderstatus",
+            F.col("o_totalprice").alias("p90_price"),
+            F.col("n").cast("long").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
