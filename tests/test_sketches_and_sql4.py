@@ -219,3 +219,36 @@ def test_ivf_persisted_probe_uses_dynamic_partition_pruning(spark, sf_dir):
         .toString()
     )
     assert "dynamicpruningexpression" in plan
+
+
+def test_blocked_fuzzy_join_is_hash_join(spark, sf_dir):
+    """The blocking key must carry the join: an equi hash join on the
+    prefix, never a cartesian/nested-loop over name pairs."""
+    from nyc_analytics_database_platform_spark.queries.parity_analytics import (
+        fuzzy_customer_name_pairs,
+    )
+
+    plan = (
+        fuzzy_customer_name_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "HashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cohort_matrix_join_is_hash_join(spark, sf_dir):
+    from nyc_analytics_database_platform_spark.queries.parity_analytics import (
+        cohort_retention_matrix,
+    )
+
+    plan = (
+        cohort_retention_matrix(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "HashJoin" in plan
+    assert "CartesianProduct" not in plan
