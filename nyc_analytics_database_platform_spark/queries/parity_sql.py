@@ -177,3 +177,40 @@ def sql_bool_aggs_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_nationkey
         """,
     )
+
+
+@register(
+    "sql_pivot_status_counts",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COALESCE("F", 0) AS BIGINT) AS f_cnt,
+               CAST(COALESCE("O", 0) AS BIGINT) AS o_cnt,
+               CAST(COALESCE("P", 0) AS BIGINT) AS p_cnt
+        FROM (PIVOT (SELECT o_orderpriority, o_orderstatus FROM orders)
+              ON o_orderstatus USING COUNT(*))
+        ORDER BY o_orderpriority
+    """,
+    tags=("sql-surface", "pivot", "reshape"),
+)
+def sql_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text PIVOT (the DataFrame twin is pivot_status_by_nation): order
+    counts per priority spread across status columns. The two engines spell
+    PIVOT differently (Spark: PIVOT (agg FOR col IN (...)); DuckDB: PIVOT
+    ... ON col USING agg), so this attests the semantic, not the text - the
+    aligned aliases and zero-fill make the frames identical. Catalyst
+    compiles PIVOT to the same conditional-aggregate plan as the
+    F.when()-based queries: one pass, no reshape shuffle beyond the
+    grouping exchange."""
+    return sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority,
+               coalesce(F, 0) AS f_cnt,
+               coalesce(O, 0) AS o_cnt,
+               coalesce(P, 0) AS p_cnt
+        FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+        PIVOT (COUNT(*) FOR o_orderstatus IN ('F' AS F, 'O' AS O, 'P' AS P))
+        ORDER BY o_orderpriority
+        """,
+    )
