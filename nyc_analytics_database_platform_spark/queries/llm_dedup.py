@@ -360,3 +360,90 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-length discipline."""
     docs = load(spark, sf_dir, "documents")
     return prefix_filter_jaccard_pairs(docs, _JACCARD_T, k=5).orderBy("a_id", "b_id")
+
+
+_RECALL_ORACLE = f"""
+        WITH {_shingle_cte(5)},
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        truth AS (
+            SELECT p.a_id, p.b_id
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.a_id
+            JOIN sizes sb ON sb.doc_id = p.b_id
+            WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter)
+                  >= {_JACCARD_T}
+        ),
+        sig AS (SELECT doc_id, {", ".join(f"MIN(md5('{p}:' || s)) AS m{p}" for p in range(12))}
+                FROM sh GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, bnd,
+                   CASE bnd {" ".join(
+                       "WHEN {b} THEN md5({cat})".format(
+                           b=b, cat=" || ".join(f"m{b * 2 + r}" for r in range(2)))
+                       for b in range(6))} END AS bucket
+            FROM sig, (SELECT unnest(generate_series(0, 5)) AS bnd) g
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+            FROM bands x
+            JOIN bands y ON x.bnd = y.bnd AND x.bucket = y.bucket
+                        AND x.doc_id < y.doc_id
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+                JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id)
+                   AS n_recalled,
+               CAST((SELECT COUNT(*) FROM truth t
+                     JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id)
+                    AS DOUBLE)
+                   / (SELECT COUNT(*) FROM truth) AS recall
+    """
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    oracle=_RECALL_ORACLE,
+    tags=("llm", "dedup", "evaluation"),
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH calibration audit: recall of the production MinHash-LSH
+    candidate generator (12 perms, 6 bands x 2 rows) against the exact
+    5-gram Jaccard >= 0.8 ground truth - the measurement that justifies the
+    banding parameters before pointing the sketch at 100 TB (where the
+    exact baseline is unaffordable; you calibrate on a sample exactly like
+    this). Counts are exact; recall is an exact integer ratio (IEEE
+    division - no rounding convention needed)."""
+    from nyc_analytics_database_platform_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        with_tokens,
+    )
+
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    truth = ngram_jaccard_pairs(docs, _JACCARD_T, k=5).select("a_id", "b_id")
+    sigs = minhash_signatures(with_tokens(docs), num_perm=12, k=5)
+    cand = lsh_candidate_pairs(sigs, num_perm=12, rows_per_band=2)
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_rec = truth.join(cand, ["a_id", "b_id"], "left_semi").agg(
+        F.count("*").alias("n_recalled")
+    )
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_rec)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_recalled",
+            (
+                F.col("n_recalled").cast("double") / F.col("n_truth")
+            ).alias("recall"),
+        )
+    )
