@@ -6,7 +6,7 @@ statistics; reference schema constraints: schema.sql:31-35,43-44,70-73).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
@@ -148,4 +148,125 @@ def observe_lineitem_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         [(m["n_rows"], m["qty_sum"], m["n_returned"])],
         "n_rows long, qty_sum double, n_returned long",
+    )
+
+
+_FP_MOD = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
+
+
+@register(
+    "table_fingerprint_orders",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST('0x' || substr(md5(
+                        CAST(o_orderkey AS VARCHAR) || '|' ||
+                        o_orderstatus || '|' ||
+                        CAST(o_totalprice AS VARCHAR)), 1, 15)
+                    AS UBIGINT)) % {_FP_MOD} AS BIGINT) AS fingerprint
+        FROM orders
+    """,
+    tags=("profile", "integrity", "fingerprint"),
+)
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint that SCALES: per-row md5 -> top
+    60 bits as an integer -> modular SUM. Unlike the sorted-string-agg
+    digest (etl_orc_roundtrip), nothing is collected or sorted - the
+    fingerprint is a map-side-combinable aggregate over any partitioning,
+    the one-number integrity check you can afford on every 100 TB snapshot
+    (compare fingerprints across replicas/engines before trusting a diff).
+    Hex->int via conv() here and '0x' cast in DuckDB; the 2^61-1 modulus
+    keeps the exact sum inside BIGINT on both engines."""
+    orders = load(spark, sf_dir, "orders")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("string"),
+    )
+    h60 = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        (F.sum(h60) % F.lit(_FP_MOD)).cast("long").alias("fingerprint"),
+    )
+
+
+@register(
+    "join_key_skew_report",
+    oracle="""
+        WITH li AS (
+            SELECT COUNT(*) AS sz FROM lineitem GROUP BY l_orderkey
+        ),
+        oc AS (
+            SELECT COUNT(*) AS sz FROM orders GROUP BY o_custkey
+        )
+        SELECT 'lineitem.l_orderkey' AS join_key,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(sz) AS BIGINT) AS max_size,
+               CAST(PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY sz)
+                    AS BIGINT) AS p99_size,
+               CAST(MAX(sz) AS DOUBLE) / SUM(sz) AS max_share
+        FROM li
+        UNION ALL
+        SELECT 'orders.o_custkey',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(MAX(sz) AS BIGINT),
+               CAST(PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY sz)
+                    AS BIGINT),
+               CAST(MAX(sz) AS DOUBLE) / SUM(sz)
+        FROM oc
+        ORDER BY join_key
+    """,
+    tags=("profile", "skew", "planning"),
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic - the measurement behind the
+    salt-or-don't-salt decision (operators/joins.salted_join, AQE skew
+    thresholds): per candidate key, group-size max / p99 / max-share. Two
+    aggregations per key (sizes, then stats over sizes - both shuffles on
+    small intermediates); p99 is PERCENTILE_DISC semantics computed from
+    the size-value histogram (bounded by max group size, so the ordering
+    window runs on metadata, never on the billion-key frame), max_share an
+    IEEE-exact division."""
+
+    def audit(df: DataFrame, col: str, label: str) -> DataFrame:
+        sizes = df.groupBy(col).agg(F.count("*").alias("sz"))
+        # Exact discrete p99 WITHOUT ordering the per-key frame (keys can be
+        # billions at 100 TB): aggregate sizes into a size-VALUE histogram
+        # (cardinality bounded by max group size - metadata scale), then a
+        # cumulative window over that tiny frame picks the first size whose
+        # cumulative key-count reaches ceil(0.99 * n_keys).
+        hist = sizes.groupBy("sz").agg(F.count("*").alias("cnt"))
+        w = Window.orderBy("sz").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = hist.select(
+            "sz",
+            F.sum("cnt").over(w).alias("cum"),
+            F.sum("cnt").over(Window.partitionBy()).alias("n"),
+        )
+        p99 = (
+            cum.filter(F.col("cum") >= F.ceil(F.lit(0.99) * F.col("n")))
+            .agg(F.min("sz").alias("p99_size"))
+        )
+        stats = sizes.agg(
+            F.count("*").alias("n_keys"),
+            F.max("sz").alias("max_size"),
+            (F.max("sz").cast("double") / F.sum("sz")).alias("max_share"),
+        )
+        return stats.crossJoin(F.broadcast(p99)).select(
+            F.lit(label).alias("join_key"),
+            "n_keys",
+            "max_size",
+            "p99_size",
+            "max_share",
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        audit(li, "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(audit(orders, "o_custkey", "orders.o_custkey"))
+        .orderBy("join_key")
     )
