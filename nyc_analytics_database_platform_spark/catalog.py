@@ -74,6 +74,19 @@ def load(
     # custom timezone for subsequent LTZ rendering.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Memoize the (lazy, immutable) DataFrame per session: every load pays
+    # a driver-side parquet footer read for schema inference plus a file
+    # listing - pure fixed overhead when the same table is loaded by dozens
+    # of queries in one session (bench/driver/tests). The cache lives ON
+    # the session object so a fresh driver session starts clean; conf
+    # pinning above stays unconditional.
+    cache = getattr(spark, "_nadb_load_cache", None)
+    if cache is None:
+        cache = {}
+        spark._nadb_load_cache = cache  # type: ignore[attr-defined]
+    ck = (sf_dir, name, parallel)
+    if ck in cache:
+        return cache[ck]
     df = spark.read.parquet(table_path(sf_dir, name))
     if parallel:
         # File count is a driver-side lookup (no job, no RDD conversion -
@@ -97,6 +110,7 @@ def load(
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
             )
+    cache[ck] = df
     return df
 
 

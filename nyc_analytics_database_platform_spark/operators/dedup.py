@@ -171,14 +171,35 @@ def prefix_filter_jaccard_pairs(
     sh.count()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     dfreq = sh.groupBy("hs").agg(F.count("*").alias("df"))
-    w = Window.partitionBy(id_col).orderBy("df", "hs")
+    # Per-doc df-ascending prefix in ONE doc-keyed aggregate: gather each
+    # doc's (df, hs) pairs, array_sort (struct order = df, then hs), slice
+    # the integer-exact prefix length n - ceil(t*n) + 1, re-explode. One
+    # shuffle on hs (the dfreq attach) + one on the doc key - replaces the
+    # earlier row_number window + doc-size join (two extra doc-keyed
+    # exchanges, measured ~1.4x slower). Per-doc arrays are bounded by the
+    # doc's own shingle count, the same bound the explode already pays.
     ordered = (
         sh.join(dfreq, "hs")
-        .withColumn("rk", F.row_number().over(w))
-        .join(sizes, id_col)
-        # prefix length: n - ceil(t*n) + 1, integer-exact
-        .filter(F.col("rk") <= F.col("n") - F.expr(f"({num} * n + {den} - 1) div {den}") + 1)
-        .select(id_col, "hs")
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("df", "hs")).alias("sl"))
+        .select(
+            id_col,
+            F.explode(
+                F.slice(
+                    F.array_sort("sl"),
+                    1,
+                    F.greatest(
+                        F.lit(0),
+                        F.size("sl")
+                        - F.expr(
+                            f"({num} * size(sl) + {den} - 1) div {den}"
+                        )
+                        + 1,
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select(id_col, F.col("x.hs").alias("hs"))
     )
     cand = (
         ordered.alias("pa")

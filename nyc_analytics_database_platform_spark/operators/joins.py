@@ -91,6 +91,51 @@ def salted_join(
     return joined.drop("_salt")
 
 
+def key_max_share(df: DataFrame, on: str) -> float:
+    """Fraction of rows held by the single hottest `on` key - the number
+    the salt-or-don't-salt decision consults (same statistic as the
+    join_key_skew_report query's max_share). Two small aggregates; at
+    100 TB this is a planning probe you run once per pipeline (or read
+    from the stats/skew report), not per query."""
+    row = (
+        df.groupBy(on)
+        .agg(F.count("*").alias("_sz"))
+        .agg(
+            (F.max("_sz").cast("double") / F.sum("_sz")).alias("_share")
+        )
+        .collect()[0]
+    )
+    return float(row["_share"]) if row["_share"] is not None else 0.0
+
+
+def maybe_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_by: str,
+    n_salts: int = 8,
+    share_threshold: float = 0.05,
+    measured_share: float | None = None,
+) -> DataFrame:
+    """Skew-aware equi-join: consult the measured hot-key share of the left
+    side (pass `measured_share` from a stats report such as
+    join_key_skew_report, or let this probe it via key_max_share) and pick
+    plain vs salted execution. Result set is IDENTICAL either way - only
+    the shuffle distribution changes (property-tested in
+    tests/test_round3_ops.py).
+
+    Default threshold 0.05: with the session's 32 shuffle partitions a key
+    holding >= 5% of rows makes one reducer >= 1.6x the average - the point
+    where AQE skew splitting would also kick in. Salting costs an n_salts x
+    replication of the right side, so it must not be the default path."""
+    share = (
+        key_max_share(left, on) if measured_share is None else measured_share
+    )
+    if share >= share_threshold:
+        return salted_join(left, right, on, salt_by, n_salts)
+    return left.join(right, on)
+
+
 def range_band_join(
     fact: DataFrame,
     bands: DataFrame,

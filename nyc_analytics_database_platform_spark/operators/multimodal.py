@@ -6,10 +6,14 @@ The pattern for image/audio/video at 100 TB: the payload is an opaque
 struct beside it; decode / feature-extract / resize / frame-sample run as
 mapInPandas stages so each Python worker processes whole Arrow batches.
 
-The actual codec libraries (PIL, ffmpeg, soundfile) are NOT available in
-this environment, so the decode step is stubbed two ways:
-- `decode_image` / `sample_video_frames` / `resample_audio` raise
-  NotImplementedError with the exact production signature documented;
+Codec availability is an OPTIONAL dependency, adapter-style:
+- `decode_image` uses Pillow when importable (the real kernel) and falls
+  back to a deterministic md5-derived fake with the IDENTICAL output
+  schema - both paths are contract-tested, and the real path's test is
+  env-gated (skips where Pillow is absent, like test_tws.py);
+- `sample_video_frames` / `resample_audio` still raise
+  NotImplementedError with the exact production signature documented
+  (no av/soundfile anywhere to adapt to);
 - `fake_decode_features` is the deterministic stand-in used by tests and
   the oracle: pseudo-features derived from the payload's md5 (so the
   Spark-side plumbing - schema, batching, partitioning - is fully real
@@ -142,14 +146,104 @@ def plan_frame_extraction(
     )
 
 
-def decode_image(media_df: DataFrame, target_size: tuple[int, int]) -> DataFrame:
-    """Production signature: decode + resize image payloads to
-    (id, pixels array<float>, width, height). Requires an image codec
-    (e.g. PIL) - not available in this environment."""
-    raise NotImplementedError(
-        "image codec not available in this environment; production kernel: "
-        "mapInPandas(batch -> PIL.Image.open(io.BytesIO(b)).resize(target_size))"
-    )
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def have_image_codec() -> bool:
+    """True when Pillow is importable (driver-side probe; on a real cluster
+    the executors' env must match - ship the dep in the image/venv)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(
+    media_df: DataFrame,
+    target_size: tuple[int, int],
+    use_codec: bool | None = None,
+) -> DataFrame:
+    """Decode + resize image payloads to DECODED_IMAGE_SCHEMA:
+    (doc_id, width, height, channels, pixels array<float> of
+    width*height*3 RGB values in [0,1], row-major).
+
+    Kernel selection: the REAL path (Pillow, when importable and the
+    payloads are actual encoded images) and the deterministic FAKE fallback
+    (md5-derived pixels, works on any payload) produce the SAME schema and
+    batch shape, so every downstream stage - and the contract test - is
+    identical either way. `use_codec=None` auto-detects via
+    have_image_codec(); pass False to force the fake (e.g. for plumbing
+    tests on non-image payloads while Pillow is installed).
+
+    Both kernels are mapInPandas (Arrow-batched); at 100 TB decode is
+    embarrassingly parallel and the only knobs are batch size
+    (spark.sql.execution.arrow.maxRecordsPerBatch vs payload size) and
+    partition sizing so a batch of decoded float arrays fits worker
+    memory."""
+    if use_codec is None:
+        use_codec = have_image_codec()
+    w, h = target_size
+
+    if use_codec:
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            from PIL import Image
+
+            for pdf in batches:
+                pixels = []
+                for b in pdf["media"]:
+                    img = (
+                        Image.open(io.BytesIO(bytes(b)))
+                        .convert("RGB")
+                        .resize((w, h))
+                    )
+                    pixels.append(
+                        [p / 255.0 for px in img.getdata() for p in px]
+                    )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "width": w,
+                        "height": h,
+                        "channels": 3,
+                        "pixels": pixels,
+                    }
+                )
+
+    else:
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            n = w * h * 3
+            for pdf in batches:
+                pixels = []
+                for b in pdf["media"]:
+                    d = hashlib.md5(bytes(b)).digest()
+                    pixels.append(
+                        [d[i % len(d)] / 255.0 for i in range(n)]
+                    )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "width": w,
+                        "height": h,
+                        "channels": 3,
+                        "pixels": pixels,
+                    }
+                )
+
+    return media_df.mapInPandas(kernel, DECODED_IMAGE_SCHEMA)
 
 
 def sample_video_frames(media_df: DataFrame, fps: float) -> DataFrame:

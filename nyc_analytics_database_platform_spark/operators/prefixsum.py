@@ -40,9 +40,11 @@ def bucketed_running_sum(
     bucket = F.substring(key_col, 1, prefix_len).alias("_bucket")
     rows = df.withColumn("_bucket", bucket)
 
+    # coalesce: a bucket whose values are all NULL sums to NULL; treat it
+    # as contributing 0 to downstream offsets instead of crashing int(None).
     totals = (
         rows.groupBy("_bucket")
-        .agg(F.sum(value_col).alias("_bucket_total"))
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("_bucket_total"))
         .collect()
     )
     offset_of: dict[str, int] = {}

@@ -108,10 +108,10 @@ def pack_sequences(
     straddles a boundary starts the next fill (its overflow is the
     truncation/continuation policy applied downstream).
 
-    The global window here is the exact-oracle formulation; at 100 TB
-    packing runs per shard (repartition on shard id, window PARTITION BY
-    shard) - each shard is one training-data file, so a global prefix sum
-    is never actually needed.
+    The global window here is the exact-oracle formulation; the 100 TB
+    variant is pack_sequences_sharded below (window PARTITION BY shard) -
+    each shard is one training-data file, so a global prefix sum is never
+    actually needed.
     """
     w = Window.orderBy("_ord").rowsBetween(Window.unboundedPreceding, -1)
     return (
@@ -120,6 +120,52 @@ def pack_sequences(
             shuffle_order(F.col(key_col)).alias("_ord"),
             token_count.alias("n_tokens"),
         )
+        .withColumn(
+            "bin_id",
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                / F.lit(context_tokens)
+            ),
+        )
+        .drop("_ord")
+    )
+
+
+def pack_sequences_sharded(
+    docs: DataFrame,
+    context_tokens: int,
+    token_count: Column,
+    n_shards: int = 16,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """The SCALE formulation of sequence packing: documents are hash-sharded
+    (first hex digit(s) of the md5 order key, so shard membership is as
+    deterministic as the order itself), and the prefix-sum window runs
+    PARTITION BY shard - every partition packs independently, no
+    single-partition stage anywhere (each shard is one training-data file;
+    bins are local to their shard, which is exactly how packed pre-training
+    files are laid out). Output adds (shard, bin_id).
+
+    n_shards must be a power of 16 subdivision expressible as a hex prefix
+    (16, 256, ...); 16^p shards uses a p-char prefix. At 100 TB pick the
+    prefix so each shard's token total fits one output file."""
+    import math
+
+    p = round(math.log(n_shards, 16))
+    if 16**p != n_shards:
+        raise ValueError(f"n_shards must be a power of 16, got {n_shards}")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(
+            F.col(key_col),
+            shuffle_order(F.col(key_col)).alias("_ord"),
+            token_count.alias("n_tokens"),
+        )
+        .withColumn("shard", F.substring("_ord", 1, p))
         .withColumn(
             "bin_id",
             F.floor(

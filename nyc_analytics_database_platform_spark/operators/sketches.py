@@ -37,7 +37,14 @@ def misra_gries_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
     The batched decrement (subtract the (capacity+1)-th largest counter
     from all, drop the non-positive) is a run of classic MG decrement
     steps, so the standard error bound n_p/capacity per partition holds.
+
+    NULL keys are OUT OF SCOPE and dropped up front: pandas value_counts
+    skips NaN and an equi-join never matches NULL anyway, so without the
+    explicit filter a NULL key carrying > phi of traffic would be silently
+    omitted. Callers that care about NULL traffic should count it
+    separately (one `df.filter(col.isNull()).count()`).
     """
+    df = df.filter(F.col(col).isNotNull())
     field = df.schema[col]
     out_schema = f"{col} {field.dataType.simpleString()}"
 
@@ -66,7 +73,10 @@ def heavy_hitters(
 
     `capacity` defaults to ceil(1/phi), the smallest MG capacity whose
     superset guarantee covers the phi threshold. Output: (col, n_rows)
-    with exact counts, ordered by count desc then value."""
+    with exact counts, ordered by count desc then value. NULL keys are out
+    of scope (dropped by the sketch pass; see misra_gries_candidates) -
+    the denominator still counts every row, matching a GROUP BY/HAVING
+    oracle that excludes the NULL group."""
     if capacity is None:
         capacity = int(1.0 / phi) + 1
     if capacity * phi < 1.0:

@@ -81,7 +81,10 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregate - NO join back: exactly one occurrence of each distinct
     span survives, so the argmin output IS the kept set and (doc_id, pos)
     unpack arithmetically from the packed 8-byte key. Reassembly sorts only
-    within each document's own kept spans."""
+    within each document's own kept spans. The per-doc span TOTAL is pure
+    arithmetic on the token count (ceil(len/8) = (len-1) div 8 + 1), so the
+    totals branch never touches the explode - one narrow scan instead of a
+    second tokenize+explode+shuffle of the whole corpus."""
     docs = with_tokens(load(spark, sf_dir, "documents", parallel=True))
     spans = docs.select(
         "doc_id",
@@ -118,7 +121,13 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_text"),
         )
     )
-    totals = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    # sequence(1, len, 8) generates floor((len-1)/8)+1 starts (len >= 1
+    # always: splitting an empty string yields ['']), so the span count is
+    # arithmetic on size(toks) - no second explode, no shuffle.
+    totals = docs.select(
+        "doc_id",
+        F.expr(f"(size(toks) - 1) div {_SPAN} + 1").cast("long").alias("n_spans"),
+    )
     return (
         totals.join(kept, "doc_id", "left")
         .select(

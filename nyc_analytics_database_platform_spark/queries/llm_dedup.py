@@ -88,12 +88,13 @@ _JACCARD_ORACLE = f"""
     "dedup_ngram_jaccard_pairs",
     oracle=_JACCARD_ORACLE,
     tags=("llm", "dedup"),
-    bench=True,
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-gram Jaccard near-dup pairs (threshold 0.8) - the correctness
     baseline that MinHash approximates. Quadratic in docs sharing a shingle;
-    run it to calibrate LSH parameters, not at full scale."""
+    run it to calibrate LSH parameters, not at full scale (hence not in the
+    headline bench set - the production path dedup_jaccard_prefix_filter is
+    benched instead; this baseline stays oracle-checked at sf0.01)."""
     docs = load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, _JACCARD_T, k=5).orderBy("a_id", "b_id")
 
@@ -347,6 +348,7 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_jaccard_prefix_filter",
     oracle=_JACCARD_ORACLE,
     tags=("llm", "dedup", "prefix-filter"),
+    bench=True,
 )
 def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard pairs (threshold 0.8) via PREFIX-FILTERED candidate

@@ -20,6 +20,7 @@ from nyc_analytics_database_platform_spark.operators.sampling import (
     deterministic_sample,
     hex_threshold,
     pack_sequences,
+    pack_sequences_sharded,
     shuffle_order,
     split_column,
     stratified_sample,
@@ -204,6 +205,53 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("bin_tokens"),
         )
         .orderBy("bin_id")
+    )
+
+
+@register(
+    "sequence_packing_bins_sharded",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ord,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                   len({_TOKS}) AS n_tokens
+            FROM documents
+        ),
+        packed AS (
+            SELECT shard, n_tokens,
+                   CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard
+                       ORDER BY ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / {_CONTEXT}) AS BIGINT) AS bin_id
+            FROM t
+        )
+        SELECT shard, bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        FROM packed
+        GROUP BY shard, bin_id
+        ORDER BY shard, bin_id
+    """,
+    tags=("llm", "sampling", "packing", "scale"),
+)
+def sequence_packing_bins_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production packing path: documents hash-shard on the first hex
+    digit of their order key and pack WITHIN each shard
+    (operators/sampling.pack_sequences_sharded) - the window is PARTITION BY
+    shard, so every partition packs independently and no single-partition
+    window exists anywhere in the plan (each shard is one training file;
+    the global-order twin sequence_packing_bins is the exact-oracle
+    calibration formulation)."""
+    docs = with_tokens(load(spark, sf_dir, "documents", parallel=True))
+    packed = pack_sequences_sharded(docs, _CONTEXT, F.size("toks"), n_shards=16)
+    return (
+        packed.groupBy("shard", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("shard", "bin_id")
     )
 
 

@@ -161,7 +161,8 @@ _FP_MOD = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
                CAST(SUM(CAST('0x' || substr(md5(
                         CAST(o_orderkey AS VARCHAR) || '|' ||
                         o_orderstatus || '|' ||
-                        CAST(o_totalprice AS VARCHAR)), 1, 15)
+                        CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR)), 1, 15)
                     AS UBIGINT)) % {_FP_MOD} AS BIGINT) AS fingerprint
         FROM orders
     """,
@@ -175,13 +176,17 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-number integrity check you can afford on every 100 TB snapshot
     (compare fingerprints across replicas/engines before trusting a diff).
     Hex->int via conv() here and '0x' cast in DuckDB; the 2^61-1 modulus
-    keeps the exact sum inside BIGINT on both engines."""
+    keeps the exact sum inside BIGINT on both engines. The money column is
+    canonicalized to integer cents (ROUND(x*100) AS BIGINT - the repo's
+    cents convention) before hashing: double->string rendering diverges
+    between JDK and DuckDB at >= 1e7 ('1.0E7' vs '10000000.0'), so the
+    fingerprint never hashes a float's string form."""
     orders = load(spark, sf_dir, "orders")
     row_repr = F.concat_ws(
         "|",
         F.col("o_orderkey").cast("string"),
         F.col("o_orderstatus"),
-        F.col("o_totalprice").cast("string"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
     )
     h60 = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast(
         "decimal(38,0)"

@@ -82,7 +82,15 @@ def stream_stateful_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # availableNow should drain in seconds; a timeout means a partially
+    # drained sink, and proceeding would silently return undercounted
+    # state - fail loudly instead.
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stateful user-counter stream did not drain within 300s; "
+            "memory sink would be partial"
+        )
     return (
         spark.table(name)
         .groupBy("user_id")

@@ -118,11 +118,13 @@ def test_multimodal_fake_decode_deterministic(spark):
     assert feats["channels"] == 1 + (0x5 % 4)
 
 
-def test_multimodal_real_codecs_are_stubbed(spark):
+def test_multimodal_codec_stubs_and_adapter(spark):
+    """Video/audio codecs stay documented stubs; image decode is an adapter
+    since round 3 (Pillow when importable, deterministic fake fallback -
+    contract-tested in tests/test_r3_scale_ops.py), so it must NOT raise."""
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     media = as_media_table(docs)
-    with pytest.raises(NotImplementedError):
-        decode_image(media, (224, 224))
+    assert decode_image(media, (2, 2), use_codec=False).count() == 1
     with pytest.raises(NotImplementedError):
         sample_video_frames(media, 1.0)
     with pytest.raises(NotImplementedError):
