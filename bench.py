@@ -85,13 +85,22 @@ def _scale_crossover(spark, specs) -> dict | None:
             factor=5,
         )
         sel = {n: specs[n] for n in _CROSSOVER if n in specs}
+        # Same methodology as the main block (run twice, report min, clear
+        # cache between queries): run 1 pays codegen + populates operator-
+        # internal cached intermediates (durable artifacts at production
+        # scale - e.g. the LSH band index), run 2 is the sustained cost.
+        # Without this the crossover would compare a COLD sf0.5 run against
+        # the WARM sf0.1 number and invert the scaling story.
         timings: dict[str, float] = {}
         for name, spec in sel.items():
-            t0 = time.perf_counter()
-            spec.fn(spark, big_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.fn(spark, big_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
             spark.catalog.clearCache()
-        duck = _duckdb_timings(sel, big_dir, runs=1)
+        duck = _duckdb_timings(sel, big_dir, runs=2)
         vs = {
             n: round(timings[n] / duck[n], 2)
             for n in timings
