@@ -60,6 +60,8 @@ def _duckdb_timings(
 _CROSSOVER = (
     "corpus_span_dedup",
     "dedup_minhash_clusters",
+    "dedup_simhash_pairs_bucketed",
+    "dedup_jaccard_prefix_filter",
     "pagerank_trade_graph",
     "tpch_q21_waiting_suppliers",
     "curation_funnel_report",

@@ -10,9 +10,11 @@ decomposed with the native codec.
 
 At 100 TB of addresses the dimension is the full geocode snapshot and the
 join is a plain broadcast/shuffle hash join - no per-row HTTP path at all.
-If an online lookup is unavoidable, `enrich_addresses_online` shows the
-batched mapInPandas shape with a pluggable resolver (the real HTTP client
-isn't available here, so the default resolver consults the same static dim).
+If an online lookup is unavoidable, `enrich_addresses_online` is the batched
+mapInPandas shape with a pluggable resolver; `urllib_transport` is the real
+(stdlib, dependency-free) live HTTP transport behind it - hermetic tests
+inject a fake opener, production injects credentials via extra_params.
+The default resolver consults the same static dim (no network in tests).
 """
 
 from __future__ import annotations
@@ -132,6 +134,48 @@ def http_resolver(transport: Transport) -> Resolver:
         )
 
     return resolve
+
+
+def urllib_transport(
+    base_url: str,
+    extra_params: dict[str, str] | None = None,
+    timeout: float = 5.0,
+    opener: Callable | None = None,
+) -> Transport:
+    """A REAL, dependency-free Transport over stdlib urllib - the live half
+    of the hermetic/live split (the reference does the same GET with
+    `requests`, server.py:84-97, 5s timeout).
+
+    `base_url` is the Geoclient-style address endpoint; `extra_params`
+    carries deployment credentials (e.g. a subscription key) so no secret
+    lives in engine code. `opener` is injectable (signature of
+    urllib.request.urlopen) so the transport's encoding/status/JSON
+    handling is contract-testable without a network; production leaves it
+    None. Timeouts and HTTP errors resolve to a non-200 status, which
+    http_resolver maps to a NULL key (the reference's None branch) - an
+    executor never crashes on a flaky lookup."""
+    import json as _json
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    def transport(params: dict[str, str]) -> tuple[int, dict]:
+        q = dict(params)
+        if extra_params:
+            q.update(extra_params)
+        url = f"{base_url}?{urllib.parse.urlencode(q)}"
+        open_fn = opener or urllib.request.urlopen
+        try:
+            with open_fn(url, timeout=timeout) as resp:
+                status = getattr(resp, "status", 200)
+                body = resp.read()
+            return status, _json.loads(body.decode("utf-8"))
+        except urllib.error.HTTPError as e:  # non-2xx with a status
+            return e.code, {}
+        except Exception:  # timeout, DNS, malformed JSON, ...
+            return 599, {}
+
+    return transport
 
 
 def enrich_addresses_online(

@@ -41,12 +41,29 @@ _FACT_KEYS: dict[str, dict[str, str]] = {
 _DIMS = ("region", "nation")
 
 
+def _src_signature(src_dir: str, factor: int) -> str:
+    """Fingerprint of the source parquet set (name/size/mtime) + factor.
+    The driver REGENERATES /root/testdata between rounds, so a cached
+    replica must be invalidated whenever the source bytes change."""
+    parts = [f"factor={factor}"]
+    for name in sorted((*_FACT_KEYS, *_DIMS)):
+        p = os.path.join(src_dir, f"{name}.parquet")
+        st = os.stat(p)
+        parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
+
+
 def build_scaled(src_dir: str, out_dir: str, factor: int) -> str:
     """Replicate src_dir's tables `factor` times into out_dir (skips the
-    build if out_dir is already populated). Returns out_dir."""
+    build if out_dir already holds a replica of THIS source - the marker
+    records a source fingerprint, so regenerated testdata forces a
+    rebuild). Returns out_dir."""
     marker = os.path.join(out_dir, "_SCALED_OK")
+    sig = _src_signature(src_dir, factor)
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as f:
+            if f.read().strip() == sig:
+                return out_dir
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     try:
@@ -99,7 +116,7 @@ def build_scaled(src_dir: str, out_dir: str, factor: int) -> str:
     finally:
         con.close()
     with open(marker, "w") as f:
-        f.write(f"src={src_dir} factor={factor}\n")
+        f.write(sig + "\n")
     return out_dir
 
 

@@ -105,3 +105,68 @@ def test_enrich_addresses_online_with_http_adapter(spark):
     # (the reference dereferences the None and crashes, server.py:461,468)
     assert rows["500"]["key_code"] is None
     assert rows["500"]["borough_code"] is None
+
+
+def test_urllib_transport_contract_with_fake_opener():
+    """The stdlib-urllib live transport: query encoding, credential params,
+    JSON decode, HTTP error -> non-200, exception -> 599. No network - the
+    opener is injected (production passes none and gets urllib.request)."""
+    import io
+    import json
+    import urllib.error
+
+    from nyc_analytics_database_platform_spark.sources.geocode import (
+        http_resolver,
+        urllib_transport,
+    )
+
+    seen_urls = []
+
+    class FakeResp(io.BytesIO):
+        status = 200
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_opener(url, timeout=None):
+        seen_urls.append(url)
+        assert timeout == 5.0
+        if "ERROR+AVE" in url or "ERROR%20AVE" in url:
+            raise urllib.error.HTTPError(url, 500, "boom", {}, None)
+        if "TIMEOUT" in url:
+            raise TimeoutError("slow upstream")
+        return FakeResp(
+            json.dumps({"address": {"bbl": "4114580029"}}).encode()
+        )
+
+    t = urllib_transport(
+        "https://example.test/geoclient/v2/address.json",
+        extra_params={"key": "deployment-secret"},
+        opener=fake_opener,
+    )
+    status, payload = t(
+        {"houseNumber": "88-08", "street": "151ST AVE", "borough": "QUEENS"}
+    )
+    assert status == 200
+    assert payload["address"]["bbl"] == "4114580029"
+    assert "key=deployment-secret" in seen_urls[0]  # creds injected, not hardcoded
+    assert t({"houseNumber": "1", "street": "ERROR AVE", "borough": "BRONX"})[0] == 500
+    assert t({"houseNumber": "1", "street": "TIMEOUT", "borough": "BRONX"})[0] == 599
+
+    # end-to-end through the resolver: BBL -> key code, errors -> None
+    resolve = http_resolver(t)
+    import pandas as pd
+
+    out = resolve(
+        pd.DataFrame(
+            {
+                "house_number": ["88-08", "1"],
+                "street": ["151st Ave", "Error Ave"],
+                "borough": ["Queens", "Bronx"],
+            }
+        )
+    )
+    assert list(out) == ["4-11458-0029", None]
