@@ -229,3 +229,22 @@ def test_bucketed_running_sum_all_null_bucket(spark):
     }
     assert out["01bbb"] == 5
     assert out["01ccc"] == 12
+
+
+def test_prefix_filter_plan_has_no_window(spark, sf_dir):
+    """The round-3 rework replaced the row_number window with a doc-keyed
+    aggregate; a WindowExec reappearing would mean the extra exchange is
+    back."""
+    from nyc_analytics_database_platform_spark.catalog import load
+    from nyc_analytics_database_platform_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    plan = (
+        prefix_filter_jaccard_pairs(docs, 0.8, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan[:2000]
