@@ -10,7 +10,11 @@ from pyspark.sql import types as T
 
 from nyc_analytics_database_platform_spark.catalog import load
 from nyc_analytics_database_platform_spark.functions.numeric import ORACLE_SUM, exact_sum
-from nyc_analytics_database_platform_spark.operators.joins import asof_join, range_band_join
+from nyc_analytics_database_platform_spark.operators.joins import (
+    asof_join,
+    maybe_salted_join,
+    range_band_join,
+)
 from nyc_analytics_database_platform_spark.registry import register
 
 
@@ -250,4 +254,53 @@ def nullsafe_join_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k.bucket")
         .agg(F.count("*").alias("n_events"))
         .orderBy(F.col("bucket").asc_nulls_first())
+    )
+
+
+@register(
+    "salted_join_priority_revenue",
+    oracle="""
+        SELECT o.o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                    AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY priority
+        ORDER BY priority
+    """,
+    tags=("J-ext", "skew", "salted"),
+)
+def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-resistant join path under full attestation: the fact-to-fact
+    lineitem x orders join executed through maybe_salted_join with the
+    salted branch FORCED (measured_share=1.0), proving the salt/replicate/
+    join/drop pipeline is result-identical to the plain equi-join the
+    oracle runs. Production consults the measured hot-key share instead
+    (join_key_skew_report / key_max_share decides; this testdata is
+    near-uniform, so the forced branch is what makes the salted plan
+    observable). Revenue uses the exact integer cents x percent discipline;
+    salting only redistributes rows, and integer-unit sums are
+    order-independent, so redistribution cannot perturb the value."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    rev_c4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    ).cast("decimal(38,0)")
+    joined = maybe_salted_join(
+        li, orders, "l_orderkey", salt_by="l_linenumber", measured_share=1.0
+    )
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(rev_c4).cast("double") / 1e4).alias("revenue"),
+        )
+        .orderBy("priority")
     )
