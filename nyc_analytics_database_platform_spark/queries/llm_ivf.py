@@ -381,3 +381,179 @@ def ivf_persisted_probe_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "vec_id")
         .limit(5)
     )
+
+
+_NQ = 8  # audit query set: vec_id < _NQ
+_RK = 10  # recall@k
+
+
+@register(
+    "ivf_recall_audit",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_NQ}),
+        cent AS (
+            SELECT label, list(cv ORDER BY dim) AS cv FROM (
+                SELECT label, i AS dim,
+                       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+                FROM embeddings,
+                     unnest(generate_series(1, len(embedding))) AS g(i)
+                GROUP BY label, i
+            ) GROUP BY label
+        ),
+        probes AS (
+            SELECT q_id, label,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, label) AS pr
+            FROM (
+                SELECT q.q_id, c.label,
+                       list_dot_product(c.cv, q.qv) /
+                       (sqrt(list_dot_product(c.cv, c.cv))
+                        * sqrt(list_dot_product(q.qv, q.qv))) AS cs
+                FROM cent c CROSS JOIN q
+            )
+        ),
+        scores AS (
+            SELECT q.q_id, e.vec_id, e.label,
+                   round(list_dot_product(e.v, q.qv) /
+                         (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+            FROM e CROSS JOIN q
+            WHERE e.vec_id <> q.q_id
+        ),
+        bf AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY q_id ORDER BY score DESC, vec_id) AS r
+                FROM scores
+            ) WHERE r <= {_RK}
+        ),
+        ivf1 AS (
+            SELECT q_id, vec_id FROM (
+                SELECT s.q_id, s.vec_id,
+                       row_number() OVER (
+                           PARTITION BY s.q_id ORDER BY s.score DESC, s.vec_id) AS r
+                FROM scores s
+                JOIN probes p ON s.q_id = p.q_id AND s.label = p.label AND p.pr <= 1
+            ) WHERE r <= {_RK}
+        ),
+        ivf2 AS (
+            SELECT q_id, vec_id FROM (
+                SELECT s.q_id, s.vec_id,
+                       row_number() OVER (
+                           PARTITION BY s.q_id ORDER BY s.score DESC, s.vec_id) AS r
+                FROM scores s
+                JOIN probes p ON s.q_id = p.q_id AND s.label = p.label AND p.pr <= 2
+            ) WHERE r <= {_RK}
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_queries,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bf) AS n_truth,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bf
+                 JOIN ivf1 USING (q_id, vec_id)) AS n_hit_probe1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bf
+                 JOIN ivf2 USING (q_id, vec_id)) AS n_hit_probe2,
+               (SELECT COUNT(*) FROM bf JOIN ivf1 USING (q_id, vec_id))
+                 / CAST((SELECT COUNT(*) FROM bf) AS DOUBLE) AS recall_probe1,
+               (SELECT COUNT(*) FROM bf JOIN ivf2 USING (q_id, vec_id))
+                 / CAST((SELECT COUNT(*) FROM bf) AS DOUBLE) AS recall_probe2
+    """,
+    tags=("llm", "similarity", "ivf", "evaluation"),
+)
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF calibration audit - the nprobe knob measured, not guessed:
+    recall@10 of nprobe=1 and nprobe=2 against the exact brute-force top-10
+    for an 8-query probe set. The twin of dedup_lsh_recall_audit on the
+    retrieval side: at 100 TB you run exactly this on a sample to pick
+    nprobe BEFORE pointing the index at the full corpus (the brute-force
+    leg is the calibration-only baseline; the IVF legs read nprobe
+    partitions per query). Counts are exact integers; recalls are exact
+    integer ratios; per-candidate cosines round to 6dp so both engines
+    rank identically."""
+    from nyc_analytics_database_platform_spark.operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    centroids = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "cv"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("cv").cast("double")), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+    )
+    probes = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("q_id", "label", cosine(F.col("cvec"), F.col("qv")).alias("cs"))
+        .select(
+            "q_id",
+            "label",
+            F.row_number()
+            .over(Window.partitionBy("q_id").orderBy(F.desc("cs"), "label"))
+            .alias("pr"),
+        )
+    )
+    scores = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "vec_id")
+
+    def topk(df: DataFrame) -> DataFrame:
+        return (
+            df.select("q_id", "vec_id", F.row_number().over(w).alias("r"))
+            .filter(F.col("r") <= _RK)
+            .select("q_id", "vec_id")
+        )
+
+    bf = topk(scores).cache()
+    bf.count()  # one materialization; three intersection consumers below
+    ivf1 = topk(
+        scores.join(
+            F.broadcast(probes.filter(F.col("pr") <= 1)), ["q_id", "label"]
+        )
+    )
+    ivf2 = topk(
+        scores.join(
+            F.broadcast(probes.filter(F.col("pr") <= 2)), ["q_id", "label"]
+        )
+    )
+    n_q = q.agg(F.count("*").alias("n_queries"))
+    n_truth = bf.agg(F.count("*").alias("n_truth"))
+    h1 = bf.join(ivf1, ["q_id", "vec_id"]).agg(
+        F.count("*").alias("n_hit_probe1")
+    )
+    h2 = bf.join(ivf2, ["q_id", "vec_id"]).agg(
+        F.count("*").alias("n_hit_probe2")
+    )
+    return (
+        n_q.crossJoin(n_truth)
+        .crossJoin(h1)
+        .crossJoin(h2)
+        .select(
+            "n_queries",
+            "n_truth",
+            "n_hit_probe1",
+            "n_hit_probe2",
+            (F.col("n_hit_probe1").cast("double") / F.col("n_truth")).alias(
+                "recall_probe1"
+            ),
+            (F.col("n_hit_probe2").cast("double") / F.col("n_truth")).alias(
+                "recall_probe2"
+            ),
+        )
+    )
