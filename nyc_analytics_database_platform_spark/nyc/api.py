@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.nyc.schema import ACTIVE_STATUSES
-from nyc_analytics_database_platform_spark.operators.topk import topk_other
 
 DEFAULT_START, DEFAULT_END = "2024-01-01", "2024-12-31"  # server.py:392-395
 

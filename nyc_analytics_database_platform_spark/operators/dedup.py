@@ -25,7 +25,7 @@ is one shuffle on the digest. None of these collect anything to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.functions.text import shingles, ws_tokens

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
-from nyc_analytics_database_platform_spark.functions.numeric import exact_avg, exact_sum
+from nyc_analytics_database_platform_spark.functions.numeric import exact_sum
 from nyc_analytics_database_platform_spark.registry import register
 
 
