@@ -120,9 +120,13 @@ def _scale_crossover(spark, specs) -> dict | None:
 
 
 def main() -> None:
+    t_start = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("nyc-analytics-bench")
+    # WARN logs share the driver's captured output tail with the JSON line;
+    # keep them out so the line is the last (and parseable) thing emitted.
+    spark.sparkContext.setLogLevel("ERROR")
 
     specs = {n: s for n, s in registry.all_specs().items() if s.bench}
 
@@ -171,20 +175,52 @@ def main() -> None:
         if n in duck and duck[n] > 0
     }
     duck_total = round(sum(duck.values()), 4)
-    crossover = _scale_crossover(spark, specs)
-    out = {
+    # Crossover adds ~3-4 min (build + 10 queries x 2 engines at sf0.5);
+    # skip it when the main block already ran unusually slow - a sign of a
+    # constrained environment where risking the harness timeout for the
+    # optional block is a bad trade.
+    crossover = (
+        _scale_crossover(spark, specs)
+        if time.perf_counter() - t_start < 600
+        else {"skipped": "main bench exceeded 600s; constrained environment"}
+    )
+
+    # The driver records only the LAST ~2000 chars of output and parses the
+    # JSON line out of that tail: round 2's full per-query dump outgrew the
+    # window and failed to parse. So stdout gets a COMPACT line (required
+    # contract fields + the headline ratios, ~1.5 KB), and the full
+    # per-query DuckDB times / ratios / crossover details go to
+    # BENCH_DETAIL.json beside the repo root.
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "duckdb_queries": duck,
         "vs_duckdb": vs,
+        "duckdb_total": duck_total,
         "vs_duckdb_total": round(total / duck_total, 2) if duck_total else None,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     if crossover is not None:
-        out["scale_crossover"] = crossover
-    print(json.dumps(out))
+        detail["scale_crossover"] = crossover
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(t, 3) for n, t in timings.items()},
+        "duckdb_total": duck_total,
+        "vs_duckdb_total": detail["vs_duckdb_total"],
+        "sf": detail["sf"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    if crossover is not None and "vs_duckdb" in crossover:
+        compact["crossover_sf0.5_vs_duckdb"] = crossover["vs_duckdb"]
+    print(json.dumps(compact))
     spark.stop()
 
 
