@@ -13,13 +13,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from nyc_analytics_database_platform_spark.catalog import load
 from nyc_analytics_database_platform_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
 )
-from nyc_analytics_database_platform_spark.operators.graph import connected_components
-from nyc_analytics_database_platform_spark.queries.llm_dedup import _minhash_oracle
+from nyc_analytics_database_platform_spark.operators.graph import (
+    connected_components,
+    incremental_components,
+)
+from nyc_analytics_database_platform_spark.queries.llm_dedup import (
+    _SPLIT_ID,
+    _minhash_oracle,
+)
 from nyc_analytics_database_platform_spark.registry import register
 
 # The candidate-pair SQL is the minhash oracle minus its ORDER BY.
@@ -60,3 +68,57 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(minhash_signatures(docs, num_perm=12, k=5))
     return connected_components(pairs).orderBy("node")
+
+
+@register(
+    "dedup_incremental_clusters",
+    # the full-recompute recursive CTE over ALL candidate pairs: the
+    # incremental path must reproduce it EXACTLY (same rows, same labels)
+    oracle=f"""
+        WITH RECURSIVE edges AS ({_EDGES_SQL}),
+        und AS (
+            SELECT a_id AS src, b_id AS dst FROM edges
+            UNION
+            SELECT b_id AS src, a_id AS dst FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM und
+            UNION
+            SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+        ),
+        members AS (
+            SELECT src AS node, dst FROM reach
+            UNION
+            SELECT src AS node, src AS dst FROM und
+        )
+        SELECT node, MIN(dst) AS component
+        FROM members
+        GROUP BY node
+        ORDER BY node
+    """,
+    tags=("llm", "dedup", "iterative", "incremental"),
+)
+def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster MAINTENANCE under a corpus increment - the production mode
+    (operators/graph.incremental_components): docs below doc_id {split}
+    stand for the already-clustered history (their assignment would be a
+    persisted table; recomputed here because the driver testdata is
+    read-only), docs at/above it are the new batch. New candidate pairs
+    (any pair touching a new doc) merge into the old assignment via star
+    edges over TOUCHED components only - work bounded by the increment,
+    not the corpus - and the oracle is the full recursive-CTE recompute
+    over ALL pairs, so the driver attests exact equivalence of the
+    incremental and from-scratch paths.""".format(split=_SPLIT_ID)
+    docs = load(spark, sf_dir, "documents")
+    old_docs = docs.filter(F.col("doc_id") < _SPLIT_ID)
+    old_pairs = lsh_candidate_pairs(
+        minhash_signatures(old_docs, num_perm=12, k=5)
+    )
+    old_assign = connected_components(old_pairs)
+    all_pairs = lsh_candidate_pairs(
+        minhash_signatures(docs, num_perm=12, k=5)
+    )
+    new_edges = all_pairs.filter(
+        (F.col("a_id") >= _SPLIT_ID) | (F.col("b_id") >= _SPLIT_ID)
+    )
+    return incremental_components(old_assign, new_edges).orderBy("node")

@@ -248,3 +248,36 @@ def test_prefix_filter_plan_has_no_window(spark, sf_dir):
         .toString()
     )
     assert "Window" not in plan, plan[:2000]
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Warm-start CC over (new edges + star summaries of touched
+    components) must equal full CC over (old edges UNION new edges):
+    merges across old components, untouched components passing through,
+    and new-only pairs."""
+    from nyc_analytics_database_platform_spark.operators.graph import (
+        incremental_components,
+    )
+
+    old_edges = [(1, 2), (2, 3), (10, 11), (30, 31)]
+    new_edges = [(5, 11), (20, 21), (3, 40)]
+    old = spark.createDataFrame(old_edges, ["a_id", "b_id"])
+    new = spark.createDataFrame(new_edges, ["a_id", "b_id"])
+    full = spark.createDataFrame(old_edges + new_edges, ["a_id", "b_id"])
+
+    old_assign = connected_components(old)
+    inc = {
+        (r["node"], r["component"])
+        for r in incremental_components(old_assign, new).collect()
+    }
+    ref = {
+        (r["node"], r["component"])
+        for r in connected_components(full).collect()
+    }
+    assert inc == ref
+    # untouched component {30,31} survives verbatim
+    assert (30, 30) in inc and (31, 30) in inc
+    # old {10,11} merged with new node 5 -> canonical 5
+    assert (10, 5) in inc and (11, 5) in inc and (5, 5) in inc
+    # old {1,2,3} extended by (3,40) keeps canonical 1, covers 40
+    assert (40, 1) in inc
