@@ -47,7 +47,11 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load(
-    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    parallel: bool = False,
+    fresh: bool = False,
 ) -> DataFrame:
     """Load a table. `parallel=True` guarantees the frame has at least the
     cluster's default parallelism in partitions - required for CPU-bound
@@ -55,7 +59,16 @@ def load(
     a few-MB parquet arrives as ONE partition and would otherwise pin the
     whole pipeline to one core. The repartition shuffle is a few MB - noise
     next to the per-row work it parallelizes. At 100 TB inputs are already
-    wide and the guard is a no-op."""
+    wide and the guard is a no-op.
+
+    INVARIANT: the returned DataFrame is memoized per (sf_dir, name,
+    parallel) for the session's lifetime, and the cached plan pins the
+    parquet file listing from the first read. Code that REWRITES a table
+    at the same path mid-session (fixture regeneration, re-layout tests)
+    must pass `fresh=True` (re-reads and refreshes the cache entry) or
+    clear `spark._nadb_load_cache`; otherwise it silently sees the stale
+    listing or fails on deleted files. Driver testdata is read-only, so
+    ordinary queries never need this."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
@@ -85,7 +98,7 @@ def load(
         cache = {}
         spark._nadb_load_cache = cache  # type: ignore[attr-defined]
     ck = (sf_dir, name, parallel)
-    if ck in cache:
+    if ck in cache and not fresh:
         return cache[ck]
     df = spark.read.parquet(table_path(sf_dir, name))
     if parallel:

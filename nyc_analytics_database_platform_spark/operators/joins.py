@@ -122,7 +122,7 @@ def maybe_salted_join(
     join_key_skew_report, or let this probe it via key_max_share) and pick
     plain vs salted execution. Result set is IDENTICAL either way - only
     the shuffle distribution changes (property-tested in
-    tests/test_round3_ops.py).
+    tests/test_r3_scale_ops.py).
 
     Default threshold 0.05: with the session's 32 shuffle partitions a key
     holding >= 5% of rows makes one reducer >= 1.6x the average - the point

@@ -100,15 +100,15 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster MAINTENANCE under a corpus increment - the production mode
-    (operators/graph.incremental_components): docs below doc_id {split}
-    stand for the already-clustered history (their assignment would be a
-    persisted table; recomputed here because the driver testdata is
-    read-only), docs at/above it are the new batch. New candidate pairs
-    (any pair touching a new doc) merge into the old assignment via star
-    edges over TOUCHED components only - work bounded by the increment,
-    not the corpus - and the oracle is the full recursive-CTE recompute
-    over ALL pairs, so the driver attests exact equivalence of the
-    incremental and from-scratch paths.""".format(split=_SPLIT_ID)
+    (operators/graph.incremental_components): docs below doc_id _SPLIT_ID
+    (450, shared with llm_dedup) stand for the already-clustered history
+    (their assignment would be a persisted table; recomputed here because
+    the driver testdata is read-only), docs at/above it are the new batch.
+    New candidate pairs (any pair touching a new doc) merge into the old
+    assignment via star edges over TOUCHED components only - work bounded
+    by the increment, not the corpus - and the oracle is the full
+    recursive-CTE recompute over ALL pairs, so the driver attests exact
+    equivalence of the incremental and from-scratch paths."""
     docs = load(spark, sf_dir, "documents")
     old_docs = docs.filter(F.col("doc_id") < _SPLIT_ID)
     old_pairs = lsh_candidate_pairs(

@@ -41,14 +41,14 @@ _STRIDE = 30
             FROM toks,
                  unnest(generate_series(1, len(t), {_SPAN})) AS g(i)
         ),
-        firsts AS (
-            SELECT span, MIN(doc_id * 100000 + pos) AS first_key
-            FROM spans GROUP BY span
-        ),
         kept AS (
-            SELECT s.doc_id, s.pos, s.span
-            FROM spans s JOIN firsts f ON s.span = f.span
-            WHERE s.doc_id * 100000 + s.pos = f.first_key
+            SELECT doc_id, pos, span FROM (
+                SELECT doc_id, pos, span,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY span ORDER BY doc_id, pos
+                       ) AS rn
+                FROM spans
+            ) WHERE rn = 1
         ),
         totals AS (
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM spans
@@ -77,15 +77,27 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the C4/Lee-et-al. pipeline stage.
 
     Scale shape: one explode (spans-per-doc is bounded by doc length / 8),
-    one shuffle on the span key for the global argmin, one per-doc
-    re-aggregate - NO join back: exactly one occurrence of each distinct
-    span survives, so the argmin output IS the kept set and (doc_id, pos)
-    unpack arithmetically from the packed 8-byte key. Reassembly sorts only
-    within each document's own kept spans. The per-doc span TOTAL is pure
-    arithmetic on the token count (ceil(len/8) = (len-1) div 8 + 1), so the
-    totals branch never touches the explode - one narrow scan instead of a
-    second tokenize+explode+shuffle of the whole corpus."""
-    docs = with_tokens(load(spark, sf_dir, "documents", parallel=True))
+    one shuffle on xxhash64(span) - an 8-byte long, never the raw span
+    string (SCALE.md key discipline; the 2^-64 collision bound means two
+    DISTINCT spans sharing a hash would dedupe as one, negligible against
+    any corpus size this engine targets) - for the global argmin, one
+    per-doc re-aggregate, NO join back: exactly one occurrence of each
+    distinct span survives, so the argmin output IS the kept set. The
+    argmin itself is min over struct(doc_id, pos, span): lexicographic
+    struct order equals the (doc_id, pos) global order exactly ((doc_id,
+    pos) is unique, so the span field never decides), with no packed-key
+    arithmetic to overflow on a >100k-token document. Map-side partial
+    aggregation means each map partition ships at most one struct per
+    distinct hash. Reassembly sorts only within each document's own kept
+    spans. The per-doc span TOTAL is pure arithmetic on the token count
+    (ceil(len/8) = (len-1) div 8 + 1), so the totals branch never touches
+    the explode - one narrow scan instead of a second
+    tokenize+explode+shuffle of the whole corpus. NULL-text docs produce
+    no spans on either engine and are dropped from totals to match
+    (the oracle's totals aggregates the span rows themselves)."""
+    docs = with_tokens(load(spark, sf_dir, "documents", parallel=True)).filter(
+        F.col("toks").isNotNull()
+    )
     spans = docs.select(
         "doc_id",
         F.posexplode(
@@ -97,18 +109,11 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", (F.col("k") * _SPAN + 1).alias("pos"), "span"
     )
-    key = (F.col("doc_id") * 100000 + F.col("pos")).alias("key")
-    spans = spans.select("doc_id", "pos", "span", key)
-    # The global argmin per span IS the kept set (exactly one survivor per
-    # distinct span), so no join-back is needed: recover (doc_id, pos) from
-    # the packed key arithmetically. One shuffle on span, one on doc_id.
-    firsts = spans.groupBy("span").agg(F.min("key").alias("first_key"))
+    firsts = spans.groupBy(F.xxhash64("span").alias("h")).agg(
+        F.min(F.struct("doc_id", "pos", "span")).alias("f")
+    )
     kept = (
-        firsts.select(
-            "span",
-            F.expr("first_key div 100000").alias("doc_id"),
-            (F.col("first_key") % 100000).alias("pos"),
-        )
+        firsts.select("f.doc_id", "f.pos", "f.span")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_kept"),

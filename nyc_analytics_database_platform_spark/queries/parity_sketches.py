@@ -23,6 +23,7 @@ _PHI = 0.005  # heavy hitter = value carrying > 0.5% of all events
     oracle=f"""
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM events
+        WHERE user_id IS NOT NULL
         GROUP BY user_id
         HAVING COUNT(*) > (SELECT COUNT(*) FROM events) * {_PHI}
         ORDER BY n_rows DESC, user_id

@@ -165,36 +165,58 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per order, count distinct suppliers and distinct LATE suppliers; a late
     line qualifies iff its order has >=2 suppliers (the EXISTS) and exactly 1
-    late supplier (the NOT EXISTS - the one late supplier is l1's own). The
-    fact is scanned once, shuffled once on l_orderkey for the aggregate, and
-    the per-order flags frame (2 small ints per order) joins back on the same
-    key - AQE reuses the partitioning; no O(n^2) self-join ever happens."""
+    late supplier (the NOT EXISTS - the one late supplier is l1's own).
+
+    Distinct-counting shape: a single aggregate with two countDistinct()s
+    makes Spark EXPAND the fact x2 (one replica per distinct spec) before
+    the shuffle - measured 2.37x DuckDB at sf0.5 - and the old join-back
+    (`lo.filter(late) join flags`) re-derived the lineitem x orders join a
+    SECOND time (per-branch column pruning makes the two subtrees
+    non-identical, so ReuseExchange never fires - measured: 0 reused
+    exchanges, 2 fact scans). Instead, ONE LINEAGE and ONE fact shuffle:
+    the orders join is HINTED shuffle-hash on the order key (not broadcast
+    - also the only option at 100 TB, where orders is not broadcastable),
+    so the join output is hash-partitioned by l_orderkey, and BOTH
+    downstream aggregates - distinct (l_orderkey, l_suppkey) pairs with
+    any(late) + late-line counts, then per-order flags - satisfy their
+    clustering from that same partitioning: zero additional exchanges, all
+    plain codegen HashAggregates (a collect_set() formulation was tried
+    and rejected: ObjectHashAggregate, no codegen, measured ~1.7x slower).
+    The per-order aggregate carries the qualifying pair itself - when
+    n_late_supp == 1 the conditional max(when(late, ...)) IS that single
+    late pair - so numwait = SUM(late_nl) per supplier with no join back
+    to the fact. Everything after the pair aggregate is orders-cardinality
+    small, and the supplier join is broadcast."""
     orders = load(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+    lo = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    ).withColumn(
         "late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    per_pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late"),
+        F.count(F.when(F.col("late"), 1)).alias("n_late_lines"),
     )
-    flags = per_order.filter(
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.count(F.when(F.col("late"), 1)).alias("n_late_supp"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_sk"),
+        F.max(F.when(F.col("late"), F.col("n_late_lines"))).alias("late_nl"),
+    )
+    qual = per_order.filter(
         (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-    ).select("l_orderkey")
-    late_lines = lo.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    ).select("late_sk", "late_nl")
     supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        late_lines.join(flags, "l_orderkey")
-        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        qual.join(F.broadcast(supplier), F.col("late_sk") == supplier.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("late_nl").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
