@@ -11,9 +11,11 @@ Codec availability is an OPTIONAL dependency, adapter-style:
   back to a deterministic md5-derived fake with the IDENTICAL output
   schema - both paths are contract-tested, and the real path's test is
   env-gated (skips where Pillow is absent, like test_tws.py);
-- `sample_video_frames` / `resample_audio` still raise
-  NotImplementedError with the exact production signature documented
-  (no av/soundfile anywhere to adapt to);
+- `resample_audio` is REAL via stdlib `wave` + numpy (PCM parse,
+  mono-mix, linear resample) with the same deterministic fake fallback
+  and contract tests as the image path;
+- `sample_video_frames` still raises NotImplementedError with the exact
+  production signature documented (no av/ffmpeg anywhere to adapt to);
 - `fake_decode_features` is the deterministic stand-in used by tests and
   the oracle: pseudo-features derived from the payload's md5 (so the
   Spark-side plumbing - schema, batching, partitioning - is fully real
@@ -246,18 +248,136 @@ def decode_image(
     return media_df.mapInPandas(kernel, DECODED_IMAGE_SCHEMA)
 
 
+DECODED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("samples", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def have_audio_codec() -> bool:
+    """True when the WAV codec is importable. `wave` is stdlib, so this is
+    True in any CPython - the probe exists for symmetry with
+    have_image_codec() and because on a real cluster the executors' env is
+    what matters (a trimmed container image can drop stdlib modules)."""
+    try:
+        import wave  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _looks_like_wav(b: bytes) -> bool:
+    return len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+
+
+def resample_audio(
+    media_df: DataFrame, rate: int, use_codec: bool | None = None
+) -> DataFrame:
+    """Decode + resample audio payloads to DECODED_AUDIO_SCHEMA:
+    (doc_id, rate, n_samples, samples array<float> in [-1, 1], mono).
+
+    REAL path (default where the codec probe passes): stdlib `wave` parses
+    RIFF/WAVE PCM payloads (8/16/32-bit widths), channels are mono-mixed,
+    amplitudes normalized to [-1, 1], and the stream is linearly
+    resampled to `rate` with numpy interp (new_n = round(n * rate / src)).
+    No third-party codec dependency anywhere. A non-WAV payload on the
+    real path raises ValueError with the doc id - decode errors must be
+    loud, not silently faked.
+
+    FAKE path (`use_codec=False` - e.g. plumbing tests over non-audio
+    payloads, mirroring decode_image): deterministic md5-derived samples,
+    n = 4 + d[0] % 5 samples with sample_i = d[i+1]/255*2-1, `rate`
+    echoed. Identical schema and Arrow batch shape either way, so
+    downstream stages and the contract tests are path-agnostic.
+
+    Both kernels are mapInPandas (Arrow-batched); the 100 TB knobs are the
+    same as decode_image - batch size vs payload size, and partition
+    sizing so a batch of decoded float arrays fits worker memory."""
+    if use_codec is None:
+        use_codec = have_audio_codec()
+
+    if use_codec:
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+            import wave
+
+            import numpy as np
+
+            widths = {1: (np.uint8, 128.0, 128.0), 2: (np.int16, 0.0, 32768.0), 4: (np.int32, 0.0, 2147483648.0)}
+            for pdf in batches:
+                out_samples, out_n = [], []
+                for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                    raw = bytes(b)
+                    if not _looks_like_wav(raw):
+                        raise ValueError(
+                            f"doc {doc_id}: payload is not RIFF/WAVE; "
+                            "use_codec=False for non-audio payloads"
+                        )
+                    with wave.open(io.BytesIO(raw)) as w:
+                        sw, nch = w.getsampwidth(), w.getnchannels()
+                        src_rate, n = w.getframerate(), w.getnframes()
+                        if sw not in widths:
+                            raise ValueError(
+                                f"doc {doc_id}: unsupported sample width {sw}"
+                            )
+                        dt, off, scale = widths[sw]
+                        x = np.frombuffer(w.readframes(n), dtype=dt)
+                    mono = (
+                        (x.astype(np.float64) - off)
+                        .reshape(-1, nch)
+                        .mean(axis=1)
+                        / scale
+                    )
+                    new_n = max(1, int(round(len(mono) * rate / src_rate)))
+                    res = np.interp(
+                        np.linspace(0.0, len(mono) - 1, new_n),
+                        np.arange(len(mono)),
+                        mono,
+                    ).astype(np.float32)
+                    out_samples.append(res.tolist())
+                    out_n.append(new_n)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "rate": rate,
+                        "n_samples": out_n,
+                        "samples": out_samples,
+                    }
+                )
+
+    else:
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_samples, out_n = [], []
+                for b in pdf["media"]:
+                    d = hashlib.md5(bytes(b)).digest()
+                    n = 4 + d[0] % 5
+                    out_samples.append(
+                        [d[i + 1] / 255.0 * 2.0 - 1.0 for i in range(n)]
+                    )
+                    out_n.append(n)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "rate": rate,
+                        "n_samples": out_n,
+                        "samples": out_samples,
+                    }
+                )
+
+    return media_df.mapInPandas(kernel, DECODED_AUDIO_SCHEMA)
+
+
 def sample_video_frames(media_df: DataFrame, fps: float) -> DataFrame:
     """Production signature: sample frames at `fps` to one row per frame
     (id, frame_idx, frame binary). Requires ffmpeg/av - not available."""
     raise NotImplementedError(
         "video codec not available; production kernel: mapInPandas over av/ffmpeg"
-    )
-
-
-def resample_audio(media_df: DataFrame, rate: int) -> DataFrame:
-    """Production signature: decode + resample audio to
-    (id, samples array<float>, rate). Requires soundfile/librosa - not
-    available."""
-    raise NotImplementedError(
-        "audio codec not available; production kernel: mapInPandas over soundfile"
     )

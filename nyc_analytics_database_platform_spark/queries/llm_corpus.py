@@ -29,6 +29,22 @@ _CHUNK = 40
 _STRIDE = 30
 
 
+def first_span_occurrences(spans: DataFrame) -> DataFrame:
+    """Global argmin of (doc_id, pos) per distinct span over a
+    (doc_id, pos, span) frame - the kept set of C4-style span dedup.
+    Groups on xxhash64(span) (8-byte shuffle keys; 2^-64 collision bound)
+    and takes min over struct(doc_id, pos, span): lexicographic struct
+    order IS the (doc_id, pos) global order ((doc_id, pos) is unique per
+    row, so the trailing span field never decides), with no packed-key
+    arithmetic to overflow however long a document gets - regression-pinned
+    with a >100k-token document in tests/test_round4_ops.py."""
+    return (
+        spans.groupBy(F.xxhash64("span").alias("h"))
+        .agg(F.min(F.struct("doc_id", "pos", "span")).alias("f"))
+        .select("f.doc_id", "f.pos", "f.span")
+    )
+
+
 @register(
     "corpus_span_dedup",
     oracle=f"""
@@ -109,11 +125,8 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", (F.col("k") * _SPAN + 1).alias("pos"), "span"
     )
-    firsts = spans.groupBy(F.xxhash64("span").alias("h")).agg(
-        F.min(F.struct("doc_id", "pos", "span")).alias("f")
-    )
     kept = (
-        firsts.select("f.doc_id", "f.pos", "f.span")
+        first_span_occurrences(spans)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_kept"),

@@ -79,6 +79,66 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_AUDIO_RATE = 16000
+
+# md5 hex byte j (0-indexed) of column h, via strpos arithmetic on the two
+# hex chars at 1-based positions (2j+1, 2j+2) - here with the byte index
+# coming from an unnested series column `i`.
+_HEXB_I = (
+    "((strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1))"
+)
+
+
+@register(
+    "multimodal_audio_fake_resample",
+    oracle=f"""
+        WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+        hdr AS (
+            SELECT doc_id, h,
+                   4 + ({_hex_byte('h', 1)} % 5) AS n_samples
+            FROM m
+        )
+        SELECT d.doc_id,
+               {_AUDIO_RATE} AS rate,
+               CAST(d.n_samples AS BIGINT) AS n_samples,
+               CAST(SUM({_HEXB_I}) AS BIGINT) AS byte_sum
+        FROM hdr d, unnest(generate_series(1, d.n_samples)) AS g(i)
+        GROUP BY d.doc_id, d.n_samples
+        ORDER BY d.doc_id
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def multimodal_audio_fake_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas audio-decode stage (operators/multimodal.
+    resample_audio) over the deterministic fake kernel - the payloads here
+    are text, so this attests the PLUMBING (schema, Arrow batching, byte
+    handling); the REAL stdlib-wave kernel is contract-tested on generated
+    PCM WAVs in tests/test_llm_operators.py. Samples are md5-derived
+    (sample_i = d[i+1]/255*2-1); the query folds them back to the exact
+    integer byte sum (round((s+1)*127.5) inverts the float mapping
+    losslessly), so the oracle compares integers, never float32 rounding."""
+    from nyc_analytics_database_platform_spark.operators.multimodal import (
+        resample_audio,
+    )
+
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    audio = resample_audio(as_media_table(docs), _AUDIO_RATE, use_codec=False)
+    return audio.select(
+        "doc_id",
+        F.col("rate").cast("int").alias("rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.aggregate(
+            F.transform(
+                "samples",
+                lambda s: F.round((s + F.lit(1.0)) * 127.5).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("byte_sum"),
+    ).orderBy("doc_id")
+
+
 _FRAME_BYTES, _EVERY_K = 16, 4
 
 

@@ -154,6 +154,21 @@ def observe_lineitem_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame
 _FP_MOD = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
 
 
+def fingerprint_row_repr():
+    """Canonical row rendering hashed by table_fingerprint_orders. Money is
+    integer cents (ROUND(x*100) AS BIGINT) BEFORE stringification: a double
+    >= 1e7 renders '1.0E7' in the JVM but '10000000.0' in DuckDB, so a
+    float's string form must never reach the hash. Exposed as a function so
+    the regression test (tests/test_round4_ops.py) can pin the >= 1e7 edge
+    on a crafted frame."""
+    return F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+    )
+
+
 @register(
     "table_fingerprint_orders",
     oracle=f"""
@@ -182,12 +197,7 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     between JDK and DuckDB at >= 1e7 ('1.0E7' vs '10000000.0'), so the
     fingerprint never hashes a float's string form."""
     orders = load(spark, sf_dir, "orders")
-    row_repr = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
-    )
+    row_repr = fingerprint_row_repr()
     h60 = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast(
         "decimal(38,0)"
     )

@@ -25,6 +25,20 @@ from nyc_analytics_database_platform_spark.catalog import load
 from nyc_analytics_database_platform_spark.registry import register
 
 
+def drain_or_raise(query, desc: str, timeout_s: int = 300) -> None:
+    """Await a bounded (availableNow) streaming query; if it has not
+    terminated within `timeout_s`, stop it and raise TimeoutError instead
+    of proceeding - a partially drained sink would silently return
+    undercounted state, the worst failure mode for a correctness gate.
+    (Regression-pinned in tests/test_round4_ops.py: the False branch must
+    raise, never fall through.)"""
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"{desc} did not drain within {timeout_s}s; sink would be partial"
+        )
+
+
 @register(
     "stream_stateful_user_counters",
     oracle="""
@@ -82,15 +96,8 @@ def stream_stateful_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    # availableNow should drain in seconds; a timeout means a partially
-    # drained sink, and proceeding would silently return undercounted
-    # state - fail loudly instead.
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "stateful user-counter stream did not drain within 300s; "
-            "memory sink would be partial"
-        )
+    # availableNow should drain in seconds; timeout -> loud failure.
+    drain_or_raise(q, "stateful user-counter stream")
     return (
         spark.table(name)
         .groupBy("user_id")
