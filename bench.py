@@ -108,13 +108,52 @@ def _scale_crossover(spark, specs) -> dict | None:
             for n in timings
             if n in duck and duck[n] > 0
         }
-        return {
+        out = {
             "sf": 0.5,
             "note": "5x key-offset replication of sf0.1 (scripts/scale_data.py)",
             "queries": timings,
             "duckdb_queries": duck,
             "vs_duckdb": vs,
         }
+        # One more doubling for the round-4 plan-fix trio (VERDICT r3 #7):
+        # extend the measured overhead-vs-compute curve to sf1.0 so a
+        # scaling regression in exactly these plans is caught before it
+        # ships as "scale-safe". Kept to 3 queries - the sf1.0 build plus
+        # 3 queries x 2 engines adds ~1-2 min, not a full re-bench.
+        big1 = build_scaled(
+            "/root/testdata/sf0.1",
+            os.path.join(repo, ".scaledata", "sf1.0"),
+            factor=10,
+        )
+        sel1 = {
+            n: specs[n]
+            for n in (
+                "dedup_jaccard_prefix_filter",
+                "corpus_span_dedup",
+                "tpch_q21_waiting_suppliers",
+            )
+            if n in specs
+        }
+        t1: dict[str, float] = {}
+        for name, spec in sel1.items():
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.fn(spark, big1).collect()
+                best = min(best, time.perf_counter() - t0)
+            t1[name] = round(best, 4)
+            spark.catalog.clearCache()
+        duck1 = _duckdb_timings(sel1, big1, runs=2)
+        out["sf1.0"] = {
+            "queries": t1,
+            "duckdb_queries": duck1,
+            "vs_duckdb": {
+                n: round(t1[n] / duck1[n], 2)
+                for n in t1
+                if n in duck1 and duck1[n] > 0
+            },
+        }
+        return out
     except Exception as e:  # noqa: BLE001 - crossover is additive, never fatal
         return {"error": f"{type(e).__name__}: {e}"}
 
@@ -220,6 +259,8 @@ def main() -> None:
     }
     if crossover is not None and "vs_duckdb" in crossover:
         compact["crossover_sf0.5_vs_duckdb"] = crossover["vs_duckdb"]
+    if crossover is not None and "sf1.0" in crossover:
+        compact["crossover_sf1.0_vs_duckdb"] = crossover["sf1.0"]["vs_duckdb"]
     print(json.dumps(compact))
     spark.stop()
 
