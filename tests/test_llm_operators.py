@@ -119,16 +119,17 @@ def test_multimodal_fake_decode_deterministic(spark):
 
 
 def test_multimodal_codec_stubs_and_adapter(spark):
-    """Video/audio codecs stay documented stubs; image decode is an adapter
-    since round 3 (Pillow when importable, deterministic fake fallback -
-    contract-tested in tests/test_r3_scale_ops.py), so it must NOT raise."""
+    """Video stays the one documented stub; image (round 3) and audio
+    (round 4) are adapters - real kernel when the codec fits the payload,
+    deterministic fake fallback with the same schema (contract-tested in
+    tests/test_r3_scale_ops.py and tests/test_round4_ops.py) - so neither
+    must raise on the fake path."""
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     media = as_media_table(docs)
     assert decode_image(media, (2, 2), use_codec=False).count() == 1
+    assert resample_audio(media, 16000, use_codec=False).count() == 1
     with pytest.raises(NotImplementedError):
         sample_video_frames(media, 1.0)
-    with pytest.raises(NotImplementedError):
-        resample_audio(media, 16000)
 
 
 def test_pii_redaction_not_vacuous(spark, sf_dir):

@@ -138,18 +138,22 @@ def test_q13_aggregates_orders_before_join(spark, sf_dir):
 
 
 def test_q21_single_fact_shuffle_key(spark, sf_dir):
-    """Q21 decorrelates both EXISTS into one per-order aggregate: every
-    hashpartitioning exchange in the plan keys on l_orderkey (the flags
-    join reuses the aggregate's partitioning; no second shuffle key, no
-    self-join explosion)."""
+    """Q21 decorrelates both EXISTS into one per-order aggregate chain on
+    the shuffle-hash join's own partitioning: the only hashpartitioning
+    exchanges are the two join inputs on the order key (l_orderkey /
+    o_orderkey) and the tiny final per-supplier-name aggregate - NO
+    (l_orderkey, l_suppkey) pair-level exchange (the pair aggregate reuses
+    the join partitioning), no self-join explosion."""
     p = plan_text(spark, sf_dir, "tpch_q21_waiting_suppliers")
     keys = [
         l for l in p.splitlines() if "Arguments: hashpartitioning" in l
     ]
-    # fact-side exchanges all key on l_orderkey; the only other exchange is
-    # the tiny final per-supplier-name aggregate
     assert keys and all(
-        "l_orderkey" in k or "s_name" in k for k in keys
+        "l_orderkey" in k or "o_orderkey" in k or "s_name" in k for k in keys
+    ), p
+    # the pair aggregate must NOT re-shuffle on the (orderkey, suppkey) pair
+    assert not any(
+        "l_orderkey" in k and "l_suppkey" in k for k in keys
     ), p
 
 
