@@ -260,3 +260,52 @@ def test_jaccard_prefix_filter_matches_exact_baseline(spark, sf_dir):
         for r in prefix_filter_jaccard_pairs(docs, 0.8).collect()
     }
     assert fast == exact
+
+
+# --- jaccard prefix-filter equivalence property ------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# Docs built from a tiny vocabulary so shingle overlap (incl. shared
+# boilerplate prefixes/suffixes, duplicates, and short docs below the
+# shingle width) actually occurs within few examples.
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=14).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    st.sampled_from([0.5, 0.7, 0.8, 0.9]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_prefix_filter_equals_exact_property(spark, texts, threshold):
+    """prefix_filter_jaccard_pairs must equal the quadratic baseline on
+    ARBITRARY corpora - the prefix bound, the integer-exact prefix length,
+    the length filter and the array_intersect verify all have edge cases
+    (duplicate docs, all-boilerplate docs, docs shorter than the shingle
+    width) that the fixed-testdata comparison cannot force."""
+    from nyc_analytics_database_platform_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    key = lambda r: (r["a_id"], r["b_id"], r["inter"], r["na"], r["nb"])  # noqa: E731
+    exact = {key(r) for r in ngram_jaccard_pairs(docs, threshold, k=3).collect()}
+    fast = {
+        key(r)
+        for r in prefix_filter_jaccard_pairs(docs, threshold, k=3).collect()
+    }
+    assert fast == exact
