@@ -334,6 +334,13 @@ def resample_audio(
                         .mean(axis=1)
                         / scale
                     )
+                    if len(mono) == 0:
+                        # zero-frame WAV: a valid (if degenerate) file;
+                        # np.interp rejects empty sample points, so emit
+                        # an empty stream rather than crash the batch.
+                        out_samples.append([])
+                        out_n.append(0)
+                        continue
                     new_n = max(1, int(round(len(mono) * rate / src_rate)))
                     res = np.interp(
                         np.linspace(0.0, len(mono) - 1, new_n),

@@ -193,6 +193,17 @@ def test_resample_audio_real_path_mixes_and_upsamples(spark):
     assert all(s == pytest.approx(0.5, abs=0.02) for s in r["samples"])
 
 
+def test_resample_audio_real_path_zero_frame_wav(spark):
+    """A structurally valid WAV with zero frames must yield an empty
+    sample stream, not an np.interp crash inside the Arrow batch."""
+    df = spark.createDataFrame(
+        [(9, bytearray(_wav_bytes([], 8000)))], "doc_id long, media binary"
+    )
+    r = resample_audio(df, 4000, use_codec=True).collect()[0]
+    assert r["n_samples"] == 0
+    assert r["samples"] == []
+
+
 def test_resample_audio_real_path_rejects_non_wav(spark):
     df = spark.createDataFrame(
         [(3, bytearray(b"definitely not audio"))], "doc_id long, media binary"
