@@ -14,8 +14,11 @@ Codec availability is an OPTIONAL dependency, adapter-style:
 - `resample_audio` is REAL via stdlib `wave` + numpy (PCM parse,
   mono-mix, linear resample) with the same deterministic fake fallback
   and contract tests as the image path;
-- `sample_video_frames` still raises NotImplementedError with the exact
-  production signature documented (no av/ffmpeg anywhere to adapt to);
+- `sample_video_frames` is REAL for uncompressed YUV4MPEG2 (.y4m) - a
+  pure stdlib parser (header tags, per-frame plane math for
+  C420/C422/C444/mono, fps-stride sampling) with the same fake fallback;
+  compressed codecs (h264/vp9) stay documented out-of-scope (no
+  av/ffmpeg in the environment);
 - `fake_decode_features` is the deterministic stand-in used by tests and
   the oracle: pseudo-features derived from the payload's md5 (so the
   Spark-side plumbing - schema, batching, partitioning - is fully real
@@ -382,9 +385,145 @@ def resample_audio(
     return media_df.mapInPandas(kernel, DECODED_AUDIO_SCHEMA)
 
 
-def sample_video_frames(media_df: DataFrame, fps: float) -> DataFrame:
-    """Production signature: sample frames at `fps` to one row per frame
-    (id, frame_idx, frame binary). Requires ffmpeg/av - not available."""
-    raise NotImplementedError(
-        "video codec not available; production kernel: mapInPandas over av/ffmpeg"
-    )
+SAMPLED_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+# Y4M colorspace tag -> bytes per frame as a multiple of (W*H) in eighths:
+# C420 = Y + 2 quarter-size chroma planes = 12/8, C422 = 16/8, C444 = 24/8,
+# Cmono = 8/8.
+_Y4M_EIGHTHS = {"420": 12, "422": 16, "444": 24, "mono": 8}
+
+
+def _looks_like_y4m(b: bytes) -> bool:
+    return b.startswith(b"YUV4MPEG2 ") or b.startswith(b"YUV4MPEG2\n")
+
+
+def sample_video_frames(
+    media_df: DataFrame, fps: float, use_codec: bool | None = None
+) -> DataFrame:
+    """Sample video payloads at `fps` to one row per kept frame,
+    SAMPLED_FRAME_SCHEMA: (doc_id, frame_idx, width, height, frame binary
+    = the luma/Y plane, row-major W*H bytes).
+
+    REAL path: parses YUV4MPEG2 (.y4m) - the uncompressed interchange
+    format every ffmpeg pipeline can emit - with zero third-party
+    dependencies: a text header (W/H/F/C tags), then 'FRAME\\n' + raw
+    planes per frame (C420/C422/C444/mono supported). The sampling stride
+    is max(1, round(source_fps / fps)); frame_idx is the SOURCE index of
+    each kept frame, so downstream alignment to timestamps is exact.
+    Compressed codecs (h264 et al.) remain out of scope in this
+    environment - documented, like the protobuf gap in tests/test_tws.py -
+    and a non-Y4M payload on the real path raises ValueError with the doc
+    id rather than silently faking.
+
+    FAKE path (`use_codec=False` - plumbing tests / the oracle query over
+    non-video payloads): deterministic md5-derived frames - d = md5(raw);
+    n_frames = 2 + d[0] % 4, width = 16 + d[1] % 16, height = 16 + d[2] %
+    16, frame i = md5(raw || chr(65+i)) digest bytes (printable suffix so
+    a SQL oracle can reproduce it with string concat). Identical schema
+    and batch shape either way.
+
+    Both kernels are mapInPandas; at 100 TB the pre-codec byte-range plan
+    (plan_frame_extraction) narrows what each worker reads, and this
+    kernel decodes only the delivered ranges."""
+    if use_codec is None:
+        use_codec = have_video_codec()
+
+    if use_codec:
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {k: [] for k in ("doc_id", "frame_idx", "width", "height", "frame")}
+                for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                    raw = bytes(b)
+                    if not _looks_like_y4m(raw):
+                        raise ValueError(
+                            f"doc {doc_id}: payload is not YUV4MPEG2; "
+                            "use_codec=False for non-video payloads "
+                            "(compressed codecs are out of scope here)"
+                        )
+                    nl = raw.index(b"\n")
+                    w = h = None
+                    num, den, cs = 25, 1, "420"
+                    for tok in raw[:nl].decode("ascii", "replace").split()[1:]:
+                        if tok[0] == "W":
+                            w = int(tok[1:])
+                        elif tok[0] == "H":
+                            h = int(tok[1:])
+                        elif tok[0] == "F":
+                            num, den = (int(x) for x in tok[1:].split(":"))
+                        elif tok[0] == "C":
+                            # C420 / C420jpeg / C420paldv / C420mpeg2 /
+                            # C422 / C444 / Cmono - subsampling prefix only
+                            tag = tok[1:]
+                            cs = next(
+                                (p for p in ("mono", "444", "422", "420")
+                                 if tag.startswith(p)),
+                                tag,
+                            )
+                    if w is None or h is None:
+                        raise ValueError(f"doc {doc_id}: y4m header lacks W/H")
+                    if cs not in _Y4M_EIGHTHS:
+                        raise ValueError(
+                            f"doc {doc_id}: unsupported y4m colorspace C{cs}"
+                        )
+                    fsize = w * h * _Y4M_EIGHTHS[cs] // 8
+                    src_fps = num / den
+                    stride = max(1, int(round(src_fps / fps)))
+                    pos, idx = nl + 1, 0
+                    while pos < len(raw):
+                        fnl = raw.index(b"\n", pos)
+                        if not raw[pos:fnl].startswith(b"FRAME"):
+                            raise ValueError(
+                                f"doc {doc_id}: malformed y4m frame marker"
+                            )
+                        body = raw[fnl + 1 : fnl + 1 + fsize]
+                        if len(body) < fsize:
+                            raise ValueError(
+                                f"doc {doc_id}: truncated y4m frame {idx}"
+                            )
+                        if idx % stride == 0:
+                            out["doc_id"].append(doc_id)
+                            out["frame_idx"].append(idx)
+                            out["width"].append(w)
+                            out["height"].append(h)
+                            out["frame"].append(body[: w * h])  # luma plane
+                        pos = fnl + 1 + fsize
+                        idx += 1
+                yield pd.DataFrame(out)
+
+    else:
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {k: [] for k in ("doc_id", "frame_idx", "width", "height", "frame")}
+                for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                    raw = bytes(b)
+                    d = hashlib.md5(raw).digest()
+                    for i in range(2 + d[0] % 4):
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(i)
+                        out["width"].append(16 + d[1] % 16)
+                        out["height"].append(16 + d[2] % 16)
+                        out["frame"].append(
+                            hashlib.md5(raw + bytes([65 + i])).digest()
+                        )
+                yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(kernel, SAMPLED_FRAME_SCHEMA)
+
+
+def have_video_codec() -> bool:
+    """True when the Y4M parser's dependencies are importable (stdlib-only,
+    so True in any CPython - kept for symmetry with the image/audio probes
+    and for trimmed executor images). Compressed codecs (h264/vp9) would
+    need av/ffmpeg, absent here; the Y4M path is the real uncompressed
+    kernel, not a stub."""
+    return True

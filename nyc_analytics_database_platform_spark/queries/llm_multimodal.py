@@ -139,6 +139,51 @@ def multimodal_audio_fake_resample(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("doc_id")
 
 
+@register(
+    "multimodal_video_fake_frames",
+    oracle=f"""
+        WITH m AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+        hdr AS (
+            SELECT doc_id, text,
+                   2 + ({_hex_byte('h', 1)} % 4) AS n_frames,
+                   16 + ({_hex_byte('h', 3)} % 16) AS width,
+                   16 + ({_hex_byte('h', 5)} % 16) AS height
+            FROM m
+        )
+        SELECT d.doc_id,
+               CAST(i AS INTEGER) AS frame_idx,
+               CAST(d.width AS INTEGER) AS width,
+               CAST(d.height AS INTEGER) AS height,
+               md5(d.text || chr(CAST(65 + i AS INTEGER))) AS frame_hex
+        FROM hdr d, unnest(generate_series(0, d.n_frames - 1)) AS g(i)
+        ORDER BY d.doc_id, frame_idx
+    """,
+    tags=("llm", "multimodal", "video"),
+)
+def multimodal_video_fake_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas video frame-sampling stage (operators/multimodal.
+    sample_video_frames) over the deterministic fake kernel - the payloads
+    here are text, so this attests the PLUMBING (schema, one-row-per-frame
+    fan-out, byte handling); the REAL stdlib Y4M kernel is contract-tested
+    on generated uncompressed video in tests/test_round4_ops.py. Fake
+    frame i's bytes are md5(payload || chr(65+i)) - a printable suffix, so
+    the oracle reproduces the exact digests with string concat and the
+    compare is on hex strings, byte-for-byte."""
+    from nyc_analytics_database_platform_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    frames = sample_video_frames(as_media_table(docs), 25.0, use_codec=False)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    ).orderBy("doc_id", "frame_idx")
+
+
 _FRAME_BYTES, _EVERY_K = 16, 4
 
 

@@ -119,17 +119,21 @@ def test_multimodal_fake_decode_deterministic(spark):
 
 
 def test_multimodal_codec_stubs_and_adapter(spark):
-    """Video stays the one documented stub; image (round 3) and audio
-    (round 4) are adapters - real kernel when the codec fits the payload,
-    deterministic fake fallback with the same schema (contract-tested in
-    tests/test_r3_scale_ops.py and tests/test_round4_ops.py) - so neither
-    must raise on the fake path."""
+    """All three modalities are adapters now - image (round 3, Pillow),
+    audio and video (round 4, stdlib wave / Y4M) - real kernel when the
+    codec fits the payload, deterministic fake fallback with the same
+    schema (contract-tested in tests/test_r3_scale_ops.py and
+    tests/test_round4_ops.py) - so none may raise on the fake path, and
+    the real paths reject a payload they cannot decode LOUDLY."""
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     media = as_media_table(docs)
     assert decode_image(media, (2, 2), use_codec=False).count() == 1
     assert resample_audio(media, 16000, use_codec=False).count() == 1
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(media, 1.0)
+    assert sample_video_frames(media, 1.0, use_codec=False).count() >= 2
+    with pytest.raises(Exception, match="not RIFF/WAVE"):
+        resample_audio(media, 16000, use_codec=True).collect()
+    with pytest.raises(Exception, match="not YUV4MPEG2"):
+        sample_video_frames(media, 1.0, use_codec=True).collect()
 
 
 def test_pii_redaction_not_vacuous(spark, sf_dir):

@@ -320,3 +320,83 @@ def test_prefix_filter_equals_exact_property(spark, texts, threshold):
         for r in prefix_filter_jaccard_pairs(docs, threshold, k=3).collect()
     }
     assert fast == exact
+
+
+# --- video kernel (Y4M) ------------------------------------------------------
+
+from nyc_analytics_database_platform_spark.operators.multimodal import (  # noqa: E402
+    SAMPLED_FRAME_SCHEMA,
+    sample_video_frames,
+)
+
+
+def _y4m_bytes(
+    frames: list[bytes], w: int, h: int, *, fps: str = "25:1", cs: str = ""
+) -> bytes:
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps} Ip A1:1{cs}\n".encode()
+    return hdr + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def test_sample_video_frames_real_y4m_stride(spark):
+    """6-frame 4x2 C420 clip at 30 fps sampled at 10 fps -> stride 3 keeps
+    source frames 0 and 3; the luma plane comes back byte-exact."""
+    w, h = 4, 2
+    fsize = w * h * 3 // 2  # C420
+    frames = [bytes([i]) * fsize for i in range(6)]
+    df = spark.createDataFrame(
+        [(1, bytearray(_y4m_bytes(frames, w, h, fps="30:1")))],
+        "doc_id long, media binary",
+    )
+    out = sample_video_frames(df, 10.0, use_codec=True)
+    assert out.schema == SAMPLED_FRAME_SCHEMA
+    rows = sorted(out.collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [0, 3]
+    for r in rows:
+        assert (r["width"], r["height"]) == (w, h)
+        assert bytes(r["frame"]) == bytes([r["frame_idx"]]) * (w * h)
+
+
+def test_sample_video_frames_real_y4m_colorspaces(spark):
+    """C444 and Cmono frame sizes parse correctly (different plane math)."""
+    w, h = 2, 2
+    c444 = _y4m_bytes([bytes(range(w * h * 3))], w, h, cs=" C444")
+    mono = _y4m_bytes([bytes(range(w * h))], w, h, cs=" Cmono")
+    df = spark.createDataFrame(
+        [(1, bytearray(c444)), (2, bytearray(mono))], "doc_id long, media binary"
+    )
+    rows = {r["doc_id"]: r for r in sample_video_frames(df, 25.0, use_codec=True).collect()}
+    assert bytes(rows[1]["frame"]) == bytes(range(w * h))  # luma = first WH
+    assert bytes(rows[2]["frame"]) == bytes(range(w * h))
+
+
+def test_sample_video_frames_real_rejects_non_y4m_and_truncated(spark):
+    df = spark.createDataFrame(
+        [(3, bytearray(b"not a video"))], "doc_id long, media binary"
+    )
+    with pytest.raises(Exception, match="not YUV4MPEG2"):
+        sample_video_frames(df, 25.0, use_codec=True).collect()
+    trunc = _y4m_bytes([bytes(2)], 4, 2)  # C420 needs 12 bytes, give 2
+    df2 = spark.createDataFrame(
+        [(4, bytearray(trunc))], "doc_id long, media binary"
+    )
+    with pytest.raises(Exception, match="truncated"):
+        sample_video_frames(df2, 25.0, use_codec=True).collect()
+
+
+def test_sample_video_frames_fake_path_contract(spark, sf_dir):
+    from nyc_analytics_database_platform_spark.catalog import load
+
+    media = as_media_table(load(spark, sf_dir, "documents").limit(6))
+    out = sample_video_frames(media, 25.0, use_codec=False)
+    assert out.schema == SAMPLED_FRAME_SCHEMA
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(per_doc) == 6
+    for doc_rows in per_doc.values():
+        assert 2 <= len(doc_rows) <= 5
+        assert [r["frame_idx"] for r in sorted(doc_rows, key=lambda r: r["frame_idx"])] == list(range(len(doc_rows)))
+        assert all(len(bytes(r["frame"])) == 16 for r in doc_rows)
+    again = sample_video_frames(media, 25.0, use_codec=False).collect()
+    assert sorted(map(str, again)) == sorted(map(str, rows))
