@@ -1,0 +1,263 @@
+"""Product-quantization queries (operators/pq.py): codebook training,
+corpus encoding, ADC search, and the recall audit - the PQ half of IVF-PQ
+over the embeddings table (64-dim vectors; m=4 subspaces x 16 dims, k=8
+centroids per codebook, 2 Lloyd rounds).
+
+Every oracle unrolls the same deterministic pipeline as chained DuckDB
+CTEs, mirroring operators/pq.py stage for stage (hash-deterministic
+seeds, 6dp-rounded means, ties to the lowest code) - the same discipline
+as the kmeans/IVF family in llm_ivf.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.operators.pq import (
+    adc_topk,
+    pq_fit,
+)
+from nyc_analytics_database_platform_spark.registry import register
+
+_M, _K, _ITERS = 4, 8, 2
+_DS = 16  # 64-dim embeddings / 4 subspaces
+
+
+def _sub_cte() -> str:
+    return f"""
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sub AS (
+            SELECT vec_id, j, v[j * {_DS} + 1 : j * {_DS} + {_DS}] AS sv
+            FROM e, unnest(generate_series(0, {_M - 1})) AS gj(j)
+        ),
+        ranked AS (
+            SELECT vec_id, v,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rn
+            FROM e
+        ),
+        b0 AS (
+            SELECT s.j, s.rn AS c_id, i - 1 AS dim, s.sv[i] AS cv
+            FROM (
+                SELECT rn, j, v[j * {_DS} + 1 : j * {_DS} + {_DS}] AS sv
+                FROM ranked, unnest(generate_series(0, {_M - 1})) AS gj(j)
+                WHERE rn < {_K}
+            ) s, unnest(generate_series(1, {_DS})) AS gi(i)
+        )"""
+
+
+def _assign(name: str, books: str) -> str:
+    return f"""
+        d_{name} AS (
+            SELECT s.vec_id, s.j, b.c_id,
+                   SUM((s.sv[b.dim + 1] - b.cv) * (s.sv[b.dim + 1] - b.cv)) AS d2
+            FROM sub s JOIN {books} b ON s.j = b.j
+            GROUP BY s.vec_id, s.j, b.c_id
+        ),
+        {name} AS (
+            SELECT vec_id, j, c_id FROM (
+                SELECT vec_id, j, c_id,
+                       row_number() OVER (
+                           PARTITION BY vec_id, j ORDER BY d2, c_id) AS r
+                FROM d_{name}
+            ) WHERE r = 1
+        )"""
+
+
+def _update(name: str, codes: str) -> str:
+    return f"""
+        {name} AS (
+            SELECT a.j, a.c_id, i - 1 AS dim, round(avg(s.sv[i]), 6) AS cv
+            FROM {codes} a JOIN sub s ON a.vec_id = s.vec_id AND a.j = s.j,
+                 unnest(generate_series(1, {_DS})) AS gi(i)
+            GROUP BY a.j, a.c_id, dim
+        )"""
+
+
+_TRAINED = (
+    _sub_cte()
+    + ","
+    + _assign("a1", "b0")
+    + ","
+    + _update("b1", "a1")
+    + ","
+    + _assign("a2", "b1")
+    + ","
+    + _update("b2", "a2")
+    + ","
+    + _assign("a3", "b2")
+)
+
+
+def _fitted(spark: SparkSession, sf_dir: str):
+    emb = load(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return emb, *pq_fit(emb, _M, _K, _ITERS)
+
+
+@register(
+    "pq_train_codebooks",
+    oracle=f"""
+        WITH {_TRAINED},
+        counts AS (
+            SELECT j, c_id, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM a3 GROUP BY j, c_id
+        )
+        SELECT CAST(b2.j AS INT) AS subspace, CAST(b2.c_id AS INT) AS c_id,
+               CAST(b2.dim AS INT) AS dim, b2.cv AS centroid_v,
+               counts.n_members
+        FROM b2 JOIN counts USING (j, c_id)
+        ORDER BY subspace, c_id, dim
+    """,
+    tags=("llm", "pq", "iterative"),
+)
+def pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All m=4 PQ codebooks trained in ONE Lloyd loop (subspace joins the
+    key of every stage - operators/pq.py), 2 rounds from hash-deterministic
+    seeds; reports per-(subspace, cluster, dim) centroid values + member
+    counts. Per iteration: one broadcast assign over the subvector frame
+    (vectors never shuffle) + one (j, c_id, dim)-keyed mean whose group
+    count is dims x k - constants at any corpus size."""
+    _, books, codes = _fitted(spark, sf_dir)
+    counts = codes.groupBy("j", "c_id").agg(F.count("*").alias("n_members"))
+    return (
+        books.select("j", "c_id", F.posexplode("cvec").alias("dim", "centroid_v"))
+        .join(counts, ["j", "c_id"])
+        .select(
+            F.col("j").cast("int").alias("subspace"),
+            F.col("c_id").cast("int").alias("c_id"),
+            F.col("dim").cast("int").alias("dim"),
+            "centroid_v",
+            "n_members",
+        )
+        .orderBy("subspace", "c_id", "dim")
+    )
+
+
+@register(
+    "pq_encode_codes",
+    oracle=f"""
+        WITH {_TRAINED}
+        SELECT vec_id, list(c_id ORDER BY j) AS codes
+        FROM a3 GROUP BY vec_id ORDER BY vec_id
+    """,
+    tags=("llm", "pq"),
+)
+def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus as PQ codes: m=4 small integers per vector (the 64x
+    compression that makes a 100 TB embedding store scannable). Encoding
+    is the broadcast assign pass; code assembly is one per-id aggregate
+    (m rows per id, map-side combinable)."""
+    _, _, codes = _fitted(spark, sf_dir)
+    return (
+        codes.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c_id"))),
+                lambda s: s["c_id"],
+            ).alias("codes")
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "pq_adc_top5",
+    oracle=f"""
+        WITH {_TRAINED},
+        q AS (
+            SELECT j, v[j * {_DS} + 1 : j * {_DS} + {_DS}] AS qsv
+            FROM e, unnest(generate_series(0, {_M - 1})) AS gj(j)
+            WHERE vec_id = 0
+        ),
+        dt AS (
+            SELECT b.j, b.c_id,
+                   SUM((q.qsv[b.dim + 1] - b.cv) * (q.qsv[b.dim + 1] - b.cv)) AS dtv
+            FROM b2 b JOIN q ON b.j = q.j
+            GROUP BY b.j, b.c_id
+        )
+        SELECT a.vec_id, round(SUM(d.dtv), 6) AS adc_d2
+        FROM a3 a JOIN dt d ON a.j = d.j AND a.c_id = d.c_id
+        GROUP BY a.vec_id
+        ORDER BY adc_d2, vec_id
+        LIMIT 5
+    """,
+    tags=("llm", "pq", "similarity"),
+)
+def pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance search: the exact query-to-centroid table (m x k
+    doubles) is built once and broadcast; every database vector costs m
+    code lookups + a sum. Top-5 for the vec_id=0 query point (the ANN
+    family's shared convention)."""
+    emb, books, codes = _fitted(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == 0)
+    return adc_topk(codes, books, query, _M, _K).limit(5)
+
+
+@register(
+    "pq_recall_audit",
+    oracle=f"""
+        WITH {_TRAINED},
+        q AS (
+            SELECT j, v[j * {_DS} + 1 : j * {_DS} + {_DS}] AS qsv
+            FROM e, unnest(generate_series(0, {_M - 1})) AS gj(j)
+            WHERE vec_id = 0
+        ),
+        dt AS (
+            SELECT b.j, b.c_id,
+                   SUM((q.qsv[b.dim + 1] - b.cv) * (q.qsv[b.dim + 1] - b.cv)) AS dtv
+            FROM b2 b JOIN q ON b.j = q.j
+            GROUP BY b.j, b.c_id
+        ),
+        adc AS (
+            SELECT a.vec_id
+            FROM a3 a JOIN dt d ON a.j = d.j AND a.c_id = d.c_id
+            GROUP BY a.vec_id
+            ORDER BY round(SUM(d.dtv), 6), vec_id
+            LIMIT 5
+        ),
+        qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        exact AS (
+            SELECT e.vec_id
+            FROM e, qv, unnest(generate_series(1, {_M * _DS})) AS gi(i)
+            GROUP BY e.vec_id
+            ORDER BY SUM((e.v[i] - qv.qv[i]) * (e.v[i] - qv.qv[i])), e.vec_id
+            LIMIT 5
+        )
+        SELECT CAST(5 AS BIGINT) AS k,
+               CAST((SELECT COUNT(*) FROM adc
+                     WHERE vec_id IN (SELECT vec_id FROM exact)) AS BIGINT)
+                   AS n_hits,
+               round((SELECT COUNT(*) FROM adc
+                      WHERE vec_id IN (SELECT vec_id FROM exact)) / 5.0, 2)
+                   AS recall_at_5
+    """,
+    tags=("llm", "pq", "audit"),
+)
+def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of ADC search against exact L2 brute force for the
+    vec_id=0 query - the calibration evidence that the 64x-compressed
+    index is still useful (same audit pattern as ivf_recall_audit). The
+    exact side is the one full-scan pass; the ADC side reuses the
+    broadcast-table search."""
+    emb, books, codes = _fitted(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == 0)
+    adc_ids = adc_topk(codes, books, query, _M, _K).limit(5).select("vec_id")
+    qv = query.select(F.col("v").alias("qv"))
+    from nyc_analytics_database_platform_spark.operators.kmeans import _dist2
+
+    exact_ids = (
+        emb.crossJoin(F.broadcast(qv))
+        .select("vec_id", _dist2(F.col("v"), F.col("qv")).alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(5)
+        .select("vec_id")
+    )
+    hits = adc_ids.join(exact_ids, "vec_id").count()
+    return spark.createDataFrame(
+        [(5, hits, round(hits / 5.0, 2))],
+        "k long, n_hits long, recall_at_5 double",
+    )

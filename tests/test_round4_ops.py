@@ -400,3 +400,58 @@ def test_sample_video_frames_fake_path_contract(spark, sf_dir):
         assert all(len(bytes(r["frame"])) == 16 for r in doc_rows)
     again = sample_video_frames(media, 25.0, use_codec=False).collect()
     assert sorted(map(str, again)) == sorted(map(str, rows))
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def test_pq_fit_codes_and_adc_properties(spark):
+    """PQ invariants on a tiny synthetic corpus: every vector gets exactly
+    m codes in [0, k); a vector's ADC distance to ITSELF as the query is
+    the (nonnegative) quantization error, and the query's own top-1 under
+    ADC ranks it at (or tied with) vectors sharing its codes."""
+    import random
+
+    from nyc_analytics_database_platform_spark.operators.pq import (
+        adc_topk,
+        pq_fit,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    vecs = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    m, k = 2, 4
+    books, codes = pq_fit(vecs, m, k, iterations=2)
+    got_books = books.collect()
+    assert {(r["j"], r["c_id"]) for r in got_books} <= {
+        (j, c) for j in range(m) for c in range(k)
+    }
+    assert all(len(r["cvec"]) == 4 for r in got_books)  # 8 dims / 2
+    got_codes = codes.collect()
+    per_vec = {}
+    for r in got_codes:
+        per_vec.setdefault(r["vec_id"], []).append((r["j"], r["c_id"]))
+        assert 0 <= r["c_id"] < k
+    assert all(len(v) == m for v in per_vec.values())
+    q = vecs.filter(F.col("vec_id") == 0)
+    scored = adc_topk(codes, books, q, m, k).collect()
+    assert len(scored) == 40
+    assert all(r["adc_d2"] >= 0 for r in scored)
+    # sorted ascending, deterministic tie-break
+    ds = [r["adc_d2"] for r in scored]
+    assert ds == sorted(ds)
+
+
+def test_pq_subvectors_slicing(spark):
+    from nyc_analytics_database_platform_spark.operators.pq import subvectors
+
+    vecs = spark.createDataFrame(
+        [(1, [float(x) for x in range(8)])], "vec_id long, v array<double>"
+    )
+    got = {r["j"]: r["sv"] for r in subvectors(vecs, 4).collect()}
+    assert got == {
+        0: [0.0, 1.0],
+        1: [2.0, 3.0],
+        2: [4.0, 5.0],
+        3: [6.0, 7.0],
+    }
