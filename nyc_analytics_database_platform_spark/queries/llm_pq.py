@@ -261,3 +261,94 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(5, hits, round(hits / 5.0, 2))],
         "k long, n_hits long, recall_at_5 double",
     )
+
+
+@register(
+    "ivfpq_adc_top5",
+    oracle=f"""
+        WITH {_TRAINED},
+        el AS (SELECT vec_id, label FROM embeddings),
+        cent AS (
+            SELECT label, list(cv ORDER BY dim) AS cvec
+            FROM (
+                SELECT label, i AS dim,
+                       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+                FROM embeddings,
+                     unnest(generate_series(1, {_M * _DS})) AS g(i)
+                GROUP BY label, i
+            )
+            GROUP BY label
+        ),
+        qfull AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        probe AS (
+            SELECT label
+            FROM cent, qfull,
+                 unnest(generate_series(1, {_M * _DS})) AS gi(i)
+            GROUP BY label
+            ORDER BY SUM((cvec[i] - qv[i]) * (cvec[i] - qv[i])), label
+            LIMIT 1
+        ),
+        q AS (
+            SELECT j, v[j * {_DS} + 1 : j * {_DS} + {_DS}] AS qsv
+            FROM e, unnest(generate_series(0, {_M - 1})) AS gj(j)
+            WHERE vec_id = 0
+        ),
+        dt AS (
+            SELECT b.j, b.c_id,
+                   SUM((q.qsv[b.dim + 1] - b.cv) * (q.qsv[b.dim + 1] - b.cv)) AS dtv
+            FROM b2 b JOIN q ON b.j = q.j
+            GROUP BY b.j, b.c_id
+        )
+        SELECT a.vec_id, round(SUM(d.dtv), 6) AS adc_d2
+        FROM a3 a
+        JOIN el ON a.vec_id = el.vec_id
+        JOIN dt d ON a.j = d.j AND a.c_id = d.c_id
+        WHERE el.label = (SELECT label FROM probe)
+        GROUP BY a.vec_id
+        ORDER BY adc_d2, a.vec_id
+        LIMIT 5
+    """,
+    tags=("llm", "pq", "ivf", "similarity"),
+)
+def ivfpq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ index in one declarative plan: coarse-route the
+    query to its nearest cell (L2 over the per-label 6dp-mean centroids -
+    the `label` column is the IVF partitioning, as in llm_ivf.py), then
+    ADC-score ONLY that cell's PQ codes. At 100 TB the codes table is
+    label-partitioned on disk, so the probe reads one partition of 4-byte
+    codes and the broadcast m x k table prices each candidate in m
+    lookups - the scan cost is (corpus / n_cells) x 4 bytes, the memory
+    cost one distance table. (Classic refinement - PQ over cell residuals
+    - would re-center each cell before encoding; documented, not needed
+    for the routing + compression semantics attested here.) Ties: lowest
+    label, then lowest vec_id, matching the oracle exactly."""
+    emb, books, codes = _fitted(spark, sf_dir)
+    raw = load(spark, sf_dir, "embeddings", parallel=True)
+    query = emb.filter(F.col("vec_id") == 0)
+    qv = query.select(F.col("v").alias("qv"))
+    from nyc_analytics_database_platform_spark.operators.kmeans import _dist2
+
+    cent = (
+        raw.select("label", F.posexplode("embedding").alias("dim", "ev"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("ev").cast("double")), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+    )
+    probe = (
+        cent.crossJoin(F.broadcast(qv))
+        .select("label", _dist2(F.col("cvec"), F.col("qv")).alias("d2"))
+        .agg(F.min_by("label", F.struct("d2", "label")).alias("label"))
+    )
+    cell_ids = (
+        raw.select("vec_id", "label")
+        .join(F.broadcast(probe), "label")
+        .select("vec_id")
+    )
+    cell_codes = codes.join(F.broadcast(cell_ids), "vec_id")
+    return adc_topk(cell_codes, books, query, _M, _K).limit(5)
