@@ -48,12 +48,12 @@ def _sub_cte() -> str:
         )"""
 
 
-def _assign(name: str, books: str) -> str:
+def _assign(name: str, books: str, src: str = "sub") -> str:
     return f"""
         d_{name} AS (
             SELECT s.vec_id, s.j, b.c_id,
                    SUM((s.sv[b.dim + 1] - b.cv) * (s.sv[b.dim + 1] - b.cv)) AS d2
-            FROM sub s JOIN {books} b ON s.j = b.j
+            FROM {src} s JOIN {books} b ON s.j = b.j
             GROUP BY s.vec_id, s.j, b.c_id
         ),
         {name} AS (
@@ -66,11 +66,11 @@ def _assign(name: str, books: str) -> str:
         )"""
 
 
-def _update(name: str, codes: str) -> str:
+def _update(name: str, codes: str, src: str = "sub") -> str:
     return f"""
         {name} AS (
             SELECT a.j, a.c_id, i - 1 AS dim, round(avg(s.sv[i]), 6) AS cv
-            FROM {codes} a JOIN sub s ON a.vec_id = s.vec_id AND a.j = s.j,
+            FROM {codes} a JOIN {src} s ON a.vec_id = s.vec_id AND a.j = s.j,
                  unnest(generate_series(1, {_DS})) AS gi(i)
             GROUP BY a.j, a.c_id, dim
         )"""
@@ -352,3 +352,80 @@ def ivfpq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cell_codes = codes.join(F.broadcast(cell_ids), "vec_id")
     return adc_topk(cell_codes, books, query, _M, _K).limit(5)
+
+
+_SPLIT_VEC = 400  # vec_id >= _SPLIT_VEC is the "new batch"; below is history
+
+
+def _hist_trained() -> str:
+    """The training chain restricted to the HISTORY vectors (vec_id <
+    _SPLIT_VEC): seeds drawn from history only, every Lloyd stage reads
+    subh. The full `sub` frame stays available for encoding the increment."""
+    return (
+        _sub_cte()
+        + f""",
+        subh AS (SELECT * FROM sub WHERE vec_id < {_SPLIT_VEC}),
+        rankedh AS (
+            SELECT vec_id, v,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rn
+            FROM e WHERE vec_id < {_SPLIT_VEC}
+        ),
+        bh0 AS (
+            SELECT s.j, s.rn AS c_id, i - 1 AS dim, s.sv[i] AS cv
+            FROM (
+                SELECT rn, j, v[j * {_DS} + 1 : j * {_DS} + {_DS}] AS sv
+                FROM rankedh, unnest(generate_series(0, {_M - 1})) AS gj(j)
+                WHERE rn < {_K}
+            ) s, unnest(generate_series(1, {_DS})) AS gi(i)
+        )"""
+        + ","
+        + _assign("ha1", "bh0", "subh")
+        + ","
+        + _update("hb1", "ha1", "subh")
+        + ","
+        + _assign("ha2", "hb1", "subh")
+        + ","
+        + _update("hb2", "ha2", "subh")
+    )
+
+
+@register(
+    "pq_encode_increment",
+    oracle=f"""
+        WITH {_hist_trained()},
+        subn AS (SELECT * FROM sub WHERE vec_id >= {_SPLIT_VEC}),{_assign("an", "hb2", "subn")}
+        SELECT vec_id, list(c_id ORDER BY j) AS codes
+        FROM an GROUP BY vec_id ORDER BY vec_id
+    """,
+    tags=("llm", "pq", "incremental"),
+)
+def pq_encode_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE under a corpus increment - the production mode for
+    a PQ store (same shape as dedup_incremental_*): codebooks are trained
+    on the HISTORY (vec_id < _SPLIT_VEC = 400; they would be a persisted
+    artifact, retrained on drift audits, not per batch), and ONLY the new
+    batch is encoded against the frozen codebooks - one broadcast assign
+    pass over the increment's subvectors, zero work proportional to the
+    corpus. The oracle recomputes history training + increment encoding
+    from scratch, so the driver attests the frozen-codebook path exactly."""
+    from nyc_analytics_database_platform_spark.operators.pq import (
+        assign_codes,
+        subvectors,
+    )
+
+    emb, _, _ = _fitted(spark, sf_dir)
+    hist = emb.filter(F.col("vec_id") < _SPLIT_VEC)
+    books, _ = pq_fit(hist, _M, _K, _ITERS)
+    new_sv = subvectors(emb.filter(F.col("vec_id") >= _SPLIT_VEC), _M)
+    return (
+        assign_codes(new_sv, books)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c_id"))),
+                lambda s: s["c_id"],
+            ).alias("codes")
+        )
+        .orderBy("vec_id")
+    )
