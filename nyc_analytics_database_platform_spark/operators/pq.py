@@ -40,16 +40,24 @@ def subvectors(
     vectors: DataFrame, m: int, id_col: str = "vec_id", vec_col: str = "v"
 ) -> DataFrame:
     """(id, j, sv): subspace j's slice of each vector, j in [0, m). The
-    subvector width is size(v) div m, taken from the data (vectors must
-    share one dimensionality; a trailing remainder would indicate a
-    corrupt row and surfaces as a short final slice)."""
+    subvector width is size(v) div m, taken from the data. Dimensionality
+    must divide m: a trailing remainder would otherwise be SILENTLY
+    dropped from every distance (a corrupt index, not an error), so the
+    expression asserts size(v) % m == 0 per row and fails the job loudly
+    on the first violating vector."""
     ds = f"(size({vec_col}) div {m})"
+    guard = (
+        f"assert_true(size({vec_col}) % {m} = 0, "
+        f"concat('pq: vector dims ', size({vec_col}),"
+        f" ' not divisible by m={m}'))"
+    )
     return vectors.select(
         id_col,
         F.posexplode(
             F.expr(
+                f"if(isnull({guard}), "
                 f"transform(sequence(0, {m - 1}),"
-                f" j -> slice({vec_col}, j * {ds} + 1, {ds}))"
+                f" j -> slice({vec_col}, j * {ds} + 1, {ds})), null)"
             )
         ).alias("j", "sv"),
     )

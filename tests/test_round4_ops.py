@@ -455,3 +455,15 @@ def test_pq_subvectors_slicing(spark):
         2: [4.0, 5.0],
         3: [6.0, 7.0],
     }
+
+
+def test_pq_subvectors_rejects_indivisible_dims(spark):
+    """A 10-dim vector under m=4 would silently drop 2 dims from every
+    distance; the operator must fail loudly instead."""
+    from nyc_analytics_database_platform_spark.operators.pq import subvectors
+
+    bad = spark.createDataFrame(
+        [(1, [float(x) for x in range(10)])], "vec_id long, v array<double>"
+    )
+    with pytest.raises(Exception, match="not divisible"):
+        subvectors(bad, 4).collect()
