@@ -1,0 +1,234 @@
+"""BPE tokenizer training over the documents corpus: iterative pair-merge
+induction (the byte-pair-encoding training loop of Sennrich et al. 2016,
+the standard subword-tokenizer construction for LLM pipelines) and the
+matching segmentation (apply) pass.
+
+Everything is declarative: the corpus collapses to a (word, freq) table
+once, each merge round is one pair-count aggregate + a broadcast of the
+1-row argmax pair + a JVM-side `aggregate` lambda fold that rewrites the
+per-word symbol arrays - no Python UDFs, no driver-side collect (the
+chosen pair travels as a broadcast crossJoin, not a collected literal).
+
+The DuckDB oracle replays the identical algorithm: the same pair counts,
+the same (count DESC, left, right) argmax tie-break, and a recursive-CTE
+left fold whose merge semantics (left-to-right, non-overlapping - so
+pair (a,a) on "aaaa" yields "aa","aa") match the `aggregate` lambda
+symbol for symbol. All arithmetic is integer, so parity is bit-exact.
+
+Reference scope: the reference app (webserver/server.py) has no tokenizer;
+this family belongs to the LLM-pipeline extension mandated by SURVEY.md
+section 2 (training-data ops), alongside vocab_top_bigrams /
+tokenize_documents_to_ids in llm_text.py.
+
+Scale (100 TB): the fold runs over the DISTINCT-WORD table, not the
+corpus - after the first explode+groupBy (one shuffle, map-side
+combinable), every merge round costs a pair aggregate over |vocab| short
+arrays plus a 1-row broadcast. |vocab| grows sublinearly with corpus
+size (Heaps' law), so 1000 merge rounds at 100 TB iterate over a frame
+of maybe 10^7 rows - driver memory never sees it. Round count here is 3
+to keep the unrolled oracle readable; the loop is the same at 50k.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.registry import register
+
+_STEPS = 3
+
+# Left fold merging adjacent (l, r) symbol pairs left-to-right,
+# non-overlapping: seed with the first symbol, then either extend the
+# accumulator or fuse its last element with the incoming symbol.
+_FOLD = """
+    aggregate(
+        slice(syms, 2, size(syms) - 1),
+        array(syms[0]),
+        (acc, x) -> CASE
+            WHEN element_at(acc, -1) = _ml AND x = _mr
+            THEN concat(slice(acc, 1, size(acc) - 1),
+                        array(concat(element_at(acc, -1), x)))
+            ELSE concat(acc, array(x))
+        END)
+"""
+
+_PAIRS = """
+    zip_with(slice(syms, 1, size(syms) - 1),
+             slice(syms, 2, size(syms) - 1),
+             (a, b) -> named_struct('l', a, 'r', b))
+"""
+
+
+def _word_syms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, syms): corpus word frequencies with per-word character
+    arrays - the only pass that touches the corpus."""
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    words = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    )
+    return (
+        words.filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("syms", F.split("word", ""))
+    )
+
+
+def _top_pair(words: DataFrame) -> DataFrame:
+    """1-row argmax pair by (count DESC, l, r) - integer-exact, no floats."""
+    pairs = (
+        words.select("freq", F.explode(F.expr(_PAIRS)).alias("pr"))
+        .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    return pairs.agg(
+        F.min_by(
+            F.struct("l", "r", "cnt"),
+            F.struct((-F.col("cnt")).alias("nc"), F.col("l"), F.col("r")),
+        ).alias("t")
+    ).select("t.l", "t.r", "t.cnt")
+
+
+def _apply_merge(words: DataFrame, top: DataFrame) -> DataFrame:
+    """Rewrite every word's symbol array with the chosen pair fused - the
+    pair arrives as a broadcast 1-row crossJoin, never a collected value."""
+    t = F.broadcast(top.select(F.col("l").alias("_ml"), F.col("r").alias("_mr")))
+    return (
+        words.crossJoin(t)
+        .withColumn("syms", F.expr(_FOLD))
+        .drop("_ml", "_mr")
+    )
+
+
+def _trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
+    """Run _STEPS merge rounds; return (final word table, per-step pairs)."""
+    words = _word_syms(spark, sf_dir)
+    tops: list[DataFrame] = []
+    for _ in range(_STEPS):
+        top = _top_pair(words)
+        tops.append(top)
+        words = _apply_merge(words, top)
+    return words, tops
+
+
+# --- DuckDB oracle ----------------------------------------------------------
+
+_WORDS_CTE = r"""
+    words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+            FROM documents WHERE text IS NOT NULL
+        )
+        WHERE word <> ''
+        GROUP BY word
+    ),
+    w0 AS (SELECT word, freq, string_split(word, '') AS syms FROM words)
+"""
+
+
+def _step_ctes(i: int) -> str:
+    """Pair counts p{i}, argmax t{i}, recursive fold f{i}, merged words w{i}
+    - the exact mirror of (_top_pair, _apply_merge) for round i."""
+    return f"""
+    p{i} AS (
+        SELECT syms[j] AS l, syms[j + 1] AS r, SUM(freq) AS cnt
+        FROM w{i - 1}, unnest(generate_series(1, len(syms) - 1)) AS g(j)
+        GROUP BY 1, 2
+    ),
+    t{i} AS (
+        SELECT l, r, CAST(cnt AS BIGINT) AS cnt
+        FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    f{i} AS (
+        SELECT word, freq, syms, 1 AS pos, [syms[1]] AS acc FROM w{i - 1}
+        UNION ALL
+        SELECT f.word, f.freq, f.syms, f.pos + 1,
+            CASE WHEN f.acc[-1] = t.l AND f.syms[f.pos + 1] = t.r
+                 THEN f.acc[:len(f.acc) - 1] || [f.acc[-1] || f.syms[f.pos + 1]]
+                 ELSE f.acc || [f.syms[f.pos + 1]] END
+        FROM f{i} f, t{i} t WHERE f.pos < len(f.syms)
+    ),
+    w{i} AS (SELECT word, freq, acc AS syms FROM f{i} WHERE pos = len(syms))
+"""
+
+
+_CHAIN = _WORDS_CTE + "," + ",".join(_step_ctes(i + 1) for i in range(_STEPS))
+
+
+@register(
+    "bpe_train_merges",
+    oracle=f"""
+        WITH RECURSIVE {_CHAIN}
+        {" UNION ALL ".join(
+            f"SELECT CAST({i + 1} AS INT) AS step, l AS left_sym,"
+            f" r AS right_sym, cnt AS pair_count FROM t{i + 1}"
+            for i in range(_STEPS)
+        )}
+        ORDER BY step
+    """,
+    tags=("llm", "text", "tokenize", "iterative"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE training loop: 3 merge rounds over the corpus word-frequency
+    table; each round reports the merged pair and its pre-merge corpus
+    count. Per round: one pair-count aggregate (map-side combinable - the
+    group count is |observed pairs|, bounded by vocab size squared but in
+    practice tiny) + one broadcast argmax row + one narrow fold rewriting
+    the symbol arrays. The corpus is read once; every later stage iterates
+    over the distinct-word table only."""
+    _, tops = _trained(spark, sf_dir)
+    steps = [
+        t.select(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.col("cnt").alias("pair_count"),
+        )
+        for i, t in enumerate(tops)
+    ]
+    return reduce(DataFrame.unionByName, steps).orderBy("step")
+
+
+@register(
+    "bpe_segment_top_words",
+    oracle=f"""
+        WITH RECURSIVE {_CHAIN},
+        ranked AS (
+            SELECT word, freq, syms,
+                   row_number() OVER (ORDER BY freq DESC, word) AS rk
+            FROM w{_STEPS}
+        )
+        SELECT word, freq, syms AS pieces,
+               CAST(len(syms) AS INT) AS n_pieces
+        FROM ranked WHERE rk <= 10
+        ORDER BY freq DESC, word
+    """,
+    tags=("llm", "text", "tokenize"),
+)
+def bpe_segment_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer APPLY pass: segment the 10 most frequent corpus words
+    with the learned merge table - greedy left-to-right application of the
+    3 merges in training order (exactly how a BPE tokenizer encodes at
+    inference). Rank filter (row_number <= 10), not limit(), so the cut is
+    deterministic by content; segmentation of the full corpus would be the
+    same broadcast-fold over the distinct-word table joined back to the
+    token stream (tokenize_documents_to_ids shows that join-back
+    shape)."""
+    words, _ = _trained(spark, sf_dir)
+    w = Window.orderBy(F.col("freq").desc(), "word")
+    return (
+        words.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "word",
+            "freq",
+            F.col("syms").alias("pieces"),
+            F.size("syms").cast("int").alias("n_pieces"),
+        )
+        .orderBy(F.col("freq").desc(), "word")
+    )
