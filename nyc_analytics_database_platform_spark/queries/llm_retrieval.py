@@ -1,0 +1,113 @@
+"""Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al. 2009 -
+the fusion rule used by Elasticsearch/OpenSearch hybrid search) of the
+BM25 lexical ranking (llm_text.text_bm25_scores) and the embedding cosine
+ranking (llm_similarity's query-point convention, vec_id = 0) over the
+aligned documents/embeddings tables.
+
+RRF fuses top-k CANDIDATE LISTS, not full-corpus rankings: each retriever
+contributes its top-20 by (rounded score DESC, id), ranks come from a
+rank-filtered row_number (WindowGroupLimit - per-partition top-k then
+merge, never a corpus-wide single-partition window), and a document
+missing from one list simply contributes 0 to the fused score. That is
+exactly the 100 TB shape: two cheap top-k scans meet in a 40-row fusion
+join - the corpus is never joined to itself.
+
+Determinism: scores are rounded (6dp) BEFORE ranking on both engines, rank
+ties break by id, and the fused score is a two-term sum of exact small
+rationals rounded to 9dp, so parity is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.operators.similarity import cosine
+from nyc_analytics_database_platform_spark.queries.llm_similarity import _COS_SQL
+from nyc_analytics_database_platform_spark.queries.llm_text import _bm25_oracle
+from nyc_analytics_database_platform_spark.registry import register
+
+_K_CAND = 20  # per-retriever candidate-list depth
+_RRF_K = 60  # the standard RRF dampening constant
+
+
+@register(
+    "retrieval_rrf_hybrid_top5",
+    oracle=f"""
+        WITH lex AS ({_bm25_oracle()}),
+        lr AS (
+            SELECT doc_id, lex_rank FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id)
+                           AS lex_rank
+                FROM lex
+            ) WHERE lex_rank <= {_K_CAND}
+        ),
+        qe AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        sem AS (SELECT vec_id, {_COS_SQL} AS score FROM embeddings, qe),
+        sr AS (
+            SELECT vec_id, sem_rank FROM (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY score DESC, vec_id)
+                           AS sem_rank
+                FROM sem
+            ) WHERE sem_rank <= {_K_CAND}
+        )
+        SELECT COALESCE(lr.doc_id, sr.vec_id) AS doc_id,
+               CAST(lex_rank AS INT) AS lex_rank,
+               CAST(sem_rank AS INT) AS sem_rank,
+               round(COALESCE(1.0::DOUBLE / ({_RRF_K} + lex_rank), 0.0)
+                     + COALESCE(1.0::DOUBLE / ({_RRF_K} + sem_rank), 0.0), 9)
+                   AS rrf_score
+        FROM lr FULL JOIN sr ON lr.doc_id = sr.vec_id
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT 5
+    """,
+    tags=("llm", "retrieval", "similarity"),
+)
+def retrieval_rrf_hybrid_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 documents by reciprocal-rank fusion of the BM25 candidate list
+    and the cosine-ANN candidate list (both top-20, k=60 dampening). The
+    rank filters compile to WindowGroupLimit; the fusion is a full-outer
+    join of two k-row frames, so the whole fused stage is driver-trivial
+    at any corpus size - the expensive parts are the two independent
+    retriever scans, each already attested on its own
+    (text_bm25_scores, ann_bruteforce_top10)."""
+    from nyc_analytics_database_platform_spark.queries.llm_text import (
+        text_bm25_scores,
+    )
+
+    lex = text_bm25_scores(spark, sf_dir).select("doc_id", "score")
+    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
+    lr = (
+        lex.withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= _K_CAND)
+        .select("doc_id", "lex_rank")
+    )
+
+    emb = load(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sem = emb.crossJoin(F.broadcast(qv)).select(
+        "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("score")
+    )
+    w_sem = Window.orderBy(F.col("score").desc(), "vec_id")
+    sr = (
+        sem.withColumn("sem_rank", F.row_number().over(w_sem))
+        .filter(F.col("sem_rank") <= _K_CAND)
+        .select("vec_id", "sem_rank")
+    )
+
+    fused = lr.join(sr, lr["doc_id"] == sr["vec_id"], "full").select(
+        F.coalesce(lr["doc_id"], sr["vec_id"]).alias("doc_id"),
+        F.col("lex_rank").cast("int").alias("lex_rank"),
+        F.col("sem_rank").cast("int").alias("sem_rank"),
+        F.round(
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(5)

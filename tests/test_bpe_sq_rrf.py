@@ -1,0 +1,128 @@
+"""Round-4 additions beyond oracle parity: BPE merge-fold semantics vs a
+pure-Python reference, SQ8 code-range / reconstruction-error bounds, and
+RRF fused-score invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.queries.llm_bpe import (
+    _apply_merge,
+    _top_pair,
+    bpe_train_merges,
+)
+from nyc_analytics_database_platform_spark.queries.llm_retrieval import (
+    _K_CAND,
+    _RRF_K,
+    retrieval_rrf_hybrid_top5,
+)
+from nyc_analytics_database_platform_spark.queries.llm_sq import _quantized
+
+
+# --- BPE ---------------------------------------------------------------------
+
+
+def _ref_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """Reference left-to-right non-overlapping BPE merge."""
+    out = [syms[0]]
+    for x in syms[1:]:
+        if out[-1] == left and x == right:
+            out[-1] = out[-1] + x
+        else:
+            out.append(x)
+    return out
+
+
+def _words_df(spark, rows):
+    df = spark.createDataFrame(rows, "word string, freq long")
+    return df.withColumn("syms", F.split("word", ""))
+
+
+def test_bpe_top_pair_count_and_tiebreak(spark):
+    # (a,a) and (a,b) both count 4; tie breaks to the lexically first pair.
+    words = _words_df(spark, [("aaab", 2), ("abab", 1)])
+    top = _top_pair(words).head()
+    assert (top["l"], top["r"], top["cnt"]) == ("a", "a", 4)
+
+
+@pytest.mark.parametrize(
+    "word",
+    ["aaaa", "aaa", "abab", "a", "banana"],
+)
+def test_bpe_fold_matches_reference(spark, word):
+    words = _words_df(spark, [(word, 1)])
+    pair = spark.createDataFrame([("a", "a", 1)], "l string, r string, cnt long")
+    got = _apply_merge(words, pair).head()["syms"]
+    assert list(got) == _ref_merge(list(word), "a", "a")
+    # the canonical overlap case: aaaa -> aa,aa (never aa,a,a or aaa,a)
+    if word == "aaaa":
+        assert list(got) == ["aa", "aa"]
+
+
+def test_bpe_merged_symbol_does_not_chain_within_round(spark):
+    # after 'a'+'a' -> 'aa', the new 'aa' must not immediately fuse with the
+    # next 'a' in the same round (acc[-1] = 'aa' != l = 'a')
+    words = _words_df(spark, [("aaa", 1)])
+    pair = spark.createDataFrame([("a", "a", 1)], "l string, r string, cnt long")
+    assert list(_apply_merge(words, pair).head()["syms"]) == ["aa", "a"]
+
+
+def test_bpe_train_merges_shape(spark, sf_dir):
+    rows = bpe_train_merges(spark, sf_dir).collect()
+    assert [r["step"] for r in rows] == [1, 2, 3]
+    # counts are positive and the merged symbols are non-empty
+    assert all(r["pair_count"] > 0 for r in rows)
+    assert all(r["left_sym"] and r["right_sym"] for r in rows)
+
+
+# --- SQ8 ---------------------------------------------------------------------
+
+
+def test_sq8_codes_in_range_and_error_bounded(spark, sf_dir):
+    cells, stats, codes = _quantized(spark, sf_dir)
+    rng = codes.agg(
+        F.min("code").alias("lo"), F.max("code").alias("hi")
+    ).head()
+    assert rng["lo"] >= 0 and rng["hi"] <= 255
+    # reconstruction error of every cell is at most half a grid step
+    joined = (
+        codes.join(cells, ["vec_id", "dim"])
+        .join(F.broadcast(stats), "dim")
+        .select(
+            (
+                F.abs(
+                    F.col("x")
+                    - (
+                        F.col("dmin")
+                        + F.col("code")
+                        * (F.col("dmax") - F.col("dmin"))
+                        / F.lit(255.0)
+                    )
+                )
+                - (F.col("dmax") - F.col("dmin")) / F.lit(510.0)
+            ).alias("excess")
+        )
+    )
+    worst = joined.agg(F.max("excess").alias("m")).head()["m"]
+    assert worst <= 1e-9
+
+
+# --- RRF ---------------------------------------------------------------------
+
+
+def test_rrf_scores_are_valid_fusions(spark, sf_dir):
+    rows = retrieval_rrf_hybrid_top5(spark, sf_dir).collect()
+    assert len(rows) == 5
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    hi = 2.0 / (_RRF_K + 1)
+    for r in rows:
+        assert 0.0 < r["rrf_score"] <= hi + 1e-12
+        for c in ("lex_rank", "sem_rank"):
+            assert r[c] is None or 1 <= r[c] <= _K_CAND
+        # the fused score is exactly the sum of the two contributions
+        expect = sum(
+            1.0 / (_RRF_K + r[c]) for c in ("lex_rank", "sem_rank") if r[c]
+        )
+        assert abs(r["rrf_score"] - round(expect, 9)) < 1e-12
