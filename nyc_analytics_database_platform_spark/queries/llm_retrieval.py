@@ -5,12 +5,14 @@ ranking (llm_similarity's query-point convention, vec_id = 0) over the
 aligned documents/embeddings tables.
 
 RRF fuses top-k CANDIDATE LISTS, not full-corpus rankings: each retriever
-contributes its top-20 by (rounded score DESC, id), ranks come from a
-rank-filtered row_number (WindowGroupLimit - per-partition top-k then
-merge, never a corpus-wide single-partition window), and a document
-missing from one list simply contributes 0 to the fused score. That is
-exactly the 100 TB shape: two cheap top-k scans meet in a 40-row fusion
-join - the corpus is never joined to itself.
+contributes its top-20 via orderBy().limit(k) - TakeOrderedAndProject,
+the distributed per-partition top-k merge, never a corpus-wide
+single-partition Window (a bare row_number-over-global-order would be
+exactly that) - and ranks are attached by a row_number over the already
+k-row candidate frame, so the only Window in the plan sorts 20 rows. A
+document missing from one list simply contributes 0 to the fused score.
+That is exactly the 100 TB shape: two cheap top-k scans meet in a 40-row
+fusion join - the corpus is never joined to itself.
 
 Determinism: scores are rounded (6dp) BEFORE ranking on both engines, rank
 ties break by id, and the fused score is a two-term sum of exact small
@@ -68,12 +70,13 @@ _RRF_K = 60  # the standard RRF dampening constant
 )
 def retrieval_rrf_hybrid_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 documents by reciprocal-rank fusion of the BM25 candidate list
-    and the cosine-ANN candidate list (both top-20, k=60 dampening). The
-    rank filters compile to WindowGroupLimit; the fusion is a full-outer
-    join of two k-row frames, so the whole fused stage is driver-trivial
-    at any corpus size - the expensive parts are the two independent
-    retriever scans, each already attested on its own
-    (text_bm25_scores, ann_bruteforce_top10)."""
+    and the cosine-ANN candidate list (both top-20, k=60 dampening). Each
+    candidate cut is TakeOrderedAndProject (distributed top-k, no global
+    sort, no corpus-wide Window); ranks come from a row_number over the
+    20-row cut, and the fusion is a full-outer join of two k-row frames -
+    the whole fused stage is bounded by k at any corpus size. The
+    expensive parts are the two independent retriever scans, each already
+    attested on its own (text_bm25_scores, ann_bruteforce_top10)."""
     from nyc_analytics_database_platform_spark.queries.llm_text import (
         text_bm25_scores,
     )
@@ -81,8 +84,9 @@ def retrieval_rrf_hybrid_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = text_bm25_scores(spark, sf_dir).select("doc_id", "score")
     w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
     lr = (
-        lex.withColumn("lex_rank", F.row_number().over(w_lex))
-        .filter(F.col("lex_rank") <= _K_CAND)
+        lex.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_K_CAND)
+        .withColumn("lex_rank", F.row_number().over(w_lex))
         .select("doc_id", "lex_rank")
     )
 
@@ -95,8 +99,9 @@ def retrieval_rrf_hybrid_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_sem = Window.orderBy(F.col("score").desc(), "vec_id")
     sr = (
-        sem.withColumn("sem_rank", F.row_number().over(w_sem))
-        .filter(F.col("sem_rank") <= _K_CAND)
+        sem.orderBy(F.col("score").desc(), "vec_id")
+        .limit(_K_CAND)
+        .withColumn("sem_rank", F.row_number().over(w_sem))
         .select("vec_id", "sem_rank")
     )
 

@@ -295,3 +295,48 @@ def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "val",
     ).orderBy("n_name", "metric")
+
+
+_REGIONS = ("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+
+
+@register(
+    "transpose_region_customer_counts",
+    oracle=f"""
+        WITH per AS (
+            SELECT r.r_name, CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers
+            FROM region r
+            LEFT JOIN nation n ON n.n_regionkey = r.r_regionkey
+            LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+            GROUP BY r.r_name
+        )
+        SELECT 'n_customers' AS key,
+               {", ".join(
+                   f'''MAX(CASE WHEN r_name = '{r}' THEN n_customers END) AS "{r}"'''
+                   for r in _REGIONS
+               )}
+        FROM per
+    """,
+    tags=("reshape", "spark4"),
+)
+def transpose_region_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 DataFrame.transpose: the customers-per-region 5-row frame
+    flipped so region names become columns (key column carries the former
+    metric name) - the wide-report reshape dual of unpivot_nation_metrics.
+    The LEFT JOINs guarantee all five region columns exist on both engines
+    even for an empty customer slice. transpose() collects the index
+    column to the driver to derive the schema - bounded by the region
+    cardinality (5), the same driver-boundary contract as the
+    presentation-layer nyc/api composites."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    per = (
+        region.join(
+            nation, nation["n_regionkey"] == region["r_regionkey"], "left"
+        )
+        .join(cust, cust["c_nationkey"] == nation["n_nationkey"], "left")
+        .groupBy("r_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+    return per.transpose()
