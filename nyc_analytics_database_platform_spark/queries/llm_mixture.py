@@ -394,3 +394,66 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+_TEMP_ALPHA = 0.7  # the standard multilingual sampling temperature exponent
+
+
+@register(
+    "lang_temperature_mixture",
+    oracle=f"""
+        WITH per AS (
+            SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars_in
+            FROM documents
+            GROUP BY lang
+        ),
+        tot AS (SELECT CAST(SUM(chars_in) AS DOUBLE) AS total,
+                       SUM(power(chars_in / (SELECT CAST(SUM(chars_in) AS DOUBLE)
+                                             FROM per), {_TEMP_ALPHA})) AS z
+                FROM per)
+        SELECT lang, chars_in,
+               round(chars_in / total, 6) AS p_natural,
+               round(power(chars_in / total, {_TEMP_ALPHA}) / z, 6) AS p_temp,
+               round(power(chars_in / total, {_TEMP_ALPHA}) / z
+                     / (chars_in / total), 6) AS boost
+        FROM per, tot
+        ORDER BY lang
+    """,
+    tags=("llm", "mixture", "sampling"),
+)
+def lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual mixture (the p_l^alpha re-weighting of
+    mBERT/XLM-R and multilingual LLM data recipes, alpha=0.7): per-language
+    natural share p, temperature-adjusted share p^alpha / sum(p^alpha), and
+    the per-language sampling boost q/p a sampler would apply (boost > 1
+    up-samples low-resource languages). Two tiny aggregates: the
+    per-language character totals (map-side combinable) and a 1-row
+    normalizer broadcast back - the corpus itself is never reshuffled;
+    the acceptance pass would reuse the hash-draw membership of
+    domain_mixture_resample with these rates."""
+    per = (
+        load(spark, sf_dir, "documents", parallel=True)
+        .groupBy("lang")
+        .agg(F.sum("n_chars").cast("long").alias("chars_in"))
+    )
+    grand = per.agg(F.sum("chars_in").cast("double").alias("total"))
+    tot = (
+        per.crossJoin(F.broadcast(grand))
+        .agg(
+            F.first("total").alias("total"),
+            F.sum(F.pow(F.col("chars_in") / F.col("total"), _TEMP_ALPHA)).alias("z"),
+        )
+    )
+    p = F.col("chars_in") / F.col("total")
+    q = F.pow(p, _TEMP_ALPHA) / F.col("z")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "chars_in",
+            F.round(p, 6).alias("p_natural"),
+            F.round(q, 6).alias("p_temp"),
+            F.round(q / p, 6).alias("boost"),
+        )
+        .orderBy("lang")
+    )

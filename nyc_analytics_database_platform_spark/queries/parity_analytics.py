@@ -498,3 +498,92 @@ def fuzzy_customer_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block")
     )
+
+
+_ATTR_WINDOW_S = 7 * 86400  # 7-day attribution lookback
+
+
+@register(
+    "attribution_last_touch_revenue",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_id, user_id, epoch(ts) AS es, event_type, value,
+                   event_type IN ('view', 'click', 'signup') AS is_touch
+            FROM events
+        ),
+        carried AS (
+            SELECT event_id, user_id, es, event_type, value,
+                   last_value(CASE WHEN is_touch THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY es, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS touch_type,
+                   last_value(CASE WHEN is_touch THEN es END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY es, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS touch_es
+            FROM ev
+        )
+        SELECT CASE WHEN touch_type IS NULL
+                         OR es - touch_es > {_ATTR_WINDOW_S} THEN 'direct'
+                    ELSE touch_type END AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS attributed_value
+        FROM carried
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+        ORDER BY channel
+    """,
+    tags=("analytics", "W", "attribution"),
+)
+def attribution_last_touch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's value goes to the
+    channel (view/click/signup) of the user's most recent PRECEDING touch
+    within a 7-day lookback; purchases with no qualifying touch bucket to
+    'direct'. One per-user IGNORE-NULLS carry-forward window (the
+    sessionization shape: partitioned by user, totally ordered by
+    (epoch, event_id) so ties are deterministic) followed by a 4-group
+    aggregate; value sums go through DECIMAL so the per-channel totals are
+    order-independent and cross-engine exact. At 100 TB this is one
+    shuffle on user_id - the same key sessionize_event_stats already
+    partitions by."""
+    ev = load(spark, sf_dir, "events", parallel=True).select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("es"),
+        "event_type",
+        "value",
+        F.col("event_type").isin("view", "click", "signup").alias("is_touch"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = ev.select(
+        "event_type",
+        "value",
+        "es",
+        F.last(F.when(F.col("is_touch"), F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(F.col("is_touch"), F.col("es")), ignorenulls=True)
+        .over(w)
+        .alias("touch_es"),
+    )
+    channel = F.when(
+        F.col("touch_type").isNull()
+        | ((F.col("es") - F.col("touch_es")) > _ATTR_WINDOW_S),
+        F.lit("direct"),
+    ).otherwise(F.col("touch_type"))
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

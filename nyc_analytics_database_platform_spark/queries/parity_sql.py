@@ -214,3 +214,48 @@ def sql_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """,
     )
+
+
+@register(
+    "sql_parameterized_nation_orders",
+    oracle="""
+        SELECT o.o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3' AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY o.o_orderpriority
+        ORDER BY priority
+    """,
+    tags=("sql-surface", "spark4"),
+)
+def sql_parameterized_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 parameterized SQL (named-marker binding, the
+    injection-safe surface the reference's request handlers needed but
+    built with string formatting - server.py's f-string WHERE clauses):
+    the :nation and :start markers bind server-side, so the same compiled
+    text serves any parameter set and user input never concatenates into
+    SQL. Catalyst folds the bound literals into the scan filters exactly
+    as if they were inline."""
+    from nyc_analytics_database_platform_spark.catalog import register_views
+
+    if getattr(spark, "_nadb_registered_sf_dir", None) != sf_dir:
+        register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_name = :nation AND o.o_orderdate >= :start
+        GROUP BY o.o_orderpriority
+        ORDER BY priority
+        """,
+        args={"nation": "NATION_3", "start": "1997-01-01 00:00:00"},
+    )

@@ -210,3 +210,99 @@ def cumulative_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mom_delta", F.col("num_orders") - F.lag("num_orders").over(w))
         .orderBy("month")
     )
+
+
+@register(
+    "month_spine_interpolated_revenue",
+    oracle=f"""
+        WITH f AS (
+            SELECT o.o_orderdate, o.o_totalprice
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_nationkey = 3 AND o.o_orderpriority = '1-URGENT'
+        ),
+        b AS (SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+                     date_trunc('month', MAX(o_orderdate)) AS hi FROM f),
+        spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month_ts FROM b),
+        m AS (SELECT date_trunc('month', o_orderdate) AS month_ts,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+              FROM f GROUP BY 1),
+        d AS (SELECT spine.month_ts, m.rev,
+                     row_number() OVER (ORDER BY spine.month_ts) AS i
+              FROM spine LEFT JOIN m USING (month_ts)),
+        w AS (SELECT month_ts, rev, i,
+                last_value(rev IGNORE NULLS) OVER
+                    (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                last_value(CASE WHEN rev IS NOT NULL THEN i END IGNORE NULLS) OVER
+                    (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+                first_value(rev IGNORE NULLS) OVER
+                    (ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                first_value(CASE WHEN rev IS NOT NULL THEN i END IGNORE NULLS) OVER
+                    (ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+              FROM d)
+        SELECT strftime(month_ts, '%Y-%m') AS month,
+               round(CASE WHEN rev IS NOT NULL THEN rev
+                     ELSE pv + (nv - pv) * (CAST(i - pi AS DOUBLE) / (ni - pi))
+                     END, 4) AS revenue,
+               rev IS NULL AS interpolated
+        FROM w ORDER BY month
+    """,
+    tags=("J4", "F4", "timeseries"),
+)
+def month_spine_interpolated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR INTERPOLATION on the month spine: gap months get
+    pv + (nv - pv) * (i - pi) / (ni - pi) between the bracketing observed
+    months - the third fill policy beside zero-fill and null-fill (the
+    reference only zero/null-fills, server.py:337-340; interpolation is
+    the standard time-series upgrade). Revenue per observed month is an
+    exact decimal sum cast once to double, so both engines interpolate
+    identical endpoints. The four IGNORE-NULLS window passes run over the
+    SPINE frame, whose cardinality is the month span of the data - a
+    bounded presentation frame (same argument as the nyc/api boundary),
+    not a corpus-scale window; the spine never leaves one executor.
+    Leading/trailing gaps cannot exist (the spine spans observed months).
+    The slice (nation 3, 1-URGENT priority) is deliberately sparse so gap
+    months actually occur and the interpolation branch is attested."""
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 3)
+        .select("c_custkey")
+    )
+    f = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderdate", "o_totalprice"
+    )
+    agg = f.groupBy(F.date_trunc("month", "o_orderdate").alias("month_ts")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    dense = month_spine_densify(
+        f, "o_orderdate", agg, fills={"rev": (F.col("rev"), None)}
+    )
+    w_all = Window.orderBy("i")
+    prev_w = w_all.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    next_w = w_all.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    known_i = F.when(F.col("rev").isNotNull(), F.col("i"))
+    d = dense.withColumn("i", F.row_number().over(Window.orderBy("month_ts")))
+    interp = (
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * ((F.col("i") - F.col("pi")).cast("double") / (F.col("ni") - F.col("pi")))
+    )
+    return (
+        d.withColumn("pv", F.last("rev", ignorenulls=True).over(prev_w))
+        .withColumn("pi", F.last(known_i, ignorenulls=True).over(prev_w))
+        .withColumn("nv", F.first("rev", ignorenulls=True).over(next_w))
+        .withColumn("ni", F.first(known_i, ignorenulls=True).over(next_w))
+        .select(
+            F.date_format("month_ts", "yyyy-MM").alias("month"),
+            F.round(
+                F.when(F.col("rev").isNotNull(), F.col("rev")).otherwise(interp), 4
+            ).alias("revenue"),
+            F.col("rev").isNull().alias("interpolated"),
+        )
+        .orderBy("month")
+    )
