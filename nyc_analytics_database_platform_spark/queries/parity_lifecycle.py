@@ -455,3 +455,62 @@ def incremental_distinct_buyers_hll(spark: SparkSession, sf_dir: str) -> DataFra
             <= 0.02
         ).alias("merge_consistent"),
     )
+
+
+@register(
+    "session_window_user_stats",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, value, epoch_us(ts) AS us
+            FROM events
+        ),
+        flags AS (
+            SELECT *,
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w >= 300000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        sess AS (
+            SELECT *,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flags
+        )
+        SELECT user_id,
+               MIN(us) AS start_us,
+               MAX(us) + 300000000 AS end_us,
+               COUNT(*) AS n_events,
+               {ORACLE_SUM.format(col="value")} AS total_value
+        FROM sess
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, start_us
+    """,
+    tags=("session", "window", "spark4"),
+)
+def session_window_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN batch session_window aggregate (5-minute gap) - the
+    native twin of the hand-rolled sessionize operator
+    (sessionize_event_stats): Spark merges events into [first, last+gap)
+    windows inside one aggregate, no window-function pass at all. The
+    oracle derives the same sessions via the lag-island construction and
+    adds the gap to the last event, attesting the two formulations agree
+    event-for-event. Scale: one shuffle on user_id; the session merge is
+    per-key state inside the aggregate, never a global sort."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "5 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("start_us"),
+            F.unix_micros("sw.end").alias("end_us"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "start_us")
+    )

@@ -340,3 +340,37 @@ def transpose_region_customer_counts(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count("c_custkey").alias("n_customers"))
     )
     return per.transpose()
+
+
+@register(
+    "listagg_nations_per_region",
+    oracle="""
+        SELECT r.r_name AS region,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+               CAST(COUNT(*) AS BIGINT) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY region
+    """,
+    tags=("sql-surface", "spark4", "A-ext"),
+)
+def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 listagg (SQL:2016 LISTAGG / string_agg): ordered
+    string concatenation per group - the report-formatting aggregate the
+    reference builds in Python response handlers (server.py's joined
+    address lists). WITHIN GROUP ordering makes the result deterministic
+    regardless of partitioning; the group count bounds the concatenated
+    width, so this stays a plain one-shuffle aggregate at any scale."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        region.join(nation, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+                "nations"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("region")
+    )
