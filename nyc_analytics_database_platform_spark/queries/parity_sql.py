@@ -259,3 +259,37 @@ def sql_parameterized_nation_orders(spark: SparkSession, sf_dir: str) -> DataFra
         """,
         args={"nation": "NATION_3", "start": "1997-01-01 00:00:00"},
     )
+
+
+@register(
+    "sql_identifier_clause_counts",
+    oracle="""
+        SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        UNION ALL
+        SELECT 'lineitem' AS tbl, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+        ORDER BY tbl
+    """,
+    tags=("sql-surface", "spark4"),
+)
+def sql_identifier_clause_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 IDENTIFIER() clause: table names bound as parameters instead
+    of string-spliced SQL - the second half of the injection-safe surface
+    (sql_parameterized_nation_orders binds values; this binds IDENTIFIERS,
+    which value parameters cannot). The reference interpolates table names
+    directly into query strings (server.py's f-string FROM clauses); this
+    is the engine-level fix."""
+    from nyc_analytics_database_platform_spark.catalog import register_views
+
+    if getattr(spark, "_nadb_registered_sf_dir", None) != sf_dir:
+        register_views(spark, sf_dir)
+    frames = [
+        spark.sql(
+            "SELECT :label AS tbl, COUNT(*) AS n FROM IDENTIFIER(:tbl)",
+            args={"label": t, "tbl": t},
+        )
+        for t in ("orders", "lineitem")
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("tbl")

@@ -126,3 +126,37 @@ def test_rrf_scores_are_valid_fusions(spark, sf_dir):
             1.0 / (_RRF_K + r[c]) for c in ("lex_rank", "sem_rank") if r[c]
         )
         assert abs(r["rrf_score"] - round(expect, 9)) < 1e-12
+
+
+# --- hypothesis: fold == reference on arbitrary words/pairs ------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        words=st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=4
+        ),
+        left=st.sampled_from(["a", "b"]),
+        right=st.sampled_from(["a", "b"]),
+    )
+    def test_bpe_fold_property(spark, words, left, right):
+        rows = [(w, 1) for w in dict.fromkeys(words)]
+        wdf = _words_df(spark, rows)
+        pair = spark.createDataFrame(
+            [(left, right, 1)], "l string, r string, cnt long"
+        )
+        got = {
+            r["word"]: list(r["syms"]) for r in _apply_merge(wdf, pair).collect()
+        }
+        for w, _ in rows:
+            assert got[w] == _ref_merge(list(w), left, right), (w, left, right)
