@@ -13,7 +13,7 @@ never shuffles on raw text.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
@@ -175,3 +175,223 @@ def benchmark_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.countDistinct("eval_id").alias("n_eval_matches"))
         .orderBy("doc_id")
     )
+
+
+def _suffixed_bands(src: str, sfx: str, num_perm: int = 12, rows_per_band: int = 2) -> str:
+    """Shingle -> minhash -> LSH band CTEs over an arbitrary source CTE,
+    suffix-disambiguated so one oracle can band two corpora (the mirror of
+    operators/dedup.minhash_signatures + banded_buckets, k=5)."""
+    sig_cols = ", ".join(f"MIN(md5('{p}:' || s)) AS m{p}" for p in range(num_perm))
+    num_bands = num_perm // rows_per_band
+    cases = " ".join(
+        "WHEN {b} THEN md5({cat})".format(
+            b=b,
+            cat=" || ".join(
+                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(num_bands)
+    )
+    return f"""
+        toks_{sfx} AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM {src}
+        ),
+        sh_{sfx} AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+            FROM toks_{sfx},
+                 unnest(generate_series(1, greatest(len(t) - 4, 0))) AS g(i)
+        ),
+        sig_{sfx} AS (SELECT doc_id, {sig_cols} FROM sh_{sfx} GROUP BY doc_id),
+        bands_{sfx} AS (
+            SELECT doc_id, bnd, CASE bnd {cases} END AS bucket
+            FROM sig_{sfx},
+                 (SELECT unnest(generate_series(0, {num_bands - 1})) AS bnd) g
+        )"""
+
+
+_QUALITY_Z = (
+    f"{_W0} + {_W_LOGTOK} * ln(1.0 + len(t)) "
+    f"+ {_W_WLEN} * (CAST(length(regexp_replace(trim(text), '\\s', '', 'g')) "
+    f"AS DOUBLE) / len(t)) "
+    f"+ {_W_STOP} * (CAST(len(list_filter(t, x -> x IN "
+    f"({', '.join(chr(39) + w + chr(39) for w in _STOPWORDS)}))) "
+    f"AS DOUBLE) / len(t)) "
+    f"+ {_W_TTR} * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))"
+)
+
+
+@register(
+    "curation_v2_funnel_report",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, text, lang, n_chars,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id % {_EVAL_MOD} <> 0
+        ),
+        s1 AS (
+            SELECT doc_id, text, lang, n_chars FROM corpus
+            WHERE round(1.0 / (1.0 + exp(-({_QUALITY_Z}))), 6) >= 0.5
+        ),
+        s2 AS (
+            SELECT doc_id, text, lang, n_chars FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM s1
+            ) WHERE rn = 1
+        ),
+        evalset AS (
+            SELECT doc_id, text FROM documents
+            WHERE text IS NOT NULL AND doc_id % {_EVAL_MOD} = 0
+        ),{_suffixed_bands("s2", "c")},{_suffixed_bands("evalset", "e")},
+        flagged AS (
+            SELECT DISTINCT c.doc_id
+            FROM bands_c c JOIN bands_e e
+              ON c.bnd = e.bnd AND c.bucket = e.bucket
+        ),
+        s3 AS (
+            SELECT * FROM s2
+            WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+        ),
+        per AS (
+            SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS chars_l FROM s3
+            GROUP BY lang
+        ),
+        tot AS (SELECT SUM(chars_l) AS total FROM per),
+        ratio AS (
+            SELECT lang,
+                   power(chars_l / total, 0.7)
+                       / (chars_l / total) AS rr
+            FROM per, tot
+        ),
+        rates AS (
+            SELECT lang, round(rr / (SELECT MAX(rr) FROM ratio), 6) AS rate
+            FROM ratio
+        ),
+        s4 AS (
+            SELECT s3.* FROM s3 JOIN rates USING (lang)
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) / 4294967296.0 < rate
+        )
+        SELECT * FROM (
+            SELECT '0_corpus' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM corpus
+            UNION ALL
+            SELECT '1_quality', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(n_chars) AS BIGINT) FROM s1
+            UNION ALL
+            SELECT '2_exact_dedup', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(n_chars) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT '3_decontaminated', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(n_chars) AS BIGINT) FROM s3
+            UNION ALL
+            SELECT '4_mixture', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(n_chars) AS BIGINT) FROM s4
+        )
+        ORDER BY stage
+    """,
+    tags=("llm", "curation", "composite"),
+)
+def curation_v2_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 curation pipeline end-to-end, stage by stage: corpus ->
+    model-based quality filter -> exact dedup (first doc per text digest)
+    -> MinHash-fuzzy decontamination against the eval split ->
+    temperature-mixture acceptance (p^0.7 rates normalized so the largest
+    boost saturates at 1, hash-draw membership). The capstone twin of
+    plans/curation.curate_corpus: every stage is one of this round's
+    attested operators composed into a single declarative DAG, reported as
+    a doc/char funnel. Per stage: quality is a narrow scan; dedup shuffles
+    the digest; decontamination broadcasts the eval bands; mixture
+    broadcasts a per-language rate row - the corpus itself is never
+    joined to itself anywhere."""
+    from functools import reduce
+
+    from nyc_analytics_database_platform_spark.operators.dedup import (
+        banded_buckets as _bands,
+        minhash_signatures as _sigs,
+    )
+    from nyc_analytics_database_platform_spark.queries.llm_mixture import (
+        _frac_col,
+    )
+
+    docs = load(spark, sf_dir, "documents", parallel=True).filter(
+        F.col("text").isNotNull()
+    )
+    corpus = docs.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks).cast("double")
+    z = (
+        F.lit(_W0)
+        + F.lit(_W_LOGTOK) * F.log(F.lit(1.0) + F.size(toks))
+        + F.lit(_W_WLEN)
+        * (
+            F.length(F.regexp_replace(F.trim(F.col("text")), r"\s", "")).cast(
+                "double"
+            )
+            / n
+        )
+        + F.lit(_W_STOP) * (count_in_arr(toks) / n)
+        + F.lit(_W_TTR) * (F.size(F.array_distinct(toks)).cast("double") / n)
+    )
+    s1 = corpus.filter(F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6) >= 0.5)
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    s2 = (
+        s1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    eval_docs = docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    bands_c = _bands(_sigs(s2, num_perm=12, k=5), num_perm=12, rows_per_band=2)
+    bands_e = _bands(
+        _sigs(eval_docs, num_perm=12, k=5), num_perm=12, rows_per_band=2
+    ).select(F.col("doc_id").alias("eval_id"), "band", "bucket")
+    flagged = (
+        bands_c.join(F.broadcast(bands_e), ["band", "bucket"])
+        .select("doc_id")
+        .distinct()
+    )
+    s3 = s2.join(flagged, "doc_id", "left_anti")
+
+    per = s3.groupBy("lang").agg(F.sum("n_chars").cast("double").alias("chars_l"))
+    tot = per.agg(F.sum("chars_l").alias("total"))
+    ratio = per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        (
+            F.pow(F.col("chars_l") / F.col("total"), 0.7)
+            / (F.col("chars_l") / F.col("total"))
+        ).alias("rr"),
+    )
+    mx = ratio.agg(F.max("rr").alias("mx"))
+    rates = ratio.crossJoin(F.broadcast(mx)).select(
+        "lang", F.round(F.col("rr") / F.col("mx"), 6).alias("rate")
+    )
+    s4 = s3.join(F.broadcast(rates), "lang").filter(_frac_col() < F.col("rate"))
+
+    stages = [
+        ("0_corpus", corpus),
+        ("1_quality", s1),
+        ("2_exact_dedup", s2),
+        ("3_decontaminated", s3),
+        ("4_mixture", s4),
+    ]
+    reports = [
+        df.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "total_chars")
+        for name, df in stages
+    ]
+    return reduce(DataFrame.unionByName, reports).orderBy("stage")
+
+
+def count_in_arr(toks: F.Column) -> F.Column:
+    """size(filter(tokens, stopword)) over a Column expression (the
+    Column-typed form of functions.text.count_in, which takes a name)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")

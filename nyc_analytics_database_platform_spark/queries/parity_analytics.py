@@ -587,3 +587,77 @@ def attribution_last_touch_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "events_user_zscore_anomalies",
+    oracle="""
+        WITH p AS (
+            SELECT event_id, user_id, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        stats AS (
+            SELECT user_id,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                       AS mu,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))
+                            * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sumsq
+            FROM p GROUP BY user_id
+        ),
+        scored AS (
+            SELECT p.event_id, p.user_id, p.value,
+                   (p.value - s.mu)
+                       / sqrt((s.sumsq - s.n * s.mu * s.mu) / (s.n - 1)) AS z
+            FROM p JOIN stats s USING (user_id)
+            WHERE s.n >= 3 AND s.sumsq - s.n * s.mu * s.mu > 1e-12
+        )
+        SELECT event_id, user_id,
+               round(value, 6) AS value,
+               round(z, 4) AS zscore
+        FROM scored
+        WHERE abs(round(z, 4)) > 2.0
+        ORDER BY event_id
+    """,
+    tags=("analytics", "stats", "monitoring"),
+)
+def events_user_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase-value anomalies: events more than 2 sample standard
+    deviations from the user's own mean (users with >= 3 purchases and
+    non-degenerate variance). The moments are DECIMAL sums - exact and
+    order-independent - converted to double once, so mu and sigma are
+    bit-identical cross-engine and the z threshold compares the ROUNDED
+    z on both sides (same rounded-cut discipline as quality_model_scores).
+    One shuffle on user_id for the moment aggregate; the scoring join
+    broadcasts per-user stats back (narrow at any scale since stats are
+    one row per user)."""
+    p = (
+        load(spark, sf_dir, "events", parallel=True)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    stats = p.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        (F.sum(dec).cast("double") / F.count("*")).alias("mu"),
+        F.sum(dec * dec).cast("double").alias("sumsq"),
+    )
+    var = (F.col("sumsq") - F.col("n") * F.col("mu") * F.col("mu")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("value") - F.col("mu")) / F.sqrt(var)
+    return (
+        p.join(stats, "user_id")
+        .filter(
+            (F.col("n") >= 3)
+            & (F.col("sumsq") - F.col("n") * F.col("mu") * F.col("mu") > 1e-12)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 6).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > 2.0)
+        .orderBy("event_id")
+    )
