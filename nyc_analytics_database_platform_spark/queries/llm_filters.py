@@ -395,3 +395,179 @@ def count_in_arr(toks: F.Column) -> F.Column:
     """size(filter(tokens, stopword)) over a Column expression (the
     Column-typed form of functions.text.count_in, which takes a name)."""
     return F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+
+
+_DSIR_B = 64  # hashed-feature buckets
+_BUCKET_OF = (
+    "CAST(('0x' || substr(md5(word), 1, 8)) AS UBIGINT) % " + str(_DSIR_B)
+)
+
+
+@register(
+    "dsir_importance_top50",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word,
+                   doc_id % {_EVAL_MOD} = 0 AS is_target
+            FROM documents WHERE text IS NOT NULL
+        ),
+        b AS (SELECT doc_id, is_target, {_BUCKET_OF} AS bkt FROM tok
+              WHERE word <> ''),
+        tcnt AS (
+            SELECT bkt, COUNT(*) AS c FROM b WHERE is_target GROUP BY bkt
+        ),
+        scnt AS (
+            SELECT bkt, COUNT(*) AS c FROM b WHERE NOT is_target GROUP BY bkt
+        ),
+        tots AS (
+            SELECT (SELECT COUNT(*) FROM b WHERE is_target) AS nt,
+                   (SELECT COUNT(*) FROM b WHERE NOT is_target) AS ns
+        ),
+        lr AS (
+            SELECT g.bkt,
+                   ln((COALESCE(t.c, 0) + 1.0) / (tots.nt + {_DSIR_B}))
+                   - ln((COALESCE(s.c, 0) + 1.0) / (tots.ns + {_DSIR_B})) AS lrr
+            FROM (SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS bkt) g
+            LEFT JOIN tcnt t ON g.bkt = t.bkt
+            LEFT JOIN scnt s ON g.bkt = s.bkt, tots
+        ),
+        scored AS (
+            SELECT b.doc_id, round(SUM(lr.lrr), 4) AS dsir_score
+            FROM b JOIN lr ON b.bkt = lr.bkt
+            WHERE NOT b.is_target
+            GROUP BY b.doc_id
+        )
+        SELECT doc_id, dsir_score FROM scored
+        ORDER BY dsir_score DESC, doc_id
+        LIMIT 50
+    """,
+    tags=("llm", "sampling", "model"),
+)
+def dsir_importance_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023): the
+    50 corpus documents whose hashed-unigram features look most like the
+    target split (doc_id % 10 == 0 stands in for the target domain).
+    Features are md5-bucketed unigrams (B=64); bucket log-ratios are
+    Laplace-smoothed target-vs-source LM log-probs; a document's score is
+    the sum of its tokens' bucket log-ratios - exactly the hashed n-gram
+    importance weight of the paper, as three aggregates: two bucket-count
+    passes (64 groups, map-side combinable), one 64-row broadcast
+    log-ratio table, one per-doc sum. Top-50 is TakeOrderedAndProject.
+    The corpus shuffles only on doc_id for the final per-doc sum."""
+    docs = load(spark, sf_dir, "documents", parallel=True).filter(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+        (F.col("doc_id") % _EVAL_MOD == 0).alias("is_target"),
+    ).filter(F.col("word") != "")
+    b = tok.select(
+        "doc_id",
+        "is_target",
+        (F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long") % _DSIR_B)
+        .alias("bkt"),
+    )
+    cnt = b.groupBy("bkt").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("sc"),
+    )
+    tots = b.agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("ns"),
+    )
+    spine = spark.range(_DSIR_B).select(F.col("id").alias("bkt"))
+    lr = (
+        spine.join(F.broadcast(cnt), "bkt", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bkt",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + _DSIR_B)
+                )
+                - F.log(
+                    (F.coalesce(F.col("sc"), F.lit(0)) + 1.0)
+                    / (F.col("ns") + _DSIR_B)
+                )
+            ).alias("lrr"),
+        )
+    )
+    return (
+        b.filter(~F.col("is_target"))
+        .join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lrr"), 4).alias("dsir_score"))
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+@register(
+    "corpus_ngram_diversity",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   string_split_regex(lower(trim(text)), '\s+') AS t
+            FROM documents WHERE text IS NOT NULL
+        ),
+        grams AS (
+            SELECT lang, 2 AS n, array_to_string(t[i:i+1], ' ') AS g
+            FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS gi(i)
+            UNION ALL
+            SELECT lang, 3 AS n, array_to_string(t[i:i+2], ' ') AS g
+            FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS gi(i)
+        )
+        SELECT lang, CAST(n AS INT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+               round(COUNT(DISTINCT g) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS distinct_ratio
+        FROM grams
+        GROUP BY lang, n
+        ORDER BY lang, n
+    """,
+    tags=("llm", "text", "monitoring"),
+)
+def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity (the distinct-2 / distinct-3 corpus-health
+    metric: low ratios signal templated or repetitive text entering the
+    mix - the corpus-level cousin of the per-doc Gopher repetition
+    filters). One explode per n over the token arrays, then a
+    (lang, n)-keyed count + COUNT(DISTINCT gram) - at 100 TB the distinct
+    count is the expensive half; swap in approx_count_distinct for the
+    monitoring dashboard and keep this exact form for audits (the same
+    exact/approx twin policy as median_price)."""
+    toks = (
+        load(spark, sf_dir, "documents", parallel=True)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "lang", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+        )
+    )
+    grams = None
+    for nn in (2, 3):
+        g = toks.select(
+            "lang",
+            F.lit(nn).cast("int").alias("n"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(t) - {nn - 1}, 0)), "
+                    f"i -> array_join(slice(t, i, {nn}), ' '))"
+                )
+            ).alias("g"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    return (
+        grams.groupBy("lang", "n")
+        .agg(
+            F.count("*").alias("total_ngrams"),
+            F.countDistinct("g").alias("distinct_ngrams"),
+            F.round(
+                F.countDistinct("g") / F.count("*").cast("double"), 6
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("lang", "n")
+    )
