@@ -191,7 +191,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i, t in enumerate(tops)
     ]
-    return reduce(DataFrame.unionByName, steps).orderBy("step")
+    # an empty corpus yields a NULL argmax row from the global aggregate;
+    # the oracle's LIMIT 1 over an empty frame yields no row - drop NULLs
+    # so both engines report an empty merge table
+    return (
+        reduce(DataFrame.unionByName, steps)
+        .filter(F.col("left_sym").isNotNull())
+        .orderBy("step")
+    )
 
 
 @register(

@@ -160,3 +160,16 @@ if _HAVE_HYP:
         }
         for w, _ in rows:
             assert got[w] == _ref_merge(list(w), left, right), (w, left, right)
+
+
+# --- empty-input degradation -------------------------------------------------
+
+
+def test_bpe_empty_words_degrade(spark):
+    empty = spark.createDataFrame(
+        [], "word string, freq long"
+    ).withColumn("syms", F.split("word", ""))
+    top = _top_pair(empty).head()
+    assert top["l"] is None and top["r"] is None
+    # applying a NULL pair is a no-op, not an error
+    assert _apply_merge(empty, _top_pair(empty)).count() == 0
