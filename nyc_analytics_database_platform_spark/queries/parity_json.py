@@ -59,3 +59,50 @@ def events_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "xml_roundtrip_order_extract",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_custkey AS BIGINT) AS cust,
+               o_orderstatus AS status,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM orders
+        WHERE o_orderkey % 100 = 0
+        ORDER BY o_orderkey
+    """,
+    tags=("sql-surface", "spark4", "xml"),
+)
+def xml_roundtrip_order_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 built-in XML: orders serialized to XML strings with to_xml,
+    then parsed back with from_xml into typed fields - the semi-structured
+    surface beside the JSON (get_json_object/from_json) and Variant
+    families. The oracle is the identity: a lossless roundtrip must
+    reproduce the source columns exactly (DECIMAL-routed price so the
+    double is bit-stable). Both directions are native expressions inside
+    one codegen stage - no UDF, no shuffle beyond the presentation sort.
+    (Avro and protobuf columnar codecs are documented out-of-scope: the
+    spark-avro package and python protobuf runtime are absent here; XML,
+    JSON, and Variant are the in-scope semi-structured codecs.)"""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    xml = orders.select(
+        "o_orderkey",
+        F.to_xml(
+            F.struct(
+                F.col("o_custkey").alias("cust"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            )
+        ).alias("doc"),
+    )
+    schema = "cust BIGINT, status STRING, price DECIMAL(18,2)"
+    parsed = xml.select(
+        "o_orderkey", F.from_xml("doc", schema).alias("p")
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("p.cust").alias("cust"),
+        F.col("p.status").alias("status"),
+        F.col("p.price").cast("double").alias("price"),
+    ).orderBy("o_orderkey")
