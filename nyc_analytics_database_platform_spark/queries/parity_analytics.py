@@ -661,3 +661,112 @@ def events_user_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) > 2.0)
         .orderBy("event_id")
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ) AS next_type
+            FROM events
+        )
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq
+        WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+        ORDER BY from_type, to_type
+    """,
+    tags=("analytics", "W", "sequence"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The event-type transition matrix (the Markov/Sankey input): for each
+    user's totally-ordered event sequence, count every adjacent
+    (from_type, to_type) pair. One lead() window partitioned by user -
+    the sessionization shuffle - then a 25-cell aggregate; at 100 TB the
+    matrix side is constant-size, so this is one user_id shuffle plus a
+    map-side-combinable count."""
+    ev = load(spark, sf_dir, "events", parallel=True)
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "twap_user_value",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, value, epoch_us(ts) AS us,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ) AS next_us
+            FROM events
+        ),
+        spans AS (
+            SELECT user_id,
+                   SUM(CAST(value AS DECIMAL(18,6)) * (next_us - us))
+                       AS weighted,
+                   SUM(next_us - us) AS span
+            FROM seq WHERE next_us IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(span AS BIGINT) AS span_us,
+               round(CAST(weighted AS DOUBLE) / span, 6) AS twap
+        FROM spans
+        WHERE span > 0
+        ORDER BY user_id
+    """,
+    tags=("analytics", "W", "timeseries"),
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (the TWAP shape: each reading
+    holds until the next one, so its weight is the microsecond span to its
+    successor). The weighted sum is DECIMAL x integer-microseconds - exact
+    and order-independent - divided once at the end, so both engines emit
+    identical doubles at 6dp. Same single user-partitioned lead() window
+    as the transition matrix; degenerate single-event users (no span)
+    drop out on both sides."""
+    ev = load(spark, sf_dir, "events", parallel=True)
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    spans = (
+        seq.filter(F.col("next_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("value").cast("decimal(18,6)")
+                * (F.col("next_us") - F.col("us"))
+            ).alias("weighted"),
+            F.sum(F.col("next_us") - F.col("us")).alias("span"),
+        )
+    )
+    return (
+        spans.filter(F.col("span") > 0)
+        .select(
+            "user_id",
+            F.col("span").cast("long").alias("span_us"),
+            F.round(F.col("weighted").cast("double") / F.col("span"), 6).alias(
+                "twap"
+            ),
+        )
+        .orderBy("user_id")
+    )
