@@ -116,3 +116,137 @@ def retrieval_rrf_hybrid_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(5)
+
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 20
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    for k in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(f"SELECT vec_id FROM s{i}" for i in range(1, k))
+        steps.append(f"""
+        s{k} AS (
+            SELECT vec_id, rel,
+                   round({_MMR_LAMBDA} * rel - {round(1 - _MMR_LAMBDA, 1)} * mx, 6)
+                       AS mmr,
+                   {k} AS sel_rank
+            FROM (
+                SELECT c.vec_id, c.rel, MAX(pw.sim) AS mx
+                FROM cand c JOIN pw ON pw.ai = c.vec_id
+                WHERE pw.bi IN ({prev})
+                  AND c.vec_id NOT IN ({prev})
+                GROUP BY c.vec_id, c.rel
+            )
+            ORDER BY round({_MMR_LAMBDA} * rel
+                           - {round(1 - _MMR_LAMBDA, 1)} * mx, 6) DESC, vec_id
+            LIMIT 1
+        )""")
+    union = " UNION ALL ".join(
+        f"SELECT sel_rank, vec_id, rel, mmr FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        cand AS (
+            SELECT vec_id, {_COS_SQL} AS rel, embedding::DOUBLE[] AS v
+            FROM embeddings, q
+            ORDER BY rel DESC, vec_id
+            LIMIT {_MMR_POOL}
+        ),
+        pw AS (
+            SELECT a.vec_id AS ai, b.vec_id AS bi,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+            FROM cand a, cand b
+        ),
+        s1 AS (
+            SELECT vec_id, rel, round({_MMR_LAMBDA} * rel, 6) AS mmr,
+                   1 AS sel_rank
+            FROM cand
+            ORDER BY round({_MMR_LAMBDA} * rel, 6) DESC, vec_id
+            LIMIT 1
+        ),{",".join(steps)}
+        SELECT CAST(sel_rank AS INT) AS sel_rank, vec_id, rel, mmr
+        FROM ({union})
+        ORDER BY sel_rank
+    """
+
+
+@register(
+    "retrieval_mmr_top5",
+    oracle=_mmr_oracle(),
+    tags=("llm", "retrieval", "similarity", "iterative"),
+)
+def retrieval_mmr_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    1998, lambda=0.7): greedily pick 5 of the top-20 cosine candidates,
+    each step maximizing lambda*relevance - (1-lambda)*max-similarity to
+    the already-selected set - the result list stays relevant but not
+    redundant (the retrieval-side cousin of SemDeDup). Everything after
+    the candidate cut operates on k-bounded frames: the 20-row candidate
+    pool (TakeOrderedAndProject over the corpus), its 400-row pairwise
+    similarity table, and 5 argmax steps over broadcast-joined frames -
+    at 100 TB only the first cut touches the corpus. Scores are rounded
+    before every argmax, ties break by vec_id, so the greedy trajectory
+    is identical cross-engine."""
+    emb = load(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("rel"), "v"
+    )
+    cand = scored.orderBy(F.col("rel").desc(), "vec_id").limit(_MMR_POOL).cache()
+    a = cand.select(F.col("vec_id").alias("ai"), F.col("v").alias("va"))
+    b = cand.select(F.col("vec_id").alias("bi"), F.col("v").alias("vb"))
+    pw = (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            "ai", "bi", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
+        )
+        .cache()
+    )
+
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 1)
+    first = (
+        cand.select(
+            "vec_id", "rel", F.round(F.lit(lam) * F.col("rel"), 6).alias("mmr")
+        )
+        .orderBy(F.col("mmr").desc(), "vec_id")
+        .limit(1)
+        .select(F.lit(1).cast("int").alias("sel_rank"), "vec_id", "rel", "mmr")
+    )
+    picks = [first]
+    selected = first.select("vec_id")
+    for k in range(2, _MMR_K + 1):
+        pen = (
+            pw.join(F.broadcast(selected.withColumnRenamed("vec_id", "bi")), "bi")
+            .groupBy("ai")
+            .agg(F.max("sim").alias("mx"))
+        )
+        step = (
+            cand.join(selected, "vec_id", "left_anti")
+            .join(F.broadcast(pen.withColumnRenamed("ai", "vec_id")), "vec_id")
+            .select(
+                "vec_id",
+                "rel",
+                F.round(
+                    F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("mx"), 6
+                ).alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(k).cast("int").alias("sel_rank"), "vec_id", "rel", "mmr"
+            )
+        )
+        picks.append(step)
+        selected = selected.unionByName(step.select("vec_id"))
+
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, picks).orderBy("sel_rank")
