@@ -122,3 +122,76 @@ def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a_id") >= _SPLIT_ID) | (F.col("b_id") >= _SPLIT_ID)
     )
     return incremental_components(old_assign, new_edges).orderBy("node")
+
+
+@register(
+    "dedup_keep_longest_survivors",
+    oracle=f"""
+        WITH RECURSIVE edges AS ({_EDGES_SQL}),
+        und AS (
+            SELECT a_id AS src, b_id AS dst FROM edges
+            UNION
+            SELECT b_id AS src, a_id AS dst FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM und
+            UNION
+            SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+        ),
+        members AS (
+            SELECT src AS node, dst FROM reach
+            UNION
+            SELECT src AS node, src AS dst FROM und
+        ),
+        comp AS (
+            SELECT node, MIN(dst) AS component FROM members GROUP BY node
+        ),
+        ranked AS (
+            SELECT c.component, c.node, d.n_chars,
+                   row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, c.node) AS rk,
+                   COUNT(*) OVER (PARTITION BY c.component) AS cluster_size
+            FROM comp c JOIN documents d ON d.doc_id = c.node
+        )
+        SELECT component, node AS survivor_id, n_chars,
+               CAST(cluster_size AS BIGINT) AS cluster_size
+        FROM ranked WHERE rk = 1
+        ORDER BY component
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def dedup_keep_longest_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup KEEP POLICY: one survivor per MinHash cluster, chosen by
+    max character count (tie: lowest doc_id) - real pipelines keep the
+    best document from each duplicate cluster, not the smallest id (the
+    canonical-min label stays the cluster KEY; the keep rule is a policy
+    on top). One per-cluster argmax over the cluster labels joined to the
+    doc metadata - the labels frame is tiny relative to the corpus, and
+    the argmax is a WindowGroupLimit-shaped rank filter partitioned by
+    component."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs, num_perm=12, k=5))
+    comp = connected_components(pairs)
+    meta = docs.select(F.col("doc_id").alias("node"), "n_chars")
+    joined = comp.join(meta, "node")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("node")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("component")),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("node").alias("survivor_id"),
+            "n_chars",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+        .orderBy("component")
+    )

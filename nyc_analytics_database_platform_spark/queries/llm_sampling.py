@@ -526,3 +526,84 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_PAD_BANDS = 32  # tokens per length band for bucketed batching
+
+
+@register(
+    "padding_efficiency_report",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+            SELECT CAST(n_tok // {_PAD_BANDS} AS INT) AS band,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+                   MAX(n_tok) AS max_tok
+            FROM toks GROUP BY 1
+        ),
+        gstats AS (
+            SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+                   MAX(n_tok) AS gmax, COUNT(*) AS n
+            FROM toks
+        )
+        SELECT band,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               sum_tok,
+               CAST(max_tok AS BIGINT) AS band_max,
+               CAST(n_docs * max_tok - sum_tok AS BIGINT) AS band_padding,
+               CAST((SELECT n * gmax - total_tok FROM gstats) AS BIGINT)
+                   AS unbucketed_padding
+        FROM g
+        ORDER BY band
+    """,
+    tags=("llm", "sampling", "batching"),
+)
+def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: documents grouped into 32-token
+    length bands, reporting the padding each band would waste if its
+    batch were padded to the band max, against the corpus-wide padding of
+    unbucketed batching (pad-to-global-max). The standard serving /
+    training-throughput justification for length bucketing, as two
+    map-side-combinable aggregates; the integer band id doubles as the
+    partition key a bucketed batch writer would use."""
+    toks = (
+        load(spark, sf_dir, "documents", parallel=True)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "n_tok"
+            ),
+        )
+    )
+    g = toks.groupBy(
+        (F.col("n_tok") / _PAD_BANDS).cast("int").alias("band")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        F.max("n_tok").alias("max_tok"),
+    )
+    glob = toks.agg(
+        (F.count("*") * F.max("n_tok") - F.sum("n_tok"))
+        .cast("long")
+        .alias("unbucketed_padding")
+    )
+    return (
+        g.crossJoin(F.broadcast(glob))
+        .select(
+            "band",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "sum_tok",
+            F.col("max_tok").cast("long").alias("band_max"),
+            (F.col("n_docs") * F.col("max_tok") - F.col("sum_tok"))
+            .cast("long")
+            .alias("band_padding"),
+            "unbucketed_padding",
+        )
+        .orderBy("band")
+    )
