@@ -622,3 +622,70 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "dl", F.round(score, 6).alias("score"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_nfc_canonicalize",
+    oracle="""
+        WITH marked AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 2 = 0
+                                THEN ' cafe' || chr(769)
+                                ELSE ' caf' || chr(233) END AS raw
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id,
+               nfc_normalize(raw) <> raw AS changed,
+               md5(nfc_normalize(raw)) AS norm_digest
+        FROM marked
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "normalize"),
+)
+def text_nfc_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization - the pre-dedup text normalization every
+    multilingual pipeline runs (composed vs decomposed accents hash
+    differently; NFC makes them one string). Spark has no native NFC, so
+    this is a SANCTIONED Python path: an Arrow-batched mapInPandas kernel
+    over stdlib unicodedata, attested byte-for-byte against DuckDB's
+    native nfc_normalize via md5 digests. Each document gets a marker
+    suffix (decomposed e+U+0301 on even ids, precomposed U+00E9 on odd),
+    so half the corpus genuinely changes under NFC and the changed flag is
+    attested in both directions. Scale: narrow per-row kernel, no
+    shuffle; the digest is computed on the normalized text so downstream
+    exact-dedup keys match across encodings."""
+    import hashlib as _hl
+    import unicodedata as _ud
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    docs = load(spark, sf_dir, "documents", parallel=True).filter(
+        F.col("text").isNotNull()
+    )
+    marked = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" cafe\u0301")
+            ).otherwise(F.lit(" caf\u00e9")),
+        ).alias("raw"),
+    )
+
+    schema = "doc_id long, changed boolean, norm_digest string"
+
+    def kernel(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            norm = [_ud.normalize("NFC", s) for s in pdf["raw"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "changed": [n != s for n, s in zip(norm, pdf["raw"])],
+                    "norm_digest": [
+                        _hl.md5(n.encode("utf-8")).hexdigest() for n in norm
+                    ],
+                }
+            )
+
+    return marked.mapInPandas(kernel, schema).orderBy("doc_id")
