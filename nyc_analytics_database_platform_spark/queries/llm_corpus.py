@@ -377,3 +377,80 @@ def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_novelty_scores",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+            FROM documents WHERE text IS NOT NULL
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(t) - 7, 0))) AS gi(i)
+        ),
+        firsts AS (
+            SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+        )
+        SELECT grams.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN firsts.first_doc = grams.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               round(SUM(CASE WHEN firsts.first_doc = grams.doc_id
+                              THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        FROM grams JOIN firsts USING (g)
+        GROUP BY grams.doc_id
+        ORDER BY grams.doc_id
+    """,
+    tags=("llm", "corpus", "dedup", "monitoring"),
+)
+def corpus_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 8-grams whose
+    FIRST corpus occurrence (by doc_id order) is this document - low
+    novelty marks documents that mostly repeat earlier corpus content (the
+    memorization-risk / incremental-crawl-value metric; the doc-level
+    rollup of the span-dedup first-occurrence idea). One distinct-gram
+    explode, one gram-keyed argmin (map-side combinable MIN), one join
+    back and a per-doc count. At 100 TB the gram key would be
+    xxhash64(gram) (SCALE.md key discipline); the string key here keeps
+    the oracle exact, same labeled trade-off as corpus_span_dedup."""
+    docs = with_tokens(load(spark, sf_dir, "documents", parallel=True)).filter(
+        F.col("toks").isNotNull()
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 7, 0)), "
+                    "i -> array_join(slice(toks, i, 8), ' '))"
+                )
+            )
+        ).alias("g"),
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(firsts, "g")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(
+                        0
+                    )
+                )
+                / F.count("*").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -410,3 +410,76 @@ def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+_MRL_DIMS = 16  # truncated prefix dims (Matryoshka head)
+
+
+@register(
+    "ann_matryoshka_recall_audit",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        head AS (
+            SELECT e.vec_id
+            FROM e, q, unnest(generate_series(1, {_MRL_DIMS})) AS gi(i)
+            GROUP BY e.vec_id
+            ORDER BY round(SUM(e.v[i] * qv[i])
+                     / (sqrt(SUM(e.v[i] * e.v[i]))
+                        * sqrt(SUM(qv[i] * qv[i]))), 6) DESC, e.vec_id
+            LIMIT 5
+        ),
+        fullr AS (
+            SELECT e.vec_id
+            FROM e, q, unnest(generate_series(1, 64)) AS gi(i)
+            GROUP BY e.vec_id
+            ORDER BY round(SUM(e.v[i] * qv[i])
+                     / (sqrt(SUM(e.v[i] * e.v[i]))
+                        * sqrt(SUM(qv[i] * qv[i]))), 6) DESC, e.vec_id
+            LIMIT 5
+        )
+        SELECT CAST({_MRL_DIMS} AS INT) AS head_dims,
+               CAST(5 AS BIGINT) AS k,
+               CAST((SELECT COUNT(*) FROM head
+                     WHERE vec_id IN (SELECT vec_id FROM fullr)) AS BIGINT)
+                   AS n_hits,
+               round((SELECT COUNT(*) FROM head
+                      WHERE vec_id IN (SELECT vec_id FROM fullr)) / 5.0, 2)
+                   AS recall_at_5
+    """,
+    tags=("llm", "similarity", "audit"),
+)
+def ann_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: recall@5 of cosine search over
+    the FIRST 16 of 64 dimensions against full-dimension search - the
+    measured evidence for whether a truncated-prefix index (4x less scan
+    and memory, the MRL deployment trick) preserves the neighborhood on
+    THIS embedding space. Same audit pattern as sq8/pq/ivf recall audits;
+    both rankings round before ordering with vec_id tie-breaks. (These
+    synthetic embeddings are not MRL-trained, so the measured recall also
+    documents the audit catching an unsafe truncation - exactly what the
+    calibration query is for.)"""
+    emb = load(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+    def topk(dims: int):
+        sliced = F.slice(F.col("v"), 1, dims)
+        qsliced = F.slice(F.col("qv"), 1, dims)
+        return (
+            emb.crossJoin(F.broadcast(qv))
+            .select(
+                "vec_id",
+                F.round(cosine(sliced, qsliced), 6).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(5)
+            .select("vec_id")
+        )
+
+    hits = topk(_MRL_DIMS).join(topk(64), "vec_id").count()
+    return spark.createDataFrame(
+        [(_MRL_DIMS, 5, hits, round(hits / 5.0, 2))],
+        "head_dims int, k long, n_hits long, recall_at_5 double",
+    )
