@@ -244,7 +244,13 @@ def main() -> None:
     if crossover is not None:
         detail["scale_crossover"] = crossover
     repo = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
+    # Only the canonical bench SF overwrites BENCH_DETAIL.json - a smoke
+    # run at another SF (e.g. sf0.001 during verification) writes a
+    # suffixed file instead of silently replacing the committed artifact.
+    detail_name = (
+        "BENCH_DETAIL.json" if detail["sf"] == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
+    )
+    with open(os.path.join(repo, detail_name), "w") as f:
         json.dump(detail, f, indent=1)
 
     compact = {
@@ -255,7 +261,7 @@ def main() -> None:
         "duckdb_total": duck_total,
         "vs_duckdb_total": detail["vs_duckdb_total"],
         "sf": detail["sf"],
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
     if crossover is not None and "vs_duckdb" in crossover:
         compact["crossover_sf0.5_vs_duckdb"] = crossover["vs_duckdb"]
