@@ -313,3 +313,94 @@ def percentile_disc_price_by_status(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "ab_test_conversion_ztest",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(user_id % 2 AS INT) AS grp,
+                   CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) >= 14
+                        THEN 1 ELSE 0 END AS converted
+            FROM events
+            GROUP BY user_id
+        ),
+        g AS (
+            SELECT grp, COUNT(*) AS n, SUM(converted) AS conv
+            FROM per_user GROUP BY grp
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN grp = 0 THEN n END) AS n_a,
+                MAX(CASE WHEN grp = 0 THEN conv END) AS conv_a,
+                MAX(CASE WHEN grp = 1 THEN n END) AS n_b,
+                MAX(CASE WHEN grp = 1 THEN conv END) AS conv_b
+            FROM g
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a,
+               CAST(conv_a AS BIGINT) AS conv_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(conv_b AS BIGINT) AS conv_b,
+               round(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+               round(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+               round(
+                   (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+                   / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                          * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                          * (1.0 / n_a + 1.0 / n_b)), 4) AS zstat
+        FROM wide
+    """,
+    tags=("stats", "analytics", "experiment"),
+)
+def ab_test_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between user cohorts (user_id parity stands in
+    for the assignment hash): per-cohort conversion = a heavy purchaser
+    (>= 14 purchase events - the mid-split on this data; every user has
+    SOME purchase, so an any-purchase metric would be degenerate at 100%
+    and the pooled variance zero),
+    pooled-variance z statistic - the experimentation primitive on top of
+    the engine. Counts are integers, every float derives from them in one
+    fixed expression, so the rounded statistic is cross-engine exact. Two
+    aggregates (per-user flag, per-cohort count) and a 2-row pivot; at
+    100 TB this is one user_id shuffle with map-side combine."""
+    per_user = (
+        load(spark, sf_dir, "events", parallel=True)
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14
+            )
+            .cast("int")
+            .alias("converted")
+        )
+        .select((F.col("user_id") % 2).cast("int").alias("grp"), "converted")
+    )
+    g = per_user.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
+    pool = (ca + cb) / (na + nb)
+    z = (ca / na - cb / nb) / F.sqrt(
+        pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)
+    )
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.round(ca / na, 6).alias("rate_a"),
+        F.round(cb / nb, 6).alias("rate_b"),
+        F.round(z, 4).alias("zstat"),
+    )
