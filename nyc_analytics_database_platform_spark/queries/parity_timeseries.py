@@ -306,3 +306,79 @@ def month_spine_interpolated_revenue(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("month")
     )
+
+
+@register(
+    "monthly_revenue_cusum",
+    oracle="""
+        WITH m AS (
+            SELECT date_trunc('month', o_orderdate) AS month_ts,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS rev
+            FROM orders GROUP BY 1
+        ),
+        stats AS (
+            SELECT CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) AS mu
+            FROM m
+        ),
+        c AS (
+            SELECT month_ts, rev,
+                   SUM(CAST(rev - mu AS DECIMAL(18,6))) OVER (
+                       ORDER BY month_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cusum
+            FROM m, stats
+        )
+        SELECT strftime(month_ts, '%Y-%m') AS month,
+               round(rev, 2) AS revenue,
+               round(CAST(cusum AS DOUBLE), 2) AS cusum,
+               abs(CAST(cusum AS DOUBLE))
+                   = MAX(abs(CAST(cusum AS DOUBLE))) OVER () AS change_point
+        FROM c
+        ORDER BY month
+    """,
+    tags=("timeseries", "monitoring", "W"),
+)
+def monthly_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan over monthly revenue: cumulative deviation
+    from the series mean, flagging the month where |CUSUM| peaks (the
+    classic single-change-point estimate). Deviations accumulate in
+    DECIMAL, so the running sums are exact and order-independent and the
+    peak flag needs no epsilon. The cumulative and max windows run over
+    the MONTH frame - bounded by the data's time span, the same
+    presentation-frame argument as the spine queries; the only
+    corpus-scale work is the initial month aggregate (one shuffle,
+    map-side combinable)."""
+    m = (
+        load(spark, sf_dir, "orders", parallel=True)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month_ts"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    stats = m.agg(
+        (F.sum(F.col("rev").cast("decimal(18,2)")).cast("double") / F.count("*"))
+        .alias("mu")
+    )
+    w_cum = Window.orderBy("month_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("month_ts").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = m.crossJoin(F.broadcast(stats)).withColumn(
+        "cusum",
+        F.sum((F.col("rev") - F.col("mu")).cast("decimal(18,6)")).over(w_cum),
+    )
+    return c.select(
+        F.date_format("month_ts", "yyyy-MM").alias("month"),
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("cusum").cast("double"), 2).alias("cusum"),
+        (
+            F.abs(F.col("cusum").cast("double"))
+            == F.max(F.abs(F.col("cusum").cast("double"))).over(w_all)
+        ).alias("change_point"),
+    ).orderBy("month")
