@@ -173,3 +173,59 @@ def test_bpe_empty_words_degrade(spark):
     assert top["l"] is None and top["r"] is None
     # applying a NULL pair is a no-op, not an error
     assert _apply_merge(empty, _top_pair(empty)).count() == 0
+
+
+# --- MMR greedy trajectory vs pure-Python reference --------------------------
+
+
+def test_mmr_matches_reference_trajectory(spark, sf_dir):
+    import math
+
+    from nyc_analytics_database_platform_spark.catalog import load
+    from nyc_analytics_database_platform_spark.queries.llm_retrieval import (
+        _MMR_K,
+        _MMR_LAMBDA,
+        _MMR_POOL,
+        retrieval_mmr_top5,
+    )
+
+    rows = load(spark, sf_dir, "embeddings").collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    q = vecs[0]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(y * y for y in b))
+            ),
+            6,
+        )
+
+    scored = sorted(
+        ((cos(v, q), -i) for i, v in vecs.items()), reverse=True
+    )[:_MMR_POOL]
+    pool = [(-ni, s) for s, ni in scored]
+    sel = []
+    for k in range(_MMR_K):
+        best = None
+        for i, rel in pool:
+            if any(i == j for j, _ in sel):
+                continue
+            pen = max((cos(vecs[i], vecs[j]) for j, _ in sel), default=0.0)
+            mmr = round(
+                _MMR_LAMBDA * rel
+                - (0.0 if not sel else round(1 - _MMR_LAMBDA, 1) * pen),
+                6,
+            )
+            cand = (mmr, -i)
+            if best is None or cand > best[0]:
+                best = (cand, i, rel, mmr)
+        sel.append((best[1], best[3]))
+
+    got = [
+        (r["vec_id"], r["mmr"]) for r in retrieval_mmr_top5(spark, sf_dir).collect()
+    ]
+    assert got == sel
