@@ -414,41 +414,64 @@ def corpus_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     memorization-risk / incremental-crawl-value metric; the doc-level
     rollup of the span-dedup first-occurrence idea). One distinct-gram
     explode, one gram-keyed argmin (map-side combinable MIN), one join
-    back and a per-doc count. At 100 TB the gram key would be
-    xxhash64(gram) (SCALE.md key discipline); the string key here keeps
-    the oracle exact, same labeled trade-off as corpus_span_dedup."""
+    back and a per-doc count. The gram shuffle key IS
+    xxhash64(gram) (SCALE.md key discipline; the oracle keeps the exact
+    string key - identical answers absent a 2^-64 hash collision, the
+    same documented bound as corpus_span_dedup)."""
     docs = with_tokens(load(spark, sf_dir, "documents", parallel=True)).filter(
         F.col("toks").isNotNull()
     )
+    # Shuffle keys are xxhash64(gram) longs, never the raw 8-token strings
+    # (SCALE.md key discipline; 2^-64 collision bound documented) - the
+    # hash happens INSIDE the array before the explode, so the exchange
+    # carries (doc_id, long) rows only.
     grams = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(1, greatest(size(toks) - 7, 0)), "
-                    "i -> array_join(slice(toks, i, 8), ' '))"
+                    "CASE WHEN size(toks) >= 8 THEN "
+                    "transform(sequence(1, size(toks) - 7), "
+                    "i -> xxhash64(array_join(slice(toks, i, 8), ' '))) "
+                    "ELSE array() END"
                 )
             )
         ).alias("g"),
     )
+    # No join-back: a doc's NOVEL count is just how many grams list it as
+    # their first_doc, so both sides of the ratio come from per-doc
+    # aggregates of the (already shuffled) gram frame - the corpus-wide
+    # gram stream is never re-joined on its string key.
     firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    joined = grams.join(firsts, "g")
-    return (
-        joined.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_novel"),
-            F.round(
-                F.sum(
-                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(
-                        0
-                    )
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_novel")
+    )
+    # totals never explode: a doc's distinct-gram count is an in-place
+    # array expression (the per-document-properties-in-place pattern), so
+    # the corpus is exploded exactly once (for the argmin side)
+    totals = docs.select(
+        "doc_id",
+        F.size(
+            F.array_distinct(
+                F.expr(
+                    "CASE WHEN size(toks) >= 8 THEN "
+                    "transform(sequence(1, size(toks) - 7), "
+                    "i -> xxhash64(array_join(slice(toks, i, 8), ' '))) "
+                    "ELSE array() END"
                 )
-                / F.count("*").cast("double"),
+            )
+        )
+        .cast("long")
+        .alias("n_grams"),
+    ).filter(F.col("n_grams") > 0)
+    return (
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)) / F.col("n_grams").cast("double"),
                 6,
             ).alias("novelty"),
         )

@@ -554,8 +554,10 @@ def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(nn).cast("int").alias("n"),
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(t) - {nn - 1}, 0)), "
-                    f"i -> array_join(slice(t, i, {nn}), ' '))"
+                    f"CASE WHEN size(t) >= {nn} THEN "
+                    f"transform(sequence(1, size(t) - {nn - 1}), "
+                    f"i -> array_join(slice(t, i, {nn}), ' ')) "
+                    f"ELSE array() END"
                 )
             ).alias("g"),
         )

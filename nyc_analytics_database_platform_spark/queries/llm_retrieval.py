@@ -188,11 +188,13 @@ def retrieval_mmr_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     the already-selected set - the result list stays relevant but not
     redundant (the retrieval-side cousin of SemDeDup). Everything after
     the candidate cut operates on k-bounded frames: the 20-row candidate
-    pool (TakeOrderedAndProject over the corpus), its 400-row pairwise
-    similarity table, and 5 argmax steps over broadcast-joined frames -
-    at 100 TB only the first cut touches the corpus. Scores are rounded
-    before every argmax, ties break by vec_id, so the greedy trajectory
-    is identical cross-engine."""
+    pool (ONE TakeOrderedAndProject job over the corpus), then O(k^2)
+    greedy arithmetic on that bounded pool at the driver boundary - at
+    100 TB only the cut touches the corpus, and the refinement cost is
+    independent of corpus size. Scores are rounded before every argmax,
+    ties break by vec_id, so the greedy trajectory is identical
+    cross-engine (pinned against a pure-Python reference in
+    tests/test_bpe_sq_rrf.py)."""
     emb = load(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -200,53 +202,48 @@ def retrieval_mmr_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.crossJoin(F.broadcast(qv)).select(
         "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("rel"), "v"
     )
-    cand = scored.orderBy(F.col("rel").desc(), "vec_id").limit(_MMR_POOL).cache()
-    a = cand.select(F.col("vec_id").alias("ai"), F.col("v").alias("va"))
-    b = cand.select(F.col("vec_id").alias("bi"), F.col("v").alias("vb"))
-    pw = (
-        a.crossJoin(F.broadcast(b))
-        .select(
-            "ai", "bi", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
-        )
-        .cache()
+    # ONE distributed job: the corpus-wide TakeOrderedAndProject cut. The
+    # greedy refinement is O(k^2) arithmetic on the 20-row result - a
+    # bounded presentation-scale computation (same boundary argument as
+    # the recall audits' hit counts), so it runs driver-side instead of
+    # paying a Spark job per greedy step.
+    cand = (
+        scored.orderBy(F.col("rel").desc(), "vec_id").limit(_MMR_POOL).collect()
     )
+    import math
+
+    vecs = {r["vec_id"]: r["v"] for r in cand}
+    rels = {r["vec_id"]: r["rel"] for r in cand}
+
+    def _cos(a: list, b: list) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(y * y for y in b))
+            ),
+            6,
+        )
 
     lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 1)
-    first = (
-        cand.select(
-            "vec_id", "rel", F.round(F.lit(lam) * F.col("rel"), 6).alias("mmr")
-        )
-        .orderBy(F.col("mmr").desc(), "vec_id")
-        .limit(1)
-        .select(F.lit(1).cast("int").alias("sel_rank"), "vec_id", "rel", "mmr")
-    )
-    picks = [first]
-    selected = first.select("vec_id")
-    for k in range(2, _MMR_K + 1):
-        pen = (
-            pw.join(F.broadcast(selected.withColumnRenamed("vec_id", "bi")), "bi")
-            .groupBy("ai")
-            .agg(F.max("sim").alias("mx"))
-        )
-        step = (
-            cand.join(selected, "vec_id", "left_anti")
-            .join(F.broadcast(pen.withColumnRenamed("ai", "vec_id")), "vec_id")
-            .select(
-                "vec_id",
-                "rel",
-                F.round(
-                    F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("mx"), 6
-                ).alias("mmr"),
-            )
-            .orderBy(F.col("mmr").desc(), "vec_id")
-            .limit(1)
-            .select(
-                F.lit(k).cast("int").alias("sel_rank"), "vec_id", "rel", "mmr"
-            )
-        )
-        picks.append(step)
-        selected = selected.unionByName(step.select("vec_id"))
-
-    from functools import reduce
-
-    return reduce(DataFrame.unionByName, picks).orderBy("sel_rank")
+    sel: list[tuple[int, int, float, float]] = []
+    chosen: list[int] = []
+    for step in range(1, _MMR_K + 1):
+        best = None
+        for i in sorted(vecs):
+            if i in chosen:
+                continue
+            if chosen:
+                pen = max(_cos(vecs[i], vecs[j]) for j in chosen)
+                mmr = round(lam * rels[i] - mu * pen, 6)
+            else:
+                mmr = round(lam * rels[i], 6)
+            key = (-mmr, i)
+            if best is None or key < best[0]:
+                best = (key, i, rels[i], mmr)
+        sel.append((step, best[1], best[2], best[3]))
+        chosen.append(best[1])
+    return spark.createDataFrame(
+        sel, "sel_rank int, vec_id long, rel double, mmr double"
+    ).orderBy("sel_rank")

@@ -467,3 +467,20 @@ def test_pq_subvectors_rejects_indivisible_dims(spark):
     )
     with pytest.raises(Exception, match="not divisible"):
         subvectors(bad, 4).collect()
+
+
+def test_short_doc_ngram_ops_degrade_to_empty(spark):
+    """sequence(1, 0) in Spark is DESCENDING [1, 0] (DuckDB's
+    generate_series(1, 0) is empty) - the n-gram transforms must guard the
+    short-document case or slice(toks, 0, n) throws. Pin the guarded
+    expressions on sub-n-token docs."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(["a", "b"],), ([],)], "toks array<string>")
+    grams = df.select(
+        F.expr(
+            "CASE WHEN size(toks) >= 8 THEN transform(sequence(1, size(toks) - 7), "
+            "i -> xxhash64(array_join(slice(toks, i, 8), ' '))) ELSE array() END"
+        ).alias("g")
+    ).collect()
+    assert all(list(r["g"]) == [] for r in grams)
