@@ -382,3 +382,87 @@ def monthly_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.max(F.abs(F.col("cusum").cast("double"))).over(w_all)
         ).alias("change_point"),
     ).orderBy("month")
+
+
+_EWMA_ALPHA = 0.3
+
+
+@register(
+    "monthly_revenue_ewma",
+    oracle=f"""
+        WITH RECURSIVE m AS (
+            SELECT date_trunc('month', o_orderdate) AS month_ts,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS rev
+            FROM orders GROUP BY 1
+        ),
+        idx AS (
+            SELECT month_ts, rev,
+                   row_number() OVER (ORDER BY month_ts) AS i
+            FROM m
+        ),
+        fold AS (
+            SELECT month_ts, rev, i, rev AS ewma FROM idx WHERE i = 1
+            UNION ALL
+            SELECT x.month_ts, x.rev, x.i,
+                   {_EWMA_ALPHA} * x.rev + {1 - _EWMA_ALPHA} * f.ewma
+            FROM fold f JOIN idx x ON x.i = f.i + 1
+        )
+        SELECT strftime(month_ts, '%Y-%m') AS month,
+               round(rev, 2) AS revenue,
+               round(ewma, 4) AS ewma
+        FROM fold
+        ORDER BY month
+    """,
+    tags=("timeseries", "monitoring", "iterative"),
+)
+def monthly_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of monthly revenue
+    (alpha=0.3, seeded with the first month) - the smoothing pass a
+    monitoring dashboard layers over the raw trend. The recurrence
+    ewma_t = a*x_t + (1-a)*ewma_{t-1} is inherently sequential, so it
+    runs as ONE JVM aggregate-lambda fold over the month array (the same
+    fold primitive as BPE training), executed on the bounded month frame
+    after the corpus-scale month aggregate; the oracle replays the
+    identical recurrence as a recursive CTE, and because both engines
+    evaluate the same IEEE expression sequence in the same order, the
+    smoothed values match at 4dp without any tolerance."""
+    m = (
+        load(spark, sf_dir, "orders", parallel=True)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month_ts"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    packed = m.agg(
+        F.array_sort(
+            F.collect_list(F.struct("month_ts", "rev"))
+        ).alias("xs")
+    )
+    folded = packed.select(
+        F.expr(
+            f"""
+            aggregate(
+                slice(xs, 2, size(xs) - 1),
+                array(named_struct(
+                    'month_ts', xs[0].month_ts, 'rev', xs[0].rev,
+                    'ewma', xs[0].rev)),
+                (acc, x) -> concat(acc, array(named_struct(
+                    'month_ts', x.month_ts, 'rev', x.rev,
+                    'ewma', {_EWMA_ALPHA}D * x.rev
+                             + {1 - _EWMA_ALPHA}D * element_at(acc, -1).ewma)))
+            )
+            """
+        ).alias("out")
+    )
+    return (
+        folded.select(F.explode("out").alias("r"))
+        .select(
+            F.date_format("r.month_ts", "yyyy-MM").alias("month"),
+            F.round("r.rev", 2).alias("revenue"),
+            F.round("r.ewma", 4).alias("ewma"),
+        )
+        .orderBy("month")
+    )
