@@ -770,3 +770,88 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "entity_clusters_customers",
+    oracle="""
+        WITH RECURSIVE named AS (SELECT c_custkey, c_name FROM customer),
+        blocked AS (
+            SELECT substr(c_name, 1, 16) AS block, c_custkey, c_name
+            FROM named
+        ),
+        edges AS (
+            SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+            FROM blocked a
+            JOIN blocked b
+              ON a.block = b.block AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ),
+        und AS (
+            SELECT a_id AS src, b_id AS dst FROM edges
+            UNION
+            SELECT b_id AS src, a_id AS dst FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM und
+            UNION
+            SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+        ),
+        members AS (
+            SELECT src AS node, dst FROM reach
+            UNION
+            SELECT src AS node, src AS dst FROM und
+        ),
+        comp AS (
+            SELECT node, MIN(dst) AS entity_id FROM members GROUP BY node
+        )
+        SELECT comp.entity_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               MIN(named.c_name) AS canonical_name
+        FROM comp JOIN named ON named.c_custkey = comp.node
+        GROUP BY comp.entity_id
+        ORDER BY comp.entity_id
+    """,
+    tags=("entity-resolution", "iterative", "graph"),
+)
+def entity_clusters_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: blocked fuzzy matches
+    (fuzzy_customer_name_pairs' prune-then-verify edges) -> transitive
+    closure via pointer-jumping connected components -> one canonical
+    entity per cluster (min member id as the entity key, lexicographic
+    min name as the display canonical). The match graph is tiny relative
+    to the corpus (only within-block near-pairs), so the iterative CC
+    runs on the edge set while the full customer table joins back exactly
+    once for canonicalization - the standard dedup-then-survivorship
+    shape at any scale."""
+    from nyc_analytics_database_platform_spark.operators.graph import (
+        connected_components,
+    )
+
+    named = load(spark, sf_dir, "customer").select(
+        F.substring("c_name", 1, 16).alias("block"), "c_custkey", "c_name"
+    )
+    a, b = named.alias("a"), named.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        .select(
+            F.col("a.c_custkey").alias("a_id"), F.col("b.c_custkey").alias("b_id")
+        )
+    )
+    comp = connected_components(edges).select(
+        F.col("node").alias("c_custkey"), F.col("component").alias("entity_id")
+    )
+    return (
+        comp.join(named.select("c_custkey", "c_name"), "c_custkey")
+        .groupBy("entity_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("c_name").alias("canonical_name"),
+        )
+        .orderBy("entity_id")
+    )
