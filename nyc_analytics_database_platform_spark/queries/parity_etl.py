@@ -477,3 +477,106 @@ def schema_evolution_merged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority_tag")
     )
+
+
+_FK_RELATIONS = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@register(
+    "referential_integrity_audit",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{child}.{ck} -> {parent}.{pk}' AS relationship,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_child_rows,
+               CAST((SELECT COUNT(*) FROM {child} c
+                     WHERE c.{ck} IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                       WHERE p.{pk} = c.{ck})) AS BIGINT)
+                   AS n_orphans,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}
+                WHERE {ck} IS NULL) AS n_null_fk
+        """
+        for child, ck, parent, pk in _FK_RELATIONS
+    )
+    + " ORDER BY relationship",
+    tags=("quality", "F9", "etl"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK referential-integrity audit over every schema relationship - the
+    engine-side reproduction of the reference's FK constraints
+    (schema.sql:60-64; Spark enforces nothing, so integrity is a QUERY).
+    Per relationship: child rows, orphans (non-NULL FK with no parent -
+    a left-anti join, the scalable spelling of NOT EXISTS), and NULL FKs
+    (legal under the reference's `on delete set null`). Every parent side
+    here is broadcastable or joins on its primary key; at 100 TB each
+    audit row is one anti-join whose parent side ships its key column
+    only."""
+    from functools import reduce
+
+    reports = []
+    for child, ck, parent, pk in _FK_RELATIONS:
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent).select(F.col(pk).alias("__pk"))
+        n_child = c.agg(F.count("*").alias("n")).select(
+            F.lit(f"{child}.{ck} -> {parent}.{pk}").alias("relationship"),
+            F.col("n").alias("n_child_rows"),
+        )
+        orphans = (
+            c.filter(F.col(ck).isNotNull())
+            .join(p, c[ck] == p["__pk"], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        nulls = c.filter(F.col(ck).isNull()).agg(F.count("*").alias("n_null_fk"))
+        reports.append(n_child.crossJoin(orphans).crossJoin(nulls))
+    return reduce(DataFrame.unionByName, reports).orderBy("relationship")
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+        WITH d AS (
+            SELECT source, md5(text) AS digest
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct,
+               round(1.0 - COUNT(DISTINCT digest) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS dup_rate
+        FROM d
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("llm", "dedup", "monitoring"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate mass per source - the dedup-diagnostics view that
+    tells a crawl operator WHERE duplicate bytes come from (feeds source
+    weighting and crawl scheduling). One digest per doc, one
+    (source)-keyed aggregate with COUNT(DISTINCT digest) - at 100 TB the
+    distinct count per source is the expensive half and gets the same
+    exact/approx twin policy as corpus_ngram_diversity."""
+    d = (
+        load(spark, sf_dir, "documents", parallel=True)
+        .filter(F.col("text").isNotNull())
+        .select("source", F.md5("text").alias("digest"))
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("digest").alias("n_distinct"),
+            F.round(
+                1.0 - F.countDistinct("digest") / F.count("*").cast("double"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
