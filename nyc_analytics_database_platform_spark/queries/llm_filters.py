@@ -573,3 +573,82 @@ def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "n")
     )
+
+
+_SEM_T = 0.3  # cosine threshold for semantic contamination
+_SEM_BITS = 8
+_SEM_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_SEM_BITS)
+)
+
+
+@register(
+    "benchmark_contamination_semantic",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v, {_SEM_BUCKET_SQL} AS bkt
+            FROM embeddings
+        ),
+        corpus AS (SELECT * FROM e WHERE vec_id % {_EVAL_MOD} <> 0),
+        evalset AS (SELECT * FROM e WHERE vec_id % {_EVAL_MOD} = 0),
+        hits AS (
+            SELECT c.vec_id, ev.vec_id AS eval_id,
+                   round(list_dot_product(c.v, ev.v)
+                         / (sqrt(list_dot_product(c.v, c.v))
+                            * sqrt(list_dot_product(ev.v, ev.v))), 6) AS score
+            FROM corpus c JOIN evalset ev ON c.bkt = ev.bkt
+        )
+        SELECT vec_id,
+               CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+               MAX(score) AS max_score
+        FROM hits
+        WHERE score >= {_SEM_T}
+        GROUP BY vec_id
+        ORDER BY vec_id
+    """,
+    tags=("llm", "contamination", "similarity"),
+)
+def benchmark_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination - the third modality beside the
+    exact 8-gram probe and the MinHash-fuzzy probe: corpus vectors whose
+    embedding cosine against any eval-split vector reaches the threshold
+    (paraphrases that share neither verbatim 8-grams nor shingle sets
+    still land close in embedding space). Candidates come from shared
+    sign-LSH buckets (the partition-key scale path of the ANN family), so
+    the corpus never cross-joins the eval set - it equi-joins the bucket
+    id, and only within-bucket pairs are scored. Per flagged vector: hit
+    count and max similarity, the triage columns a decontamination review
+    queue needs."""
+    from nyc_analytics_database_platform_spark.operators.similarity import (
+        signlsh_bucket,
+    )
+
+    e = load(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        signlsh_bucket(F.col("embedding"), _SEM_BITS).alias("bkt"),
+    )
+    corpus = e.filter(F.col("vec_id") % _EVAL_MOD != 0)
+    evalset = e.filter(F.col("vec_id") % _EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("v").alias("ev"), "bkt"
+    )
+    from nyc_analytics_database_platform_spark.operators.similarity import cosine
+
+    hits = (
+        corpus.join(F.broadcast(evalset), "bkt")
+        .select(
+            "vec_id",
+            "eval_id",
+            F.round(cosine(F.col("v"), F.col("ev")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= _SEM_T)
+    )
+    return (
+        hits.groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_eval_hits"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("vec_id")
+    )
