@@ -689,3 +689,94 @@ def text_nfc_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return marked.mapInPandas(kernel, schema).orderBy("doc_id")
+
+
+@register(
+    "vocab_zipf_slope",
+    oracle=r"""
+        WITH words AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS word
+                FROM documents WHERE text IS NOT NULL
+            )
+            WHERE word <> ''
+            GROUP BY word
+        ),
+        ranked AS (
+            SELECT freq,
+                   row_number() OVER (ORDER BY freq DESC, word) AS rk
+            FROM words
+        ),
+        pts AS (
+            SELECT CAST(ROUND(ln(rk) * 1000000) AS BIGINT) AS x,
+                   CAST(ROUND(ln(freq) * 1000000) AS BIGINT) AS y
+            FROM ranked
+        ),
+        mm AS (
+            SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                   SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                   SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                       AS sxx,
+                   SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                       AS sxy
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_types,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+        FROM mm
+    """,
+    tags=("llm", "text", "stats", "monitoring"),
+)
+def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the vocabulary: least-squares slope of ln(freq)
+    against ln(rank) - natural text sits near -1, and large deviations
+    flag templated/boilerplate-heavy corpora (a vocabulary-health
+    companion to corpus_ngram_diversity). Log points integerize at 1e-6
+    (a final ulp difference in ln() cannot move a 1e-6 rounding except on
+    a knife-edge, and the 6dp-rounded slope absorbs even that); moments
+    are exact DECIMAL sums multiplied in DECIMAL, so the fit is
+    cross-engine exact. The rank window runs over the VOCAB frame -
+    sublinear in corpus size (Heaps' law); at 100 TB ranks would come
+    from the two-level bucketed prefix-sum (operators/prefixsum.py)
+    instead of one window."""
+    docs = load(spark, sf_dir, "documents", parallel=True).filter(
+        F.col("text").isNotNull()
+    )
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "word"
+            )
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "word")
+    pts = words.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * 1000000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * 1000000)
+        .cast("long")
+        .alias("y"),
+    )
+    dec = "decimal(38,0)"
+    x, y = F.col("x"), F.col("y")
+    mm = pts.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum(x.cast(dec) * x.cast(dec)).alias("sxx"),
+        F.sum(x.cast(dec) * y.cast(dec)).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return mm.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.round(num / den, 6).alias("zipf_slope"),
+    )

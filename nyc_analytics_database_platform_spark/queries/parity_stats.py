@@ -404,3 +404,78 @@ def ab_test_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cb / nb, 6).alias("rate_b"),
         F.round(z, 4).alias("zstat"),
     )
+
+
+@register(
+    "monthly_revenue_autocorr",
+    oracle="""
+        WITH m AS (
+            SELECT date_trunc('month', o_orderdate) AS month_ts,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS rev
+            FROM orders GROUP BY 1
+        ),
+        pairs AS (
+            SELECT CAST(ROUND(rev * 100) AS BIGINT) AS y,
+                   CAST(ROUND(lag(rev) OVER (ORDER BY month_ts) * 100)
+                        AS BIGINT) AS x
+            FROM m
+        ),
+        mm AS (
+            SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                   SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                   SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+                   SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+                   SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+            FROM pairs WHERE x IS NOT NULL
+        )
+        SELECT CAST(n AS BIGINT) AS n_pairs,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                   AS lag1_corr
+        FROM mm
+    """,
+    tags=("stats", "timeseries", "exact-numerics"),
+)
+def monthly_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of monthly revenue - the seasonality/trend
+    diagnostic. Month revenues are exact decimal sums; the (x_t, x_{t-1})
+    pairs integerize to cents, the moments are exact DECIMAL(38,0) sums
+    (stats_exact_linear_fit's recipe), and the closed Pearson formula
+    evaluates once on doubles cast from identical decimals - the
+    statistic is cross-engine exact. The lag window runs over the bounded
+    month frame."""
+    m = (
+        load(spark, sf_dir, "orders", parallel=True)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month_ts"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy("month_ts")
+    pairs = m.select(
+        F.round(F.col("rev") * 100).cast("long").alias("y"),
+        F.round(F.lag("rev").over(w) * 100).cast("long").alias("x"),
+    ).filter(F.col("x").isNotNull())
+    dec = "decimal(38,0)"
+    x, y = F.col("x"), F.col("y")
+    # cents-squared exceeds int64 - multiply in DECIMAL, never in long
+    mm = pairs.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum(x.cast(dec) * x.cast(dec)).alias("sxx"),
+        F.sum(x.cast(dec) * y.cast(dec)).alias("sxy"),
+        F.sum(y.cast(dec) * y.cast(dec)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return mm.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("lag1_corr"),
+    )
