@@ -855,3 +855,55 @@ def entity_clusters_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entity_id")
     )
+
+
+@register(
+    "market_basket_part_pairs_top20",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS support
+            FROM items a
+            JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+        )
+        SELECT part_a, part_b, support FROM pairs
+        ORDER BY support DESC, part_a, part_b
+        LIMIT 20
+    """,
+    tags=("analytics", "basket", "J-ext"),
+)
+def market_basket_part_pairs_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the Apriori pair-support step): the 20
+    part pairs most often bought in the same order. The self-join is
+    keyed on the ORDER (the basket id), so the quadratic term is bounded
+    by basket size (~7 lines in TPC-H) exactly like the blocked fuzzy
+    join and the within-cluster SemDeDup - never an all-pairs join over
+    parts. Distinct-ing (order, part) first makes multi-line duplicates
+    of the same part count one basket. Top-20 is TakeOrderedAndProject
+    over integer supports with full deterministic tie-breaks."""
+    items = (
+        load(spark, sf_dir, "lineitem", parallel=True)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+    )
+    return pairs.orderBy(
+        F.col("support").desc(), "part_a", "part_b"
+    ).limit(20)
