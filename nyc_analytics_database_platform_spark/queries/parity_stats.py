@@ -479,3 +479,122 @@ def monthly_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pairs"),
         F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("lag1_corr"),
     )
+
+
+_BOOT_B = 100  # bootstrap replicates
+# Poisson(1) CDF thresholds for weights 0..4 (else 5), 10dp literals so
+# both engines compare the SAME constants
+_POIS = (0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431, 0.9963401532)
+
+
+def _pois_w_sql(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < {_POIS[0]} THEN 0 WHEN {u} < {_POIS[1]} THEN 1 "
+        f"WHEN {u} < {_POIS[2]} THEN 2 WHEN {u} < {_POIS[3]} THEN 3 "
+        f"WHEN {u} < {_POIS[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@register(
+    "bootstrap_poisson_mean_ci",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        drawn AS (
+            SELECT b.b, base.cents,
+                   {_pois_w_sql(
+                       "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)"
+                       " || ':' || CAST(b.b AS VARCHAR)), 1, 8)) AS UBIGINT)"
+                       " / 4294967296.0"
+                   )} AS w
+            FROM base,
+                 (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) b
+        ),
+        reps AS (
+            SELECT b,
+                   CAST(SUM(CAST(w AS DECIMAL(38,0))
+                            * CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                       / (CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) * 100.0)
+                       AS mean_rep
+            FROM drawn GROUP BY b
+            HAVING SUM(w) > 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+               round(PERCENTILE_CONT(0.025) WITHIN GROUP (ORDER BY mean_rep), 4)
+                   AS ci_lo,
+               round(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY mean_rep), 4)
+                   AS ci_mid,
+               round(PERCENTILE_CONT(0.975) WITHIN GROUP (ORDER BY mean_rep), 4)
+                   AS ci_hi
+        FROM reps
+    """,
+    tags=("stats", "bootstrap", "exact-numerics"),
+)
+def bootstrap_poisson_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (the at-scale bootstrap: resample weights drawn
+    per (row, replicate) independently - no global resample pass) for the
+    95% CI of the mean order price, B=100 replicates. Weights come from
+    the md5 hash draw (deterministic, partition-independent) through the
+    Poisson(1) inverse CDF as fixed 10dp thresholds; each replicate's
+    weighted mean uses DECIMAL-exact sums of integer cents, so every
+    replicate statistic is bit-identical cross-engine and the percentile
+    CI needs only 4dp rounding. One B-way row fan-out + one (replicate)-
+    keyed aggregate - fully map-side combinable; B scales the scan cost,
+    not the shuffle width (B rows per group key)."""
+    base = load(spark, sf_dir, "orders", parallel=True).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = (
+        F.when(u < _POIS[0], 0)
+        .when(u < _POIS[1], 1)
+        .when(u < _POIS[2], 2)
+        .when(u < _POIS[3], 3)
+        .when(u < _POIS[4], 4)
+        .otherwise(5)
+    )
+    drawn = base.crossJoin(
+        F.broadcast(spark.range(_BOOT_B).select(F.col("id").alias("b")))
+    ).select("b", "cents", w.alias("w"))
+    dec = "decimal(38,0)"
+    reps = (
+        drawn.groupBy("b")
+        .agg(
+            F.sum(F.col("w").cast(dec) * F.col("cents").cast(dec)).alias("sw"),
+            F.sum(F.col("w").cast(dec)).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            (
+                F.col("sw").cast("double")
+                / (F.col("n").cast("double") * F.lit(100.0))
+            ).alias("mean_rep")
+        )
+    )
+    return reps.agg(
+        F.count("*").alias("n_replicates"),
+        F.round(F.percentile("mean_rep", 0.025), 4).alias("ci_lo"),
+        F.round(F.percentile("mean_rep", 0.5), 4).alias("ci_mid"),
+        F.round(F.percentile("mean_rep", 0.975), 4).alias("ci_hi"),
+    )
