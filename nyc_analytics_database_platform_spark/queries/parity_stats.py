@@ -598,3 +598,79 @@ def bootstrap_poisson_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("mean_rep", 0.5), 4).alias("ci_mid"),
         F.round(F.percentile("mean_rep", 0.975), 4).alias("ci_hi"),
     )
+
+
+@register(
+    "standardized_price_by_segment",
+    oracle="""
+        WITH base AS (
+            SELECT c.c_mktsegment AS segment, o.o_orderkey,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        m AS (
+            SELECT segment,
+                   CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   SUM(CAST(cents AS DECIMAL(38,0))) AS sx,
+                   SUM(CAST(cents AS DECIMAL(38,0))
+                       * CAST(cents AS DECIMAL(38,0))) AS sxx
+            FROM base GROUP BY segment
+        )
+        SELECT b.o_orderkey, b.segment,
+               round((b.cents - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                     / sqrt((CAST(m.sxx AS DOUBLE)
+                             - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)
+                               / CAST(m.n AS DOUBLE))
+                            / (CAST(m.n AS DOUBLE) - 1.0)), 6) AS z
+        FROM base b JOIN m USING (segment)
+        WHERE b.o_orderkey % 50 = 0
+        ORDER BY b.o_orderkey
+    """,
+    tags=("stats", "ml-prep", "exact-numerics"),
+)
+def standardized_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-standardization (the StandardScaler shape of ML feature
+    prep): order price scaled to zero-mean/unit-variance within its
+    market segment. The group moments are DECIMAL-exact integer-cents
+    sums (multiplied in DECIMAL), broadcast back onto the scan; every z
+    value derives from identical decimals through one fixed float
+    expression, so 6dp rounding is exact cross-engine. The output keeps
+    every 50th order key - the attestation sample of a full-corpus
+    feature column (writing all rows is the same plan minus the
+    filter)."""
+    base = (
+        load(spark, sf_dir, "orders", parallel=True)
+        .join(
+            load(spark, sf_dir, "customer").select(
+                "c_custkey", F.col("c_mktsegment").alias("segment")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "o_orderkey",
+            "segment",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    dec = "decimal(38,0)"
+    c = F.col("cents")
+    m = base.groupBy("segment").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(c.cast(dec)).alias("sx"),
+        F.sum(c.cast(dec) * c.cast(dec)).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    mu = sxd / nd
+    sd = F.sqrt((sxxd - sxd * sxd / nd) / (nd - 1.0))
+    return (
+        base.join(F.broadcast(m), "segment")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "segment",
+            F.round((c - mu) / sd, 6).alias("z"),
+        )
+        .orderBy("o_orderkey")
+    )
