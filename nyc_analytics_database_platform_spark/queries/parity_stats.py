@@ -674,3 +674,83 @@ def standardized_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderkey")
     )
+
+
+# log10(1 + 1/d) for d = 1..9, 10dp literals shared by both engines
+_BENFORD = (
+    0.3010299957, 0.1760912591, 0.1249387366, 0.0969100130, 0.0791812460,
+    0.0669467896, 0.0579919470, 0.0511525224, 0.0457574906,
+)
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle=f"""
+        WITH d AS (
+            SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders WHERE o_totalprice > 0
+        ),
+        c AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+        ),
+        t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c),
+        e AS (
+            SELECT digit, n,
+                   CASE digit {" ".join(
+                       f"WHEN {i + 1} THEN {p}" for i, p in enumerate(_BENFORD)
+                   )} END AS p_benford
+            FROM c
+        )
+        SELECT digit, n,
+               round(n / total, 6) AS p_observed,
+               p_benford,
+               round((n - total * p_benford) * (n - total * p_benford)
+                     / (total * p_benford), 6) AS chi2_term
+        FROM e, t
+        ORDER BY digit
+    """,
+    tags=("stats", "quality", "audit"),
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals - the classic
+    fabricated-data / corruption screen a warehouse runs over money
+    columns. Digits come from the integer-cents string (no float
+    formatting dependence); expected probabilities are shared 10dp
+    literals; each digit's chi-square term derives from integer counts
+    through one fixed expression - 6dp-exact cross-engine. One
+    9-group aggregate over a single scan; consumers sum chi2_term
+    against the chi-square(8) critical value."""
+    d = (
+        load(spark, sf_dir, "orders", parallel=True)
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    p = None
+    for i, prob in enumerate(_BENFORD):
+        p = (
+            F.when(F.col("digit") == i + 1, F.lit(prob))
+            if p is None
+            else p.when(F.col("digit") == i + 1, F.lit(prob))
+        )
+    joined = c.crossJoin(F.broadcast(t)).withColumn("p_benford", p)
+    exp = F.col("total") * F.col("p_benford")
+    return joined.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("p_observed"),
+        "p_benford",
+        F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 6).alias(
+            "chi2_term"
+        ),
+    ).orderBy("digit")
