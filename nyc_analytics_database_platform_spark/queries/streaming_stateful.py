@@ -107,3 +107,87 @@ def stream_stateful_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_watermark_late_drop",
+    oracle="""
+        WITH mx AS (SELECT MAX(ts) AS m FROM events)
+        SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_start_s,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events, mx
+        WHERE epoch(date_trunc('day', ts)) + 86400 <= epoch(m) - 259200
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("streaming", "watermark", "executed"),
+)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED watermark semantics, both halves attested at once: (1) LATE
+    DATA IS DROPPED - the source is staged as three files drained one per
+    micro-batch (days 1-10, days 11-20, then a batch that REPLAYS days
+    1-5 alongside days 21-30; by then the watermark sits near day 17, so
+    every replayed row's window is closed and the duplicates must NOT
+    inflate the counts); (2) APPEND MODE EMITS EXACTLY THE CLOSED WINDOWS
+    - daily windows whose end <= final watermark (max ts - 3 days). The
+    oracle states both rules declaratively: per-day counts WITHOUT
+    duplicate inflation, restricted to closed windows - it matches if and
+    only if the streaming engine dropped all replayed lates and emitted
+    precisely the watermark-closed set. File order is pinned by explicit
+    mtimes (the file source processes oldest-first). At scale this is the
+    standard bounded-state contract: watermark delay caps state size and
+    lateness tolerance in one knob."""
+    import shutil
+    import time as _time
+
+    tag = hashlib.md5((sf_dir + ":latedrop").encode()).hexdigest()[:8]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_stream", tag)
+    ckpt = os.path.join(scratch, "late_drop_ckpt")
+    src_dir = os.path.join(scratch, "late_drop_files")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+
+    events = load(spark, sf_dir, "events")
+    day = F.dayofmonth("ts")
+    stages = [
+        events.filter(day <= 10),
+        events.filter((day > 10) & (day <= 20)),
+        # batch 2: replayed lates (days 1-5, already behind the watermark)
+        # plus the on-time tail
+        events.filter(day <= 5).unionByName(events.filter(day > 20)),
+    ]
+    for i, df in enumerate(stages):
+        part_dir = os.path.join(scratch, f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        src = next(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"batch-{i}.parquet")
+        shutil.move(os.path.join(part_dir, src), dst)
+        t = _time.time() - 300 + i * 10  # strictly increasing mtimes
+        os.utime(dst, (t, t))
+
+    source = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = (
+        source.withWatermark("ts", "3 days")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"), "n_events"
+        )
+    )
+    name = f"late_drop_{tag}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, "watermark late-drop stream")
+    return spark.table(name).orderBy("window_start_s")
