@@ -191,3 +191,84 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drain_or_raise(q, "watermark late-drop stream")
     return spark.table(name).orderBy("window_start_s")
+
+
+@register(
+    "stream_dedupe_state_eviction",
+    oracle="""
+        SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("streaming", "watermark", "dedup", "executed"),
+)
+def stream_dedupe_state_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED dropDuplicatesWithinWatermark - both guards of the
+    bounded-state dedup contract in one oracle: (1) duplicates arriving
+    while the key's state lives are DROPPED (batch 0 carries days 1-10
+    plus same-id copies of days 8-10 - none may survive); (2) rows behind
+    the watermark are dropped as LATE before dedup even sees them (batch
+    2 replays days 1-5 when the watermark sits near day 17 - none may
+    reappear; this is also WHY the state eviction at ts + delay is safe:
+    any would-be duplicate past the horizon is excluded by the lateness
+    filter first). Expected per-day counts are therefore exactly the
+    original counts; a failed dedup doubles days 8-10, a failed lateness
+    filter doubles days 1-5, and either hash-mismatches. State size is
+    bounded by (arrival rate x watermark delay) - the production dedup
+    form for unbounded key domains."""
+    import shutil
+    import time as _time
+
+    tag = hashlib.md5((sf_dir + ":dedupevict").encode()).hexdigest()[:8]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_stream", tag)
+    ckpt = os.path.join(scratch, "dedupe_evict_ckpt")
+    src_dir = os.path.join(scratch, "dedupe_evict_files")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+
+    events = load(spark, sf_dir, "events").select("event_id", "ts")
+    day = F.dayofmonth("ts")
+    stages = [
+        # in-batch duplicates for days 8-10: must be deduped (state live)
+        events.filter(day <= 10).unionByName(
+            events.filter((day >= 8) & (day <= 10))
+        ),
+        events.filter((day > 10) & (day <= 20)),
+        # replay of days 1-5: state evicted (ts + 3d << watermark) -> re-emit
+        events.filter(day <= 5).unionByName(events.filter(day > 20)),
+    ]
+    for i, df in enumerate(stages):
+        part_dir = os.path.join(scratch, f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dst = os.path.join(src_dir, f"batch-{i}.parquet")
+        shutil.move(os.path.join(part_dir, src), dst)
+        t = _time.time() - 300 + i * 10
+        os.utime(dst, (t, t))
+
+    source = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    deduped = source.withWatermark("ts", "3 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"dedupe_evict_{tag}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, "dedupe state-eviction stream")
+    return (
+        spark.table(name)
+        .groupBy(F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s"))
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("day_s")
+    )
