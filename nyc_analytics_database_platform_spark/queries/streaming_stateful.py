@@ -272,3 +272,114 @@ def stream_dedupe_state_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"))
         .orderBy("day_s")
     )
+
+
+@register(
+    "stream_interval_join_executed",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               p.user_id,
+               CAST(epoch_us(p.ts) AS BIGINT) AS p_ts_us,
+               CAST(COUNT(*) AS BIGINT) AS clicks_10m
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 10 MINUTE
+         AND c.ts <  p.ts
+        GROUP BY 1, 2, 3
+        ORDER BY purchase_id
+    """,
+    tags=("streaming", "interval-join", "executed"),
+)
+def stream_interval_join_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED stream-stream interval join, drained across REAL
+    micro-batch boundaries: purchases and clicks arrive as two
+    watermarked streams over a 2-file staged source (1 file/trigger,
+    mtime-pinned order) split exactly at the earliest matched purchase's
+    timestamp, so its click is buffered in batch 0's join state and the
+    purchase arrives in batch 1 - at least one match provably forms
+    ACROSS the micro-batch boundary (the 30-minute watermark retains the
+    click: it sits at most 10 minutes behind the split). Inner stream-stream joins emit on match (no window-close
+    gating), so the drained sink equals the batch interval join exactly;
+    the oracle is that batch join rolled up per purchase. The 30-minute
+    watermarks bound BOTH sides' state to (rate x delay + interval) -
+    the production contract that makes an unbounded two-stream join
+    runnable at all. Batch twin: interval_join_click_counts (same
+    operator, batch execution, left-join variant)."""
+    import shutil
+    import time as _time
+
+    tag = hashlib.md5((sf_dir + ":ssjoin").encode()).hexdigest()[:8]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_stream", tag)
+    ckpt = os.path.join(scratch, "ssj_ckpt")
+    src_dir = os.path.join(scratch, "ssj_files")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    from nyc_analytics_database_platform_spark.queries.streaming_join import (
+        interval_join_clicks_before_purchase as _ij,
+    )
+
+    # Stage the batch boundary at the EARLIEST matched purchase's
+    # timestamp (a 1-row parameter fetch, the _query_vec convention): its
+    # click lands in batch 0 and the purchase in batch 1, so at least one
+    # match is GUARANTEED to form across a micro-batch boundary - the
+    # cross-batch state buffering is attested, not assumed.
+    split_ts = (
+        _ij(
+            events.filter(F.col("event_type") == "purchase"),
+            events.filter(F.col("event_type") == "click"),
+        )
+        .agg(F.min("p_ts"))
+        .head()[0]
+    )
+    stages = [
+        events.filter(F.col("ts") < F.lit(split_ts)),
+        events.filter(F.col("ts") >= F.lit(split_ts)),
+    ]
+    for i, df in enumerate(stages):
+        part_dir = os.path.join(scratch, f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dst = os.path.join(src_dir, f"batch-{i}.parquet")
+        shutil.move(os.path.join(part_dir, src), dst)
+        t = _time.time() - 300 + i * 10
+        os.utime(dst, (t, t))
+
+    source = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    from nyc_analytics_database_platform_spark.queries.streaming_join import (
+        interval_join_clicks_before_purchase,
+    )
+
+    purchases = source.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "30 minutes"
+    )
+    clicks = source.filter(F.col("event_type") == "click").withWatermark(
+        "ts", "30 minutes"
+    )
+    joined = interval_join_clicks_before_purchase(purchases, clicks)
+    name = f"ssj_{tag}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, "stream-stream interval join")
+    return (
+        spark.table(name)
+        .groupBy(
+            "purchase_id",
+            "user_id",
+            F.unix_micros("p_ts").alias("p_ts_us"),
+        )
+        .agg(F.count("*").alias("clicks_10m"))
+        .orderBy("purchase_id")
+    )
