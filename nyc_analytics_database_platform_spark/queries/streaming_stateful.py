@@ -39,6 +39,25 @@ def drain_or_raise(query, desc: str, timeout_s: int = 300) -> None:
         )
 
 
+def _stage_ordered_files(scratch: str, src_dir: str, stages) -> None:
+    """Write each stage DataFrame as one parquet file into src_dir with
+    strictly increasing mtimes, so the file stream source (oldest-first)
+    drains them as micro-batches in exactly this order."""
+    import shutil
+    import time as _time
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+    for i, df in enumerate(stages):
+        part_dir = os.path.join(scratch, f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dst = os.path.join(src_dir, f"batch-{i}.parquet")
+        shutil.move(os.path.join(part_dir, src), dst)
+        t = _time.time() - 300 + i * 10
+        os.utime(dst, (t, t))
+
+
 @register(
     "stream_stateful_user_counters",
     oracle="""
@@ -137,15 +156,10 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     mtimes (the file source processes oldest-first). At scale this is the
     standard bounded-state contract: watermark delay caps state size and
     lateness tolerance in one knob."""
-    import shutil
-    import time as _time
-
     tag = hashlib.md5((sf_dir + ":latedrop").encode()).hexdigest()[:8]
     scratch = os.path.join(tempfile.gettempdir(), "spark_graft_stream", tag)
     ckpt = os.path.join(scratch, "late_drop_ckpt")
     src_dir = os.path.join(scratch, "late_drop_files")
-    shutil.rmtree(scratch, ignore_errors=True)
-    os.makedirs(src_dir, exist_ok=True)
 
     events = load(spark, sf_dir, "events")
     day = F.dayofmonth("ts")
@@ -156,16 +170,7 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         # plus the on-time tail
         events.filter(day <= 5).unionByName(events.filter(day > 20)),
     ]
-    for i, df in enumerate(stages):
-        part_dir = os.path.join(scratch, f"stage{i}")
-        df.coalesce(1).write.mode("overwrite").parquet(part_dir)
-        src = next(
-            f for f in os.listdir(part_dir) if f.endswith(".parquet")
-        )
-        dst = os.path.join(src_dir, f"batch-{i}.parquet")
-        shutil.move(os.path.join(part_dir, src), dst)
-        t = _time.time() - 300 + i * 10  # strictly increasing mtimes
-        os.utime(dst, (t, t))
+    _stage_ordered_files(scratch, src_dir, stages)
 
     source = (
         spark.readStream.schema(events.schema)
@@ -218,15 +223,10 @@ def stream_dedupe_state_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter doubles days 1-5, and either hash-mismatches. State size is
     bounded by (arrival rate x watermark delay) - the production dedup
     form for unbounded key domains."""
-    import shutil
-    import time as _time
-
     tag = hashlib.md5((sf_dir + ":dedupevict").encode()).hexdigest()[:8]
     scratch = os.path.join(tempfile.gettempdir(), "spark_graft_stream", tag)
     ckpt = os.path.join(scratch, "dedupe_evict_ckpt")
     src_dir = os.path.join(scratch, "dedupe_evict_files")
-    shutil.rmtree(scratch, ignore_errors=True)
-    os.makedirs(src_dir, exist_ok=True)
 
     events = load(spark, sf_dir, "events").select("event_id", "ts")
     day = F.dayofmonth("ts")
@@ -236,17 +236,10 @@ def stream_dedupe_state_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
             events.filter((day >= 8) & (day <= 10))
         ),
         events.filter((day > 10) & (day <= 20)),
-        # replay of days 1-5: state evicted (ts + 3d << watermark) -> re-emit
+        # replay of days 1-5: behind the watermark -> dropped as late
         events.filter(day <= 5).unionByName(events.filter(day > 20)),
     ]
-    for i, df in enumerate(stages):
-        part_dir = os.path.join(scratch, f"stage{i}")
-        df.coalesce(1).write.mode("overwrite").parquet(part_dir)
-        src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
-        dst = os.path.join(src_dir, f"batch-{i}.parquet")
-        shutil.move(os.path.join(part_dir, src), dst)
-        t = _time.time() - 300 + i * 10
-        os.utime(dst, (t, t))
+    _stage_ordered_files(scratch, src_dir, stages)
 
     source = (
         spark.readStream.schema(events.schema)
@@ -306,15 +299,10 @@ def stream_interval_join_executed(spark: SparkSession, sf_dir: str) -> DataFrame
     the production contract that makes an unbounded two-stream join
     runnable at all. Batch twin: interval_join_click_counts (same
     operator, batch execution, left-join variant)."""
-    import shutil
-    import time as _time
-
     tag = hashlib.md5((sf_dir + ":ssjoin").encode()).hexdigest()[:8]
     scratch = os.path.join(tempfile.gettempdir(), "spark_graft_stream", tag)
     ckpt = os.path.join(scratch, "ssj_ckpt")
     src_dir = os.path.join(scratch, "ssj_files")
-    shutil.rmtree(scratch, ignore_errors=True)
-    os.makedirs(src_dir, exist_ok=True)
 
     events = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
@@ -340,14 +328,7 @@ def stream_interval_join_executed(spark: SparkSession, sf_dir: str) -> DataFrame
         events.filter(F.col("ts") < F.lit(split_ts)),
         events.filter(F.col("ts") >= F.lit(split_ts)),
     ]
-    for i, df in enumerate(stages):
-        part_dir = os.path.join(scratch, f"stage{i}")
-        df.coalesce(1).write.mode("overwrite").parquet(part_dir)
-        src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
-        dst = os.path.join(src_dir, f"batch-{i}.parquet")
-        shutil.move(os.path.join(part_dir, src), dst)
-        t = _time.time() - 300 + i * 10
-        os.utime(dst, (t, t))
+    _stage_ordered_files(scratch, src_dir, stages)
 
     source = spark.readStream.schema(events.schema).option(
         "maxFilesPerTrigger", 1
