@@ -907,3 +907,37 @@ def market_basket_part_pairs_top20(spark: SparkSession, sf_dir: str) -> DataFram
     return pairs.orderBy(
         F.col("support").desc(), "part_a", "part_b"
     ).limit(20)
+
+
+@register(
+    "events_heatmap_dow_hour",
+    oracle="""
+        SELECT CAST(dayofweek(ts) AS INT) AS dow,
+               CAST(hour(ts) AS INT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY dow, hod
+    """,
+    tags=("analytics", "A6", "reporting"),
+)
+def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity matrix (the ops-dashboard
+    heatmap): event and distinct-user counts per (dow, hour) cell. UTC
+    session pinning (session.py) makes the calendar split cross-engine
+    deterministic; DuckDB's dayofweek is 0=Sunday while Spark's is
+    1=Sunday, so the Spark side shifts by one to the shared convention.
+    One map-side-combinable aggregate into a fixed 7x24 cell grid."""
+    ev = load(spark, sf_dir, "events", parallel=True)
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hod")
+    )
