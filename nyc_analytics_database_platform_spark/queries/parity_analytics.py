@@ -941,3 +941,136 @@ def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+            FROM events
+        ),
+        days AS (SELECT DISTINCT d FROM du)
+        SELECT CAST(strftime(days.d, '%Y-%m-%d') AS VARCHAR) AS day,
+               CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+        FROM days
+        JOIN du ON du.d > days.d - INTERVAL 7 DAY AND du.d <= days.d
+        GROUP BY days.d
+        ORDER BY day
+    """,
+    tags=("analytics", "W", "reporting"),
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (the WAU curve) - COUNT
+    DISTINCT over a sliding window, which no window frame can express
+    exactly, so it is the textbook spine-fan-out: the corpus collapses
+    once to distinct (day, user) pairs (one shuffle, map-side
+    combinable), and the 7x fan-out + distinct count runs on that tiny
+    frame joined to the day spine. At 100 TB the (day, user) frame is
+    the only corpus-scale object and it is exactly the pre-aggregate a
+    metrics store would persist."""
+    ev = load(spark, sf_dir, "events", parallel=True)
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct().withColumnRenamed("d", "day_d")
+    joined = days.join(
+        du,
+        (F.col("d") > F.date_sub(F.col("day_d"), 7))
+        & (F.col("d") <= F.col("day_d")),
+    )
+    return (
+        joined.groupBy("day_d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.date_format("day_d", "yyyy-MM-dd").alias("day"), "wau")
+        .orderBy("day")
+    )
+
+
+@register(
+    "session_funnel_report",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+            FROM events
+        ),
+        flags AS (
+            SELECT *,
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w >= 300000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        sess AS (
+            SELECT *,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flags
+        ),
+        per AS (
+            SELECT user_id, sid,
+                   MIN(CASE WHEN event_type = 'view' THEN us END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click' THEN us END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN us END) AS t_buy
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s_view,
+               CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                             THEN 1 ELSE 0 END) AS BIGINT) AS s_view_click,
+               CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                                  AND t_buy > t_click
+                             THEN 1 ELSE 0 END) AS BIGINT) AS s_full_funnel
+        FROM per
+    """,
+    tags=("analytics", "funnel", "session"),
+)
+def session_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered view -> click -> purchase funnel at SESSION granularity
+    (the user-level funnel is funnel_view_click_purchase; sessions are
+    the unit conversion analyses actually report): per 5-minute-gap
+    session, the funnel advances only if each stage's first occurrence
+    strictly follows the previous stage's. One sessionization window
+    (the user_id shuffle everything in this family shares) + a
+    per-session conditional-min aggregate + a 1-row rollup. NULL
+    comparisons do the ordering work: t_click > t_view is NULL-false
+    when either stage is absent, identical semantics on both engines."""
+    from nyc_analytics_database_platform_spark.operators.sessions import (
+        sessionize,
+    )
+
+    ev = load(spark, sf_dir, "events", parallel=True)
+    sess = sessionize(ev, "user_id", "ts", gap_seconds=300, order_cols=("event_id",))
+    us = F.unix_micros("ts")
+    per = sess.groupBy("user_id", "session_seq").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_buy"),
+    )
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("s_view"),
+        F.sum(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("s_view_click"),
+        F.sum(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_buy") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("s_full_funnel"),
+    )
