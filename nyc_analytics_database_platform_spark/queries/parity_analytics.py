@@ -1074,3 +1074,74 @@ def session_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s_full_funnel"),
     )
+
+
+@register(
+    "revenue_pareto_by_customer_decile",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY o_custkey
+        ),
+        tiled AS (
+            SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+            FROM spend
+        ),
+        per AS (
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   SUM(rev) AS d_rev
+            FROM tiled GROUP BY decile
+        ),
+        tot AS (SELECT SUM(d_rev) AS t FROM per)
+        SELECT decile, n_customers,
+               CAST(d_rev AS DOUBLE) AS revenue,
+               round(CAST(d_rev AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
+               round(CAST(SUM(d_rev) OVER (ORDER BY decile) AS DOUBLE)
+                     / CAST(t AS DOUBLE), 6) AS cum_share
+        FROM per, tot
+        ORDER BY decile
+    """,
+    tags=("analytics", "W", "reporting"),
+)
+def revenue_pareto_by_customer_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the Pareto / 80-20 report): customers ranked
+    by total spend, split into deciles, with each decile's revenue share
+    and the cumulative share curve. Spend totals are DECIMAL-exact; the
+    ntile runs over the customer-spend frame (the per-key pre-aggregate,
+    not the order fact - and the bucketed prefix-sum is the documented
+    at-scale substitute for the rank, as in vocab_zipf_slope); the final
+    cumulative window touches 10 rows. Deterministic ntile ties via
+    (rev DESC, custkey)."""
+    spend = (
+        load(spark, sf_dir, "orders", parallel=True)
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    per = (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_customers"), F.sum("rev").alias("d_rev"))
+    )
+    tot = per.agg(F.sum("d_rev").alias("t"))
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cum_rev", F.sum("d_rev").over(w_cum))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("d_rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("d_rev").cast("double") / F.col("t").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("t").cast("double"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
