@@ -210,7 +210,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                    row_number() OVER (ORDER BY freq DESC, word) AS rk
             FROM w{_STEPS}
         )
-        SELECT word, freq, syms AS pieces,
+        SELECT word, freq, array_to_string(syms, '|') AS pieces,
                CAST(len(syms) AS INT) AS n_pieces
         FROM ranked WHERE rk <= 10
         ORDER BY freq DESC, word
@@ -224,8 +224,9 @@ def bpe_segment_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     inference). Rank filter (row_number <= 10), not limit(), so the cut is
     deterministic by content; segmentation of the full corpus would be the
     same broadcast-fold over the distinct-word table joined back to the
-    token stream (tokenize_documents_to_ids shows that join-back
-    shape)."""
+    token stream (tokenize_documents_to_ids shows that join-back shape).
+    `pieces` is emitted as a '|'-joined string (not array<string>) so the
+    driver's pandas canonicalizer can sort/hash the column."""
     words, _ = _trained(spark, sf_dir)
     w = Window.orderBy(F.col("freq").desc(), "word")
     return (
@@ -234,7 +235,7 @@ def bpe_segment_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "word",
             "freq",
-            F.col("syms").alias("pieces"),
+            F.array_join("syms", "|").alias("pieces"),
             F.size("syms").cast("int").alias("n_pieces"),
         )
         .orderBy(F.col("freq").desc(), "word")

@@ -141,7 +141,7 @@ def pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pq_encode_codes",
     oracle=f"""
         WITH {_TRAINED}
-        SELECT vec_id, list(c_id ORDER BY j) AS codes
+        SELECT vec_id, string_agg(CAST(c_id AS VARCHAR), '|' ORDER BY j) AS codes
         FROM a3 GROUP BY vec_id ORDER BY vec_id
     """,
     tags=("llm", "pq"),
@@ -150,14 +150,18 @@ def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus as PQ codes: m=4 small integers per vector (the 64x
     compression that makes a 100 TB embedding store scannable). Encoding
     is the broadcast assign pass; code assembly is one per-id aggregate
-    (m rows per id, map-side combinable)."""
+    (m rows per id, map-side combinable). Codes are emitted '|'-joined
+    (string, not array<int>) so the driver canonicalizer can hash them."""
     _, _, codes = _fitted(spark, sf_dir)
     return (
         codes.groupBy("vec_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "c_id"))),
-                lambda s: s["c_id"],
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "c_id"))),
+                    lambda s: s["c_id"].cast("string"),
+                ),
+                "|",
             ).alias("codes")
         )
         .orderBy("vec_id")
@@ -395,7 +399,7 @@ def _hist_trained() -> str:
     oracle=f"""
         WITH {_hist_trained()},
         subn AS (SELECT * FROM sub WHERE vec_id >= {_SPLIT_VEC}),{_assign("an", "hb2", "subn")}
-        SELECT vec_id, list(c_id ORDER BY j) AS codes
+        SELECT vec_id, string_agg(CAST(c_id AS VARCHAR), '|' ORDER BY j) AS codes
         FROM an GROUP BY vec_id ORDER BY vec_id
     """,
     tags=("llm", "pq", "incremental"),
@@ -422,9 +426,12 @@ def pq_encode_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_codes(new_sv, books)
         .groupBy("vec_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "c_id"))),
-                lambda s: s["c_id"],
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "c_id"))),
+                    lambda s: s["c_id"].cast("string"),
+                ),
+                "|",
             ).alias("codes")
         )
         .orderBy("vec_id")

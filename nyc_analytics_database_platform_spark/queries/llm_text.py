@@ -478,7 +478,7 @@ def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
                CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-               array_agg(id ORDER BY i) AS ids
+               string_agg(CAST(id AS VARCHAR), '|' ORDER BY i) AS ids
         FROM mapped
         GROUP BY doc_id
         ORDER BY doc_id
@@ -495,7 +495,8 @@ def tokenize_documents_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the vocab is a tiny aggregate broadcast into the exploded token
     stream (per-token narrow join, no shuffle of the corpus); re-assembly
     groups by doc with an order key, so sequences come back deterministic
-    regardless of partitioning."""
+    regardless of partitioning. `ids` is emitted '|'-joined (string, not
+    array<int>) so the driver canonicalizer can hash it."""
     docs = with_tokens(load(spark, sf_dir, "documents", parallel=True))
     words = docs.select(F.explode("toks").alias("tok"))
     w_rank = Window.orderBy(F.col("n").desc(), "tok")
@@ -516,8 +517,12 @@ def tokenize_documents_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_tokens"),
             F.sum((F.col("id") == 0).cast("long")).alias("n_oov"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "id"))), lambda s: s["id"]
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "id"))),
+                    lambda s: s["id"].cast("string"),
+                ),
+                "|",
             ).alias("ids"),
         )
         .orderBy("doc_id")
