@@ -162,6 +162,12 @@ def main() -> None:
     t_start = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    if "sf" not in os.path.basename(sf_dir.rstrip("/")):
+        print(
+            f"warning: cannot parse scale factor from SPARK_GRAFT_SF_DIR={sf_dir!r};"
+            " detail artifact will be suffixed with the raw directory name",
+            file=sys.stderr,
+        )
     spark = get_spark("nyc-analytics-bench")
     # WARN logs share the driver's captured output tail with the JSON line;
     # keep them out so the line is the last (and parseable) thing emitted.
@@ -247,8 +253,12 @@ def main() -> None:
     # Only the canonical bench SF overwrites BENCH_DETAIL.json - a smoke
     # run at another SF (e.g. sf0.001 during verification) writes a
     # suffixed file instead of silently replacing the committed artifact.
+    # Compare the raw sf STRING against the canonical spelling: a float
+    # compare would let an equivalent-but-differently-spelled SF ("0.10")
+    # or an unparseable path divert the canonical artifact write.
+    safe_sf = sf.replace(os.sep, "_")
     detail_name = (
-        "BENCH_DETAIL.json" if detail["sf"] == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
+        "BENCH_DETAIL.json" if sf == "0.1" else f"BENCH_DETAIL_sf{safe_sf}.json"
     )
     with open(os.path.join(repo, detail_name), "w") as f:
         json.dump(detail, f, indent=1)

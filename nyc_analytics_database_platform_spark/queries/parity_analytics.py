@@ -500,14 +500,14 @@ def fuzzy_customer_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ATTR_WINDOW_S = 7 * 86400  # 7-day attribution lookback
+_ATTR_WINDOW_US = 7 * 86400 * 1_000_000  # 7-day attribution lookback (µs)
 
 
 @register(
     "attribution_last_touch_revenue",
     oracle=f"""
         WITH ev AS (
-            SELECT event_id, user_id, epoch(ts) AS es, event_type, value,
+            SELECT event_id, user_id, epoch_us(ts) AS es, event_type, value,
                    event_type IN ('view', 'click', 'signup') AS is_touch
             FROM events
         ),
@@ -524,7 +524,7 @@ _ATTR_WINDOW_S = 7 * 86400  # 7-day attribution lookback
             FROM ev
         )
         SELECT CASE WHEN touch_type IS NULL
-                         OR es - touch_es > {_ATTR_WINDOW_S} THEN 'direct'
+                         OR es - touch_es > {_ATTR_WINDOW_US} THEN 'direct'
                     ELSE touch_type END AS channel,
                CAST(COUNT(*) AS BIGINT) AS n_purchases,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
@@ -542,7 +542,9 @@ def attribution_last_touch_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     within a 7-day lookback; purchases with no qualifying touch bucket to
     'direct'. One per-user IGNORE-NULLS carry-forward window (the
     sessionization shape: partitioned by user, totally ordered by
-    (epoch, event_id) so ties are deterministic) followed by a 4-group
+    (epoch-microseconds, event_id) so sub-second ties order identically
+    in both engines — whole-second epoch() truncation would let same-user
+    same-second events order differently) followed by a 4-group
     aggregate; value sums go through DECIMAL so the per-channel totals are
     order-independent and cross-engine exact. At 100 TB this is one
     shuffle on user_id - the same key sessionize_event_stats already
@@ -550,7 +552,7 @@ def attribution_last_touch_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     ev = load(spark, sf_dir, "events", parallel=True).select(
         "event_id",
         "user_id",
-        F.unix_timestamp("ts").alias("es"),
+        F.unix_micros("ts").alias("es"),
         "event_type",
         "value",
         F.col("event_type").isin("view", "click", "signup").alias("is_touch"),
@@ -573,7 +575,7 @@ def attribution_last_touch_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     )
     channel = F.when(
         F.col("touch_type").isNull()
-        | ((F.col("es") - F.col("touch_es")) > _ATTR_WINDOW_S),
+        | ((F.col("es") - F.col("touch_es")) > _ATTR_WINDOW_US),
         F.lit("direct"),
     ).otherwise(F.col("touch_type"))
     return (
