@@ -33,15 +33,19 @@ def first_span_occurrences(spans: DataFrame) -> DataFrame:
     """Global argmin of (doc_id, pos) per distinct span over a
     (doc_id, pos, span) frame - the kept set of C4-style span dedup.
     Groups on xxhash64(span) (8-byte shuffle keys; 2^-64 collision bound)
-    and takes min over struct(doc_id, pos, span): lexicographic struct
-    order IS the (doc_id, pos) global order ((doc_id, pos) is unique per
-    row, so the trailing span field never decides), with no packed-key
-    arithmetic to overflow however long a document gets - regression-pinned
-    with a >100k-token document in tests/test_round4_ops.py."""
+    and takes min over struct(doc_id, pos): lexicographic struct order IS
+    the (doc_id, pos) global order ((doc_id, pos) is unique per row), with
+    no packed-key arithmetic to overflow however long a document gets -
+    regression-pinned with a >100k-token document in
+    tests/test_round4_ops.py. The span STRING never enters the shuffle:
+    the argmin ships (hash, doc_id, pos) only - 24 bytes/row - and the
+    caller reattaches text by position arithmetic on the source document
+    (see corpus_span_dedup). Callers that need the span text get it by
+    joining this frame back on (doc_id, pos)."""
     return (
         spans.groupBy(F.xxhash64("span").alias("h"))
-        .agg(F.min(F.struct("doc_id", "pos", "span")).alias("f"))
-        .select("f.doc_id", "f.pos", "f.span")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("f"))
+        .select("f.doc_id", "f.pos")
     )
 
 
@@ -96,21 +100,24 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on xxhash64(span) - an 8-byte long, never the raw span
     string (SCALE.md key discipline; the 2^-64 collision bound means two
     DISTINCT spans sharing a hash would dedupe as one, negligible against
-    any corpus size this engine targets) - for the global argmin, one
-    per-doc re-aggregate, NO join back: exactly one occurrence of each
-    distinct span survives, so the argmin output IS the kept set. The
-    argmin itself is min over struct(doc_id, pos, span): lexicographic
-    struct order equals the (doc_id, pos) global order exactly ((doc_id,
-    pos) is unique, so the span field never decides), with no packed-key
-    arithmetic to overflow on a >100k-token document. Map-side partial
-    aggregation means each map partition ships at most one struct per
-    distinct hash. Reassembly sorts only within each document's own kept
-    spans. The per-doc span TOTAL is pure arithmetic on the token count
-    (ceil(len/8) = (len-1) div 8 + 1), so the totals branch never touches
-    the explode - one narrow scan instead of a second
-    tokenize+explode+shuffle of the whole corpus. NULL-text docs produce
-    no spans on either engine and are dropped from totals to match
-    (the oracle's totals aggregates the span rows themselves)."""
+    any corpus size this engine targets) - for the global argmin. The span
+    TEXT never enters any shuffle: the argmin ships (hash, doc_id, pos)
+    structs only (~24 bytes/row; map-side partial aggregation ships at
+    most one per distinct hash per partition), the kept set collapses to
+    ONE ROW PER DOC carrying a sorted int array of kept positions, and
+    kept_text is reattached by POSITION ARITHMETIC - slicing the source
+    document's own token array at each kept position - in a doc_id join
+    whose kept side is per-doc-tiny (AQE broadcasts it at bench scale; at
+    100 TB it degrades to a shuffle join where the position arrays, not
+    the corpus text, are the payload). The argmin itself is min over
+    struct(doc_id, pos): lexicographic struct order equals the (doc_id,
+    pos) global order exactly ((doc_id, pos) is unique), with no
+    packed-key arithmetic to overflow on a >100k-token document. The
+    per-doc span TOTAL is pure arithmetic on the token count
+    (ceil(len/8) = (len-1) div 8 + 1), so no branch ever tokenizes the
+    corpus twice. NULL-text docs produce no spans on either engine and
+    are dropped from totals to match (the oracle's totals aggregates the
+    span rows themselves)."""
     docs = with_tokens(load(spark, sf_dir, "documents", parallel=True)).filter(
         F.col("toks").isNotNull()
     )
@@ -125,34 +132,43 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", (F.col("k") * _SPAN + 1).alias("pos"), "span"
     )
-    kept = (
+    kept_pos = (
         first_span_occurrences(spans)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "span"))),
-                    lambda x: x.span,
-                ),
-                " ",
-            ).alias("kept_text"),
+            F.array_sort(F.collect_list("pos")).alias("poss"),
         )
     )
     # sequence(1, len, 8) generates floor((len-1)/8)+1 starts (len >= 1
     # always: splitting an empty string yields ['']), so the span count is
-    # arithmetic on size(toks) - no second explode, no shuffle.
-    totals = docs.select(
-        "doc_id",
-        F.expr(f"(size(toks) - 1) div {_SPAN} + 1").cast("long").alias("n_spans"),
-    )
+    # arithmetic on size(toks) - no second explode, no shuffle. The same
+    # scan carries toks so kept_text slices straight out of the document.
     return (
-        totals.join(kept, "doc_id", "left")
+        docs.select(
+            "doc_id",
+            "toks",
+            F.expr(f"(size(toks) - 1) div {_SPAN} + 1")
+            .cast("long")
+            .alias("n_spans"),
+        )
+        .join(kept_pos, "doc_id", "left")
         .select(
             "doc_id",
             "n_spans",
             F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
-            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        "poss",
+                        lambda p: F.array_join(
+                            F.slice("toks", p.cast("int"), _SPAN), " "
+                        ),
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("kept_text"),
         )
         .orderBy("doc_id")
     )

@@ -163,55 +163,72 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate instead of two self-joins. "Late" = shipped more than 90 days
     after the order date (the trimmed schema has no commit/receipt dates).
 
-    Per order, count distinct suppliers and distinct LATE suppliers; a late
-    line qualifies iff its order has >=2 suppliers (the EXISTS) and exactly 1
-    late supplier (the NOT EXISTS - the one late supplier is l1's own).
+    Per order, a late line qualifies iff its order has >=2 suppliers (the
+    EXISTS) and exactly 1 late supplier (the NOT EXISTS - the one late
+    supplier is l1's own).
 
-    Distinct-counting shape: a single aggregate with two countDistinct()s
-    makes Spark EXPAND the fact x2 (one replica per distinct spec) before
-    the shuffle - measured 2.37x DuckDB at sf0.5 - and the old join-back
-    (`lo.filter(late) join flags`) re-derived the lineitem x orders join a
-    SECOND time (per-branch column pruning makes the two subtrees
-    non-identical, so ReuseExchange never fires - measured: 0 reused
-    exchanges, 2 fact scans). Instead, ONE LINEAGE and ONE fact shuffle:
-    the orders join is HINTED shuffle-hash on the order key (not broadcast
-    - also the only option at 100 TB, where orders is not broadcastable),
-    so the join output is hash-partitioned by l_orderkey, and BOTH
-    downstream aggregates - distinct (l_orderkey, l_suppkey) pairs with
-    any(late) + late-line counts, then per-order flags - satisfy their
-    clustering from that same partitioning: zero additional exchanges, all
-    plain codegen HashAggregates (a collect_set() formulation was tried
-    and rejected: ObjectHashAggregate, no codegen, measured ~1.7x slower).
-    The per-order aggregate carries the qualifying pair itself - when
-    n_late_supp == 1 the conditional max(when(late, ...)) IS that single
-    late pair - so numwait = SUM(late_nl) per supplier with no join back
-    to the fact. Everything after the pair aggregate is orders-cardinality
-    small, and the supplier join is broadcast."""
-    orders = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderstatus") == "F"
-    ).select("o_orderkey", "o_orderdate")
+    THRESHOLD REWRITE - no distinct counting at all: the two subquery
+    tests only need thresholds, never exact distinct counts, so
+      n_supp >= 2        <=>  min(suppkey) != max(suppkey)
+      n_late_supp == 1   <=>  >=1 late line AND min(late suppkey) ==
+                              max(late suppkey)
+    which collapses the whole decorrelation into ONE per-order aggregate
+    of plain min/max/conditional-count - no countDistinct EXPAND
+    (measured 2.37x DuckDB at sf0.5), no intermediate per-(order,
+    supplier)-pair aggregate (previously a ~2M-group hash table at bench
+    sf1.0, pure overhead next to the 0.5M-group per-order table; at
+    100 TB that removed aggregate is billions of groups). When the order
+    qualifies, the single late supplier IS max(when(late, suppkey)) and
+    its late-line count IS count(when(late, 1)) - so numwait =
+    SUM(n_late_lines) per supplier with no join back to the fact.
+
+    ONE LINEAGE and ONE fact shuffle: the orders join is HINTED
+    shuffle-hash on the order key (not broadcast - also the only option
+    at 100 TB, where orders is not broadcastable), the join output is
+    hash-partitioned by l_orderkey, and the per-order aggregate satisfies
+    its clustering from that same partitioning: zero additional
+    exchanges, all codegen HashAggregates. Everything after it is
+    orders-cardinality small, and the supplier join is broadcast.
+
+    Measured scale curve (interleaved min-of-5 vs DuckDB on the key-offset
+    replicas): ratio 3.75x at sf0.5, 2.29x at sf1.0, 2.11x at sf2.0 with
+    FLAT absolute time (1.31s -> 1.27s from sf1.0 to sf2.0, 32 threads) -
+    the gap is per-job fixed overhead (scan task dispatch + one 120 MB
+    shuffle materialization), amortizing away as data grows, not a plan
+    defect; marginal cost per added row matches DuckDB ~1.1x."""
+    # The +90d cutoff is computed on the ORDERS side before its shuffle
+    # (0.5M rows at bench sf1.0) rather than on the join output (2M rows):
+    # same bytes shuffled, strictly fewer date-arithmetic evaluations.
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            F.date_add(F.col("o_orderdate"), 90).alias("cutoff"),
+        )
+    )
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     lo = li.join(
         orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
-    ).withColumn(
-        "late",
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("cutoff")).alias("late"),
     )
-    per_pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("late").alias("late"),
-        F.count(F.when(F.col("late"), 1)).alias("n_late_lines"),
-    )
-    per_order = per_pair.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"),
-        F.count(F.when(F.col("late"), 1)).alias("n_late_supp"),
-        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_sk"),
-        F.max(F.when(F.col("late"), F.col("n_late_lines"))).alias("late_nl"),
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("mn_sk"),
+        F.max("l_suppkey").alias("mx_sk"),
+        F.min(F.when(F.col("late"), F.col("l_suppkey"))).alias("lmn"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("lmx"),
+        F.count(F.when(F.col("late"), 1)).alias("late_nl"),
     )
     qual = per_order.filter(
-        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-    ).select("late_sk", "late_nl")
+        (F.col("mn_sk") != F.col("mx_sk"))
+        & (F.col("late_nl") >= 1)
+        & (F.col("lmn") == F.col("lmx"))
+    ).select(F.col("lmx").alias("late_sk"), "late_nl")
     supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         qual.join(F.broadcast(supplier), F.col("late_sk") == supplier.s_suppkey)
