@@ -107,13 +107,16 @@ def bloom_screen_new(
     computed with a Bloom-filter pre-screen so the exact (shuffling)
     anti-join only touches the rows the filter could not clear.
 
-    Build: k xxhash64(value, seed) bit positions per history row, JVM-side;
-    the distinct set-bit list collects to the driver (bounded by m_bits,
-    index-build metadata like the IVF centroids) and broadcasts as an
-    m_bits/8-byte bitmap. Probe: the new side computes ITS positions
-    JVM-side too - the Arrow-batched pandas UDF only tests bits against the
-    broadcast bitmap, so both engines' hash arithmetic is identical by
-    construction (no Python hashing to drift).
+    Build: k xxhash64(value, seed) bit positions per history row, JVM-side,
+    folded DISTRIBUTED into 64-bit words - groupBy(word_index) +
+    bit_or(mask) with map-side partial aggregation, so the shuffle and the
+    driver each see at most m_bits/64 rows (non-zero words only), never
+    the raw bit positions. The words concat into an m_bits/8-byte bitmap
+    that broadcasts once. Probe: the new side computes ITS positions
+    JVM-side too - the Arrow-batched pandas UDF only tests bits against
+    the broadcast bitmap with vectorized numpy gathers (one (n, k) fancy
+    index per Arrow batch, no per-row Python), so both engines' hash
+    arithmetic is identical by construction (no Python hashing to drift).
 
     No false negatives: a clear miss is definitely new and skips the join
     entirely; only might-contain candidates (true dups + fpp share) take
@@ -121,6 +124,7 @@ def bloom_screen_new(
     never answers. At 2^30 bits the bitmap broadcast is 128 MB - the
     practical ceiling; beyond that, partition the filter or use the LSH
     band index (operators/incremental.py)."""
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     def positions(c: str):
@@ -131,19 +135,34 @@ def bloom_screen_new(
             ]
         )
 
-    set_bits = hist_df.select(F.explode(positions(col)).alias("b")).distinct()
-    bitmap = bytearray(m_bits // 8)
-    for r in set_bits.collect():
-        b = int(r["b"])
-        bitmap[b >> 3] |= 1 << (b & 7)
-    bc = new_df.sparkSession.sparkContext.broadcast(bytes(bitmap))
+    # Distributed OR-fold: bit b lives in word b div 64 as mask 1 << (b%64).
+    # bit_or is idempotent, so no distinct() pass is needed and partial
+    # aggregation bounds every map output at one row per touched word.
+    set_words = (
+        hist_df.select(F.explode(positions(col)).alias("b"))
+        .select(
+            F.expr("b div 64").alias("w"),
+            F.expr("shiftleft(1L, cast(b % 64 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    words = np.zeros(m_bits // 64, dtype="<u8")
+    for r in set_words.collect():  # <= m_bits/64 rows of (word, bits)
+        words[int(r["w"])] = np.uint64(int(r["bits"]) & 0xFFFFFFFFFFFFFFFF)
+    # Little-endian word bytes make byte j of word w cover global bits
+    # (w*64 + j*8)..(w*64 + j*8 + 7) - byte-identical to the classic
+    # bitmap[b >> 3] |= 1 << (b & 7) layout the probe below indexes.
+    bc = new_df.sparkSession.sparkContext.broadcast(words.tobytes())
 
     @pandas_udf("boolean")
     def might_contain(bits: pd.Series) -> pd.Series:
-        bm = bc.value
-        return bits.apply(
-            lambda arr: all(bm[int(b) >> 3] & (1 << (int(b) & 7)) for b in arr)
-        )
+        if len(bits) == 0:
+            return pd.Series([], dtype=bool)
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        pos = np.vstack(bits.to_numpy()).astype(np.int64)  # (n, k)
+        hit = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1))
 
     screened = new_df.withColumn("_might", might_contain(positions(col)))
     definite_new = screened.filter(~F.col("_might")).drop("_might")
