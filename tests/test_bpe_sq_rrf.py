@@ -76,6 +76,28 @@ def test_bpe_train_merges_shape(spark, sf_dir):
     assert all(r["left_sym"] and r["right_sym"] for r in rows)
 
 
+def test_bpe_materialized_long_run_extends_lazy_prefix(spark, sf_dir):
+    """The scale path (train_merges(materialize=True), per-round
+    localCheckpoint) must be algorithm-identical to the lazy chain: a
+    12-round materialized run's first 3 merges equal the lazy 3-round
+    run's, and the merge sequence stays well-formed (positive,
+    non-increasing-ish counts are NOT guaranteed by BPE, but every merge
+    must have a positive count and non-empty symbols)."""
+    from nyc_analytics_database_platform_spark.queries.llm_bpe import train_merges
+
+    def merge_rows(tops):
+        return [
+            (r["l"], r["r"], r["cnt"]) for t in tops for r in t.collect()
+        ]
+
+    _, lazy3 = train_merges(spark, sf_dir, 3)
+    _, mat12 = train_merges(spark, sf_dir, 12, materialize=True)
+    lazy_rows, mat_rows = merge_rows(lazy3), merge_rows(mat12)
+    assert mat_rows[:3] == lazy_rows
+    assert len(mat_rows) == 12
+    assert all(cnt > 0 and l and r for l, r, cnt in mat_rows)
+
+
 # --- SQ8 ---------------------------------------------------------------------
 
 
