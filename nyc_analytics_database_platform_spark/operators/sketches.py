@@ -96,6 +96,66 @@ def heavy_hitters(
     )
 
 
+def cms_bucket_cols(col: str, depth: int, width: int) -> list:
+    """The count-min bucket ids of `col` for each of `depth` hash rows.
+    Row r's hash is the first 6 hex chars of md5('r<r>:' || value) read as
+    an integer, mod width - pure md5-hex arithmetic, so any engine with
+    md5 reproduces the buckets bit-exactly (the same cross-engine hash
+    convention as minhash_signatures)."""
+    return [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("", F.lit(f"r{r}:"), F.col(col))), 1, 6
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias(f"c{r}")
+        for r in range(depth)
+    ]
+
+
+def count_min_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """The count-min sketch of `col`'s value stream as a (r, c, bucket_n)
+    DataFrame of at most depth * width rows.
+
+    Each occurrence increments one bucket per hash row; the build is a
+    single groupBy over (row, bucket) with MAP-SIDE partial aggregation,
+    so every map partition ships at most depth * width partial counts no
+    matter how many rows or distinct values it holds - the sketch is the
+    fixed-memory substitute for a full value-count table when only
+    frequency ESTIMATES of queried values are needed. Estimates (min over
+    rows of the value's buckets) never undercount; overcounts are bounded
+    by e * N / width with probability 1 - (1/e)^depth (Cormode-Muthu)."""
+    return (
+        df.select(F.posexplode(F.array(*cms_bucket_cols(col, depth, width))).alias("r", "c"))
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("bucket_n"))
+    )
+
+
+def cms_estimates(
+    values: DataFrame, sketch: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Attach `cms_est` (the count-min point estimate) to every row of
+    `values`. The sketch is depth * width rows at most - always broadcast;
+    the probe is a narrow per-value join + min, no shuffle of `values`
+    beyond the final per-value min aggregate."""
+    keep = [c for c in values.columns]
+    probed = values.select(
+        *keep, F.posexplode(F.array(*cms_bucket_cols(col, depth, width))).alias("r", "c")
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy(*keep)
+        .agg(F.min("bucket_n").alias("cms_est"))
+    )
+
+
 def bloom_screen_new(
     new_df: DataFrame,
     hist_df: DataFrame,
