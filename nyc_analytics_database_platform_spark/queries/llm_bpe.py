@@ -229,6 +229,167 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- WordPiece-style greedy segmentation ------------------------------------
+
+# Vocabulary: every corpus character + the top-50 2..4-char substrings by
+# frequency-weighted occurrence count (deterministic (count DESC, gram)
+# rank). Greedy longest-match-first is the WordPiece/BERT inference rule.
+_WP_TOP_GRAMS = 50
+_WP_MAX_LEN = 4
+
+_WP_VOCAB_CTES = rf"""
+    mg AS (
+        SELECT substr(word, i, L) AS gram, CAST(SUM(freq) AS BIGINT) AS n
+        FROM words,
+             unnest(generate_series(2, {_WP_MAX_LEN})) AS gl(L),
+             unnest(generate_series(1, length(word) - L + 1)) AS gi(i)
+        GROUP BY 1
+    ),
+    topg AS (
+        SELECT gram FROM (
+            SELECT gram, ROW_NUMBER() OVER (ORDER BY n DESC, gram) AS rk
+            FROM mg
+        ) WHERE rk <= {_WP_TOP_GRAMS}
+    ),
+    singles AS (
+        SELECT DISTINCT unnest(string_split(word, '')) AS gram FROM words
+    ),
+    vocab AS (SELECT gram FROM topg UNION SELECT gram FROM singles),
+    vl AS (SELECT list(gram) AS vs FROM vocab)
+"""
+
+# Greedy pick at position `pos` of `word` against vocab list `vs`:
+# longest in-vocab piece of length 4..2, else the single character.
+def _wp_pick_sql(word: str, pos: str, vs: str) -> str:
+    cases = " ".join(
+        f"WHEN length({word}) - {pos} + 1 >= {L}"
+        f" AND list_contains({vs}, substr({word}, {pos}, {L}))"
+        f" THEN substr({word}, {pos}, {L})"
+        for L in range(_WP_MAX_LEN, 1, -1)
+    )
+    return f"CASE {cases} ELSE substr({word}, {pos}, 1) END"
+
+
+# The Spark-side fold: one pass over character ticks; a tick acts only when
+# it equals the cursor, so a consumed k-char piece skips k-1 ticks.
+def _wp_fold_expr() -> str:
+    picks = " ".join(
+        f"WHEN length(word) - acc.p + 1 >= {L}"
+        f" AND array_contains(vs, substr(word, acc.p, {L}))"
+        f" THEN named_struct('p', acc.p + {L},"
+        f" 'ps', concat(acc.ps, array(substr(word, acc.p, {L}))))"
+        for L in range(_WP_MAX_LEN, 1, -1)
+    )
+    return f"""
+        aggregate(
+            sequence(1, length(word)),
+            named_struct('p', 1, 'ps', cast(array() as array<string>)),
+            (acc, t) -> CASE
+                WHEN t != acc.p THEN acc
+                {picks}
+                ELSE named_struct('p', acc.p + 1,
+                                  'ps', concat(acc.ps, array(substr(word, acc.p, 1))))
+            END,
+            acc -> acc.ps)
+    """
+
+
+@register(
+    "wordpiece_segment_greedy",
+    oracle=f"""
+        WITH RECURSIVE {_WORDS_CTE},
+        {_WP_VOCAB_CTES},
+        ranked AS (
+            SELECT word, freq,
+                   ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rk
+            FROM words
+        ),
+        top20 AS (SELECT word, freq FROM ranked WHERE rk <= 20),
+        seg AS (
+            SELECT word, freq, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces
+            FROM top20
+            UNION ALL
+            SELECT word, freq, pos + length(pc), pieces || [pc]
+            FROM (
+                SELECT s.word, s.freq, s.pos, s.pieces,
+                       {_wp_pick_sql("s.word", "s.pos", "v.vs")} AS pc
+                FROM seg s, vl v
+                WHERE s.pos <= length(s.word)
+            )
+        )
+        SELECT word, freq, array_to_string(pieces, '|') AS pieces,
+               CAST(len(pieces) AS INT) AS n_pieces
+        FROM seg
+        WHERE pos = length(word) + 1
+        ORDER BY freq DESC, word
+    """,
+    tags=("llm", "text", "tokenize"),
+)
+def wordpiece_segment_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style tokenizer INFERENCE: segment the 20 most frequent
+    corpus words by greedy longest-match-first against a vocabulary of all
+    corpus characters + the top-50 2..4-char substrings (frequency-weighted,
+    deterministic (count DESC, gram) rank) - the BERT tokenization rule,
+    complementing the merge-order-driven BPE apply pass
+    (bpe_segment_top_words). All-integer/string arithmetic, so parity with
+    the recursive-CTE oracle is exact; single-char fallback means
+    segmentation always completes (every corpus char is in-vocab).
+
+    Scale: the vocab is two bounded aggregates (distinct chars; top-50 of a
+    map-side-combinable substring count) broadcast as ONE array row into
+    the word table; segmentation is a per-word JVM `aggregate` fold over
+    character ticks - a tick acts only when it equals the cursor, so a
+    consumed k-char piece skips k-1 ticks and the fold is one linear pass.
+    Segmenting the FULL corpus (not just top-20) is the same broadcast fold
+    joined back to the token stream, as in tokenize_documents_to_ids."""
+    words = _word_syms(spark, sf_dir).select("word", "freq")
+    multigrams = words.select(
+        "freq",
+        # guarded per length: sequence(1, 0) would run DESCENDING in Spark
+        # and emit phantom positions for words shorter than L
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(2, {_WP_MAX_LEN}), "
+                f"L -> CASE WHEN length(word) >= L "
+                f"THEN transform(sequence(1, length(word) - L + 1), "
+                f"i -> substring(word, i, L)) "
+                f"ELSE cast(array() as array<string>) END))"
+            )
+        ).alias("gram"),
+    )
+    w_rank = Window.orderBy(F.col("n").desc(), "gram")
+    topg = (
+        multigrams.groupBy("gram")
+        .agg(F.sum("freq").alias("n"))
+        .select("gram", F.row_number().over(w_rank).alias("rk"))
+        .filter(F.col("rk") <= _WP_TOP_GRAMS)
+        .select("gram")
+    )
+    singles = words.select(F.explode(F.split("word", "")).alias("gram")).distinct()
+    vocab_row = (
+        topg.unionByName(singles)
+        .distinct()
+        .agg(F.array_sort(F.collect_list("gram")).alias("vs"))
+    )
+    w_top = Window.orderBy(F.col("freq").desc(), "word")
+    top20 = (
+        words.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= 20)
+        .select("word", "freq")
+    )
+    return (
+        top20.crossJoin(F.broadcast(vocab_row))
+        .withColumn("ps", F.expr(_wp_fold_expr()))
+        .select(
+            "word",
+            "freq",
+            F.array_join("ps", "|").alias("pieces"),
+            F.size("ps").cast("int").alias("n_pieces"),
+        )
+        .orderBy(F.col("freq").desc(), "word")
+    )
+
+
 @register(
     "bpe_segment_top_words",
     oracle=f"""
