@@ -124,6 +124,176 @@ def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_components(old_assign, new_edges).orderBy("node")
 
 
+_LEAK_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _leak_split_sql(node: str) -> str:
+    from nyc_analytics_database_platform_spark.operators.sampling import (
+        hex_threshold,
+    )
+
+    draw = f"substr(md5(CAST({node} AS VARCHAR)), 1, 8)"
+    return (
+        f"CASE WHEN {draw} < '{hex_threshold(0.8)}' THEN 'train' "
+        f"WHEN {draw} < '{hex_threshold(0.9)}' THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+        WITH RECURSIVE edges AS ({_EDGES_SQL}),
+        und AS (
+            SELECT a_id AS src, b_id AS dst FROM edges
+            UNION
+            SELECT b_id AS src, a_id AS dst FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM und
+            UNION
+            SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+        ),
+        members AS (
+            SELECT src AS node, dst FROM reach
+            UNION
+            SELECT src AS node, src AS dst FROM und
+        ),
+        comp AS (
+            SELECT node, MIN(dst) AS component FROM members GROUP BY node
+        ),
+        sp AS (
+            SELECT node, component, {_leak_split_sql("node")} AS split
+            FROM comp
+        ),
+        agg AS (
+            SELECT component,
+                   CAST(COUNT(*) AS BIGINT) AS cluster_size,
+                   CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+                   CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+                   CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+            FROM sp GROUP BY component
+        )
+        SELECT component, cluster_size, n_train, n_val, n_test
+        FROM agg
+        WHERE CAST(n_train > 0 AS INT) + CAST(n_val > 0 AS INT)
+              + CAST(n_test > 0 AS INT) >= 2
+        ORDER BY component
+    """,
+    tags=("llm", "dedup", "sampling", "iterative", "audit"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity audit: near-duplicate clusters whose members land in
+    MORE THAN ONE train/val/test split - the data-leakage failure mode
+    where a held-out document's near-copy sits in the training set and
+    inflates eval scores. Composes two attested operators: the MinHash-LSH
+    connected components (cluster labels) and the hash-band split
+    assignment of train_val_test_split_report (same 80/10/10 thresholds,
+    same md5 draw), so the audit reports leaks in EXACTLY the splits the
+    pipeline would produce. The fix it motivates is cluster-level split
+    assignment (split by component, not by doc).
+
+    Scale: the component frame is candidate-pair-bounded (tiny next to
+    the corpus); split assignment is a narrow expression; the per-cluster
+    aggregate shuffles only cluster labels. The split-spanning test uses
+    integer presence flags, not COUNT DISTINCT - no Expand."""
+    from nyc_analytics_database_platform_spark.operators.sampling import (
+        split_column,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs, num_perm=12, k=5))
+    comp = connected_components(pairs)
+    sp = comp.withColumn("split", split_column(F.col("node"), _LEAK_SPLITS))
+    agg = sp.groupBy("component").agg(
+        F.count("*").alias("cluster_size"),
+        F.count(F.when(F.col("split") == "train", 1)).alias("n_train"),
+        F.count(F.when(F.col("split") == "val", 1)).alias("n_val"),
+        F.count(F.when(F.col("split") == "test", 1)).alias("n_test"),
+    )
+    spans = (
+        (F.col("n_train") > 0).cast("int")
+        + (F.col("n_val") > 0).cast("int")
+        + (F.col("n_test") > 0).cast("int")
+    )
+    return agg.filter(spans >= 2).orderBy("component")
+
+
+@register(
+    "cluster_split_assignment",
+    oracle=f"""
+        WITH RECURSIVE edges AS ({_EDGES_SQL}),
+        und AS (
+            SELECT a_id AS src, b_id AS dst FROM edges
+            UNION
+            SELECT b_id AS src, a_id AS dst FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM und
+            UNION
+            SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+        ),
+        members AS (
+            SELECT src AS node, dst FROM reach
+            UNION
+            SELECT src AS node, src AS dst FROM und
+        ),
+        comp AS (
+            SELECT node, MIN(dst) AS component FROM members GROUP BY node
+        ),
+        labeled AS (
+            SELECT d.doc_id, d.n_chars,
+                   COALESCE(c.component, d.doc_id) AS label
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        )
+        SELECT {_leak_split_sql("label")} AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM labeled
+        GROUP BY split
+        ORDER BY split
+    """,
+    tags=("llm", "dedup", "sampling", "iterative"),
+)
+def cluster_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIX split_leakage_audit motivates: assign train/val/test by the
+    hash of each document's near-dup CLUSTER LABEL (its component's
+    canonical min id; singletons label themselves), so an entire duplicate
+    cluster lands in one split and cross-split leakage is impossible BY
+    CONSTRUCTION - the standard remedy once a leakage audit fires.
+    Reports the resulting split sizes (they drift slightly from 80/10/10
+    because clusters move as units - that drift is the price of
+    integrity, visible in the output).
+
+    Scale: components are candidate-pair-bounded; the corpus-side work is
+    one left join against that small label frame (broadcastable at any
+    realistic dup rate) + a narrow hash expression + a 3-group aggregate."""
+    from nyc_analytics_database_platform_spark.operators.sampling import (
+        split_column,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs, num_perm=12, k=5))
+    comp = connected_components(pairs)
+    labeled = docs.select("doc_id", "n_chars").join(
+        F.broadcast(comp.withColumnRenamed("node", "doc_id")), "doc_id", "left"
+    )
+    return (
+        labeled.withColumn(
+            "split",
+            split_column(
+                F.coalesce(F.col("component"), F.col("doc_id")), _LEAK_SPLITS
+            ),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
 @register(
     "dedup_keep_longest_survivors",
     oracle=f"""
