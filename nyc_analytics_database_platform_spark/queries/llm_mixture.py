@@ -254,6 +254,78 @@ def knn_graph_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rnn_mutual_pairs_within_cluster",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        scored AS (
+            SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 6) AS score,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round(list_dot_product(a.v, b.v) /
+                                (sqrt(list_dot_product(a.v, a.v))
+                                 * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+                                b.vec_id
+                   ) AS rk
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+        ),
+        t1 AS (SELECT label, src, dst, score FROM scored WHERE rk = 1)
+        SELECT x.label, x.src AS a_id, x.dst AS b_id, x.score
+        FROM t1 x JOIN t1 y ON x.src = y.dst AND x.dst = y.src
+        WHERE x.src < x.dst
+        ORDER BY x.label, a_id
+    """,
+    tags=("llm", "similarity", "graph", "dedup"),
+)
+def rnn_mutual_pairs_within_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest neighbors: pairs where each vector is the
+    other's cosine top-1 WITHIN its cluster - the highest-precision
+    near-duplicate signal an embedding space offers (RNN pairs seed
+    NN-descent graph construction and validate ANN indexes; mutual top-1
+    is far stricter than a one-directional threshold). Candidate
+    generation is the SemDeDup equi-join on the cluster label, so the
+    quadratic term is bounded by the largest cluster; the top-1 is a
+    WindowGroupLimit rank per vector; mutuality is a self-join of the
+    per-vector TOP-1 TABLE (one row per vector - corpus-row-sized, never
+    pair-sized). Deterministic (score DESC, dst) tie-break."""
+    emb = load(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select("label", F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = emb.select(
+        F.col("label").alias("lb"), F.col("vec_id").alias("dst"), F.col("v").alias("vb")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), "dst")
+    t1 = (
+        a.join(b, (a.label == F.col("lb")) & (F.col("src") != F.col("dst")))
+        .select(
+            "label",
+            "src",
+            "dst",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("label", "src", "dst", "score")
+    )
+    y = t1.select(
+        F.col("src").alias("y_src"), F.col("dst").alias("y_dst")
+    )
+    return (
+        t1.join(
+            y, (t1.src == F.col("y_dst")) & (t1.dst == F.col("y_src"))
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select("label", F.col("src").alias("a_id"), F.col("dst").alias("b_id"), "score")
+        .orderBy("label", "a_id")
+    )
+
+
+@register(
     "curriculum_phase_stats",
     oracle="""
         WITH scored AS (

@@ -384,6 +384,102 @@ def monthly_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("month")
 
 
+_HOLT_A, _HOLT_B = 0.5, 0.3
+
+
+@register(
+    "monthly_revenue_holt",
+    oracle=f"""
+        WITH RECURSIVE m AS (
+            SELECT date_trunc('month', o_orderdate) AS month_ts,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS rev
+            FROM orders GROUP BY 1
+        ),
+        idx AS (
+            SELECT month_ts, rev,
+                   row_number() OVER (ORDER BY month_ts) AS i
+            FROM m
+        ),
+        fold AS (
+            SELECT month_ts, rev, i, rev AS l, CAST(0 AS DOUBLE) AS b
+            FROM idx WHERE i = 1
+            UNION ALL
+            SELECT x.month_ts, x.rev, x.i,
+                   {_HOLT_A} * x.rev + {1 - _HOLT_A} * (f.l + f.b),
+                   {_HOLT_B} * (({_HOLT_A} * x.rev
+                                 + {1 - _HOLT_A} * (f.l + f.b)) - f.l)
+                       + {1 - _HOLT_B} * f.b
+            FROM fold f JOIN idx x ON x.i = f.i + 1
+        )
+        SELECT strftime(month_ts, '%Y-%m') AS month,
+               round(rev, 2) AS revenue,
+               round(l, 4) AS level,
+               round(b, 4) AS trend,
+               round(l + b, 4) AS forecast_next
+        FROM fold
+        ORDER BY month
+    """,
+    tags=("timeseries", "monitoring", "iterative"),
+)
+def monthly_revenue_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (level + trend) smoothing of monthly
+    revenue - the forecasting step up from monthly_revenue_ewma when the
+    series trends: l_t = a*y_t + (1-a)(l+b), b_t = g*(l_t - l) + (1-g)*b,
+    seeded (l_1 = y_1, b_1 = 0); forecast_next = l_t + b_t is the
+    one-step-ahead prediction a capacity planner reads. Sequential by
+    nature, so it runs as ONE JVM aggregate-lambda fold over the bounded
+    month frame (the EWMA/BPE fold primitive) after the corpus-scale
+    month aggregate; the oracle replays the recurrence as a recursive CTE
+    with the IDENTICAL expression structure (the level term is spelled
+    out inside the trend update in both engines), so the IEEE sequences
+    match at 4dp with no tolerance."""
+    m = (
+        load(spark, sf_dir, "orders", parallel=True)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month_ts"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    packed = m.agg(
+        F.array_sort(F.collect_list(F.struct("month_ts", "rev"))).alias("xs")
+    )
+    lnew = (
+        f"{_HOLT_A}D * x.rev + {1 - _HOLT_A}D * "
+        f"(element_at(acc, -1).l + element_at(acc, -1).b)"
+    )
+    folded = packed.select(
+        F.expr(
+            f"""
+            aggregate(
+                slice(xs, 2, size(xs) - 1),
+                array(named_struct(
+                    'month_ts', xs[0].month_ts, 'rev', xs[0].rev,
+                    'l', xs[0].rev, 'b', cast(0 as double))),
+                (acc, x) -> concat(acc, array(named_struct(
+                    'month_ts', x.month_ts, 'rev', x.rev,
+                    'l', {lnew},
+                    'b', {_HOLT_B}D * (({lnew}) - element_at(acc, -1).l)
+                         + {1 - _HOLT_B}D * element_at(acc, -1).b)))
+            )
+            """
+        ).alias("out")
+    )
+    return (
+        folded.select(F.explode("out").alias("r"))
+        .select(
+            F.date_format("r.month_ts", "yyyy-MM").alias("month"),
+            F.round("r.rev", 2).alias("revenue"),
+            F.round("r.l", 4).alias("level"),
+            F.round("r.b", 4).alias("trend"),
+            F.round(F.col("r.l") + F.col("r.b"), 4).alias("forecast_next"),
+        )
+        .orderBy("month")
+    )
+
+
 _EWMA_ALPHA = 0.3
 
 
