@@ -268,6 +268,143 @@ def stream_dedupe_state_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_left_outer_join_executed",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               p.user_id,
+               CAST(epoch_us(p.ts) AS BIGINT) AS p_ts_us,
+               CAST(COUNT(c.event_id) AS BIGINT) AS clicks_10m
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 10 MINUTE
+         AND c.ts <  p.ts
+        GROUP BY 1, 2, 3
+        ORDER BY purchase_id
+    """,
+    tags=("streaming", "interval-join", "outer", "executed"),
+)
+def stream_left_outer_join_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED stream-stream LEFT OUTER interval join - the semantics the
+    inner join cannot show: an unmatched purchase emits its null row only
+    once the WATERMARK proves no qualifying click can still arrive (state
+    closure, not match, triggers emission). Purchases and clicks are two
+    filtered views of ONE watermarked file stream (watermark assigned
+    BEFORE the type filters, so every event advances it); a sentinel
+    'flush' row staged 2 hours past the last event pushes the final
+    watermark beyond every purchase's join window, and the closing
+    batches then emit ALL pending unmatched rows - making the drained
+    sink equal the batch LEFT join exactly, zero-click purchases
+    included. The oracle is that batch left join rolled up per purchase
+    (COUNT(c.event_id) counts 0 for unmatched). 30-minute watermarks
+    bound both sides' state; the sentinels ride each side's own filter
+    (pushdown puts the filters below the event-time tracker - see
+    _flush) under user_id -1 and are dropped from the drained sink.
+    Inner twin: stream_interval_join_executed."""
+    tag = hashlib.md5((sf_dir + ":ssloj").encode()).hexdigest()[:8]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_stream", tag)
+    ckpt = os.path.join(scratch, "ssloj_ckpt")
+    src_dir = os.path.join(scratch, "ssloj_files")
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    bounds = events.agg(
+        F.max("ts").alias("mx"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_p"
+        ),
+    ).head()
+    def _flush(hours: int):
+        # One sentinel PER JOIN SIDE: Catalyst pushes the event_type
+        # filters into the parquet scan - BELOW the event-time tracker -
+        # so a row that survives neither filter never advances either
+        # side's watermark (measured: a 'flush'-typed row reads as 0
+        # source rows). The sentinels use user_id -1 (matches nothing)
+        # and are dropped from the drained sink by purchase_id >= 0.
+        rows = []
+        for i, etype in enumerate(("purchase", "click")):
+            rows.append(
+                events.limit(1).select(
+                    F.lit(-1 - i)
+                    .cast(events.schema["event_id"].dataType)
+                    .alias("event_id"),
+                    F.lit(-1)
+                    .cast(events.schema["user_id"].dataType)
+                    .alias("user_id"),
+                    F.lit(etype).alias("event_type"),
+                    (F.lit(bounds["mx"]) + F.expr(f"INTERVAL {hours} HOURS")).alias(
+                        "ts"
+                    ),
+                )
+            )
+        return rows[0].unionByName(rows[1])
+
+    # Four micro-batches: pre/post split (cross-batch join state, as in
+    # the inner twin - split at the first purchase so its in-window clicks
+    # buffer in batch 0) and TWO watermark-flush sentinel batches:
+    # outer-join null emission in batch k applies the watermark committed
+    # at the end of batch k-1 (one-batch lag), so the first flush alone
+    # leaves the final purchase's closure unproven - the second flush
+    # batch emits under the first flush's watermark.
+    stages = [
+        events.filter(F.col("ts") < F.lit(bounds["first_p"])),
+        events.filter(F.col("ts") >= F.lit(bounds["first_p"])),
+        _flush(2),
+        _flush(4),
+    ]
+    _stage_ordered_files(scratch, src_dir, stages)
+
+    source = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withWatermark("ts", "30 minutes")
+    )
+    p = source.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = source.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "leftOuter",
+    )
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    name = f"ssloj_{tag}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, "stream-stream left outer interval join")
+    return (
+        spark.table(name)
+        .filter(F.col("purchase_id") >= 0)  # drop the watermark sentinels
+        .groupBy(
+            "purchase_id",
+            F.col("p_user").alias("user_id"),
+            F.unix_micros("p_ts").alias("p_ts_us"),
+        )
+        .agg(F.count("click_id").alias("clicks_10m"))
+        .orderBy("purchase_id")
+    )
+
+
+@register(
     "stream_interval_join_executed",
     oracle="""
         SELECT p.event_id AS purchase_id,
