@@ -1,0 +1,181 @@
+"""Round-5 additions beyond oracle parity: CMS sketch properties and
+cross-engine bucket arithmetic, WordPiece greedy-fold semantics vs a pure
+Python reference, RNN mutuality verified against numpy brute force, and
+the Holt recurrence vs a pure-Python replay."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.registry import all_specs
+
+
+# --- count-min sketch --------------------------------------------------------
+
+
+def _py_bucket(value: str, r: int, width: int) -> int:
+    h = hashlib.md5(f"r{r}:{value}".encode()).hexdigest()[:6]
+    return int(h, 16) % width
+
+
+def test_cms_buckets_match_python_md5_arithmetic(spark):
+    from nyc_analytics_database_platform_spark.operators.sketches import (
+        cms_bucket_cols,
+    )
+
+    df = spark.createDataFrame([("alpha",), ("42",), ("",)], "v string")
+    rows = df.select("v", *cms_bucket_cols("v", 4, 1024)).collect()
+    for row in rows:
+        for r in range(4):
+            assert row[f"c{r}"] == _py_bucket(row["v"], r, 1024), (row["v"], r)
+
+
+def test_cms_never_undercounts(spark):
+    """CMS point estimates are exact-or-over for EVERY value, not just the
+    heavy ones the registered query reports."""
+    from nyc_analytics_database_platform_spark.operators.sketches import (
+        cms_estimates,
+        count_min_sketch,
+    )
+
+    data = [("a",)] * 50 + [("b",)] * 20 + [(str(i),) for i in range(200)]
+    df = spark.createDataFrame(data, "v string")
+    sketch = count_min_sketch(df, "v", depth=4, width=64)  # narrow: collisions
+    exact = df.groupBy("v").agg(F.count("*").alias("n"))
+    est = cms_estimates(exact, sketch, "v", depth=4, width=64)
+    rows = est.collect()
+    assert len(rows) == 202
+    assert all(r["cms_est"] >= r["n"] for r in rows)
+    # the heavy keys' estimates are still dominated by their own mass
+    by_v = {r["v"]: r for r in rows}
+    assert by_v["a"]["cms_est"] >= 50 and by_v["b"]["cms_est"] >= 20
+
+
+# --- WordPiece greedy fold ---------------------------------------------------
+
+
+def _py_greedy(word: str, vocab: set[str], max_len: int = 4) -> list[str]:
+    out, pos = [], 0
+    while pos < len(word):
+        for length in range(max_len, 0, -1):
+            piece = word[pos : pos + length]
+            if len(piece) == length and (length == 1 or piece in vocab):
+                out.append(piece)
+                pos += length
+                break
+    return out
+
+
+@pytest.mark.parametrize(
+    "word,vocab",
+    [
+        ("banana", {"ban", "ana", "na"}),
+        ("aaaa", {"aa", "aaa"}),
+        ("x", set()),
+        ("mississippi", {"miss", "issi", "ss", "pp", "i"}),
+    ],
+)
+def test_wordpiece_fold_matches_python_reference(spark, word, vocab):
+    from nyc_analytics_database_platform_spark.queries.llm_bpe import _wp_fold_expr
+
+    df = spark.createDataFrame([(word, sorted(vocab))], "word string, vs array<string>")
+    got = df.select(F.expr(_wp_fold_expr()).alias("ps")).head()["ps"]
+    assert list(got) == _py_greedy(word, vocab)
+    assert "".join(got) == word  # segmentation always reassembles the word
+
+
+# --- reciprocal nearest neighbors --------------------------------------------
+
+
+def test_rnn_pairs_are_mutual_top1(spark, sf_dir):
+    """Every reported pair must be each other's in-cluster cosine top-1
+    under the (score desc, vec_id) tie-break - verified with numpy."""
+    import numpy as np
+
+    rows = all_specs()["rnn_mutual_pairs_within_cluster"].fn(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: (r["label"], np.array(r["embedding"], dtype=np.float64))
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+
+    def top1(vid):
+        lab, v = emb[vid]
+        best = None
+        for oid, (olab, ov) in emb.items():
+            if oid == vid or olab != lab:
+                continue
+            s = round(
+                float(v @ ov) / (float(np.sqrt(v @ v)) * float(np.sqrt(ov @ ov))), 6
+            )
+            key = (-s, oid)
+            if best is None or key < best[0]:
+                best = (key, oid)
+        return best[1] if best else None
+
+    assert rows, "expected at least one mutual pair"
+    for r in rows[:10]:  # bound the quadratic check
+        assert top1(r["a_id"]) == r["b_id"]
+        assert top1(r["b_id"]) == r["a_id"]
+        assert r["a_id"] < r["b_id"]
+
+
+# --- Holt smoothing ----------------------------------------------------------
+
+
+def test_holt_matches_python_recurrence(spark, sf_dir):
+    rows = all_specs()["monthly_revenue_holt"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 3
+    revs = [r["revenue"] for r in rows]
+    a, b = 0.5, 0.3
+    l, t = None, 0.0
+    for i, r in enumerate(rows):
+        # replay on the ROUNDED revenue stream would drift; re-derive the
+        # unrounded series is overkill - instead check the recurrence on
+        # the reported (level, trend) pairs themselves at 3dp slack
+        if i == 0:
+            assert r["trend"] == 0.0 and r["level"] == r["revenue"]
+            l, t = r["level"], r["trend"]
+            continue
+        l_new = a * revs[i] + (1 - a) * (l + t)
+        t_new = b * (l_new - l) + (1 - b) * t
+        assert abs(r["level"] - l_new) < 0.01, (i, r["level"], l_new)
+        assert abs(r["trend"] - t_new) < 0.01, (i, r["trend"], t_new)
+        assert abs(r["forecast_next"] - (r["level"] + r["trend"])) < 0.001
+        l, t = r["level"], r["trend"]
+
+
+# --- split leakage -----------------------------------------------------------
+
+
+def test_cluster_split_assignment_has_no_leaks(spark, sf_dir):
+    """Assigning splits by cluster label must make the leakage audit empty
+    BY CONSTRUCTION - prove it by recomputing the audit on cluster-keyed
+    splits."""
+    from nyc_analytics_database_platform_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from nyc_analytics_database_platform_spark.operators.graph import (
+        connected_components,
+    )
+    from nyc_analytics_database_platform_spark.operators.sampling import split_column
+    from nyc_analytics_database_platform_spark.queries.llm_clusters import (
+        _LEAK_SPLITS,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    comp = connected_components(
+        lsh_candidate_pairs(minhash_signatures(docs, num_perm=12, k=5))
+    )
+    sp = comp.withColumn("split", split_column(F.col("component"), _LEAK_SPLITS))
+    n_leaky = (
+        sp.groupBy("component")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") >= 2)
+        .count()
+    )
+    assert n_leaky == 0
