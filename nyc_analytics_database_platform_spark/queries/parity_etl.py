@@ -540,6 +540,75 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cascade_delete_audit",
+    oracle="""
+        WITH dc AS (
+            SELECT c_custkey FROM customer
+            WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 0
+        ),
+        oc AS (
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM dc)
+        ),
+        lc AS (
+            SELECT l_orderkey FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM oc)
+        )
+        SELECT 'customer' AS table_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM dc) AS n_cascade
+        UNION ALL
+        SELECT 'lineitem', (SELECT CAST(COUNT(*) AS BIGINT) FROM lc)
+        UNION ALL
+        SELECT 'orders', (SELECT CAST(COUNT(*) AS BIGINT) FROM oc)
+        ORDER BY table_name
+    """,
+    tags=("quality", "F9", "etl", "lifecycle"),
+)
+def cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON DELETE CASCADE impact pre-audit - the dry-run a warehouse runs
+    before honoring a deletion request (GDPR erasure, account closure)
+    against the reference's cascade DDL (schema.sql:60-64: Service_Request
+    cascades from Geographic_Area/Agency the way lineitem cascades from
+    orders here). Given the deletion predicate (negative-balance
+    AUTOMOBILE customers), report how many rows each dependent table
+    would lose: orders via the customer FK, lineitem transitively via the
+    order FK - the FK graph walked root-to-leaf.
+
+    Scale: each level is one LEFT SEMI join keyed on the FK; the deletion
+    key set broadcasts while small and degrades to a shuffle semi join at
+    scale; the transitive level semi-joins lineitem against the CASCADED
+    ORDER KEYS (already key-only), never against customers. The actual
+    delete is these semi joins flipped to anti joins + a rewrite
+    (merge_upsert_orders shows that write path); `set null` FKs
+    (schema.sql:61) instead become a conditional update - audited by
+    referential_integrity_audit's n_null_fk column."""
+    cust = load(spark, sf_dir, "customer")
+    del_cust = cust.filter(
+        (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") < 0)
+    ).select("c_custkey")
+    orders = load(spark, sf_dir, "orders")
+    oc = orders.join(
+        F.broadcast(del_cust), orders.o_custkey == del_cust.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem")
+    lc = li.join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey, "left_semi")
+    rows = [
+        del_cust.agg(F.count("*").alias("n_cascade")).select(
+            F.lit("customer").alias("table_name"), "n_cascade"
+        ),
+        lc.agg(F.count("*").alias("n_cascade")).select(
+            F.lit("lineitem").alias("table_name"), "n_cascade"
+        ),
+        oc.agg(F.count("*").alias("n_cascade")).select(
+            F.lit("orders").alias("table_name"), "n_cascade"
+        ),
+    ]
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, rows).orderBy("table_name")
+
+
+@register(
     "dedup_rate_by_source",
     oracle="""
         WITH d AS (
