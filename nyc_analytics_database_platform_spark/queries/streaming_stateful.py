@@ -268,6 +268,69 @@ def stream_dedupe_state_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_foreachbatch_upsert_executed",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts_us
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("streaming", "sink", "executed", "U"),
+)
+def stream_foreachbatch_upsert_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE delivery to a NON-transactional store, executed:
+    per-user running counters stream (update mode, 2 files/trigger) into a
+    foreachBatch sink that MERGEs each micro-batch into a parquet target
+    by key with an atomic directory swap, journaling applied batch ids so
+    a replayed batch is a no-op (streaming/sinks.py; replay safety is
+    separately test-pinned by invoking the sink twice with one batch id).
+    Because counter state is cumulative, the last emission per key IS its
+    converged total, so the final target equals the plain batch aggregate
+    - the oracle. This is the production sink path the memory-sink
+    registrations deliberately stub; at 100 TB the same anti-join + union
+    merge lands in a transactional table format whose commit log replaces
+    the journal."""
+    from nyc_analytics_database_platform_spark.streaming.sinks import (
+        idempotent_upsert_sink,
+    )
+
+    tag = hashlib.md5((sf_dir + ":febu").encode()).hexdigest()[:8]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_stream", tag)
+    ckpt = os.path.join(scratch, "febu_ckpt")
+    src_dir = os.path.join(scratch, "febu_files")
+    target = os.path.join(scratch, "febu_target")
+    journal = os.path.join(scratch, "febu_journal")
+
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    events = load(spark, sf_dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(src_dir)
+    source = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    counters = source.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+    )
+    q = (
+        counters.writeStream.foreachBatch(
+            idempotent_upsert_sink(target, journal, "user_id")
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, "foreachBatch upsert stream")
+    return spark.read.parquet(target).orderBy("user_id")
+
+
+@register(
     "stream_left_outer_join_executed",
     oracle="""
         SELECT p.event_id AS purchase_id,

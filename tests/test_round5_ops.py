@@ -148,6 +148,40 @@ def test_holt_matches_python_recurrence(spark, sf_dir):
         l, t = r["level"], r["trend"]
 
 
+# --- foreachBatch sink -------------------------------------------------------
+
+
+def test_idempotent_sink_replay_and_crash_safety(spark, tmp_path):
+    """The exactly-once recipe's two claims, exercised directly:
+    (1) replaying a journaled batch id is a no-op, (2) a new batch
+    replaces same-key rows and keeps the rest."""
+    from nyc_analytics_database_platform_spark.streaming.sinks import (
+        idempotent_upsert_sink,
+    )
+
+    target = str(tmp_path / "target")
+    journal = str(tmp_path / "journal")
+    sink = idempotent_upsert_sink(target, journal, "k")
+
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, n long")
+    sink(b0, 0)
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(target).collect()
+    ) == [(1, 10), (2, 20)]
+
+    # replay of batch 0 with DIFFERENT (corrupt) content must be ignored
+    sink(spark.createDataFrame([(1, 999)], "k long, n long"), 0)
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(target).collect()
+    ) == [(1, 10), (2, 20)]
+
+    # batch 1 upserts key 2 and adds key 3; key 1 untouched
+    sink(spark.createDataFrame([(2, 25), (3, 30)], "k long, n long"), 1)
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(target).collect()
+    ) == [(1, 10), (2, 25), (3, 30)]
+
+
 # --- split leakage -----------------------------------------------------------
 
 
