@@ -483,3 +483,103 @@ def ann_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(_MRL_DIMS, 5, hits, round(hits / 5.0, 2))],
         "head_dims int, k long, n_hits long, recall_at_5 double",
     )
+
+
+_DRIFT_SPLIT = 400  # llm_pq._SPLIT_VEC convention: >= is the "new batch"
+
+
+@register(
+    "embedding_drift_by_label",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        ex AS (
+            SELECT label,
+                   CASE WHEN vec_id < {_DRIFT_SPLIT} THEN 'hist' ELSE 'new' END
+                       AS half,
+                   i AS dim, v[i] AS x
+            FROM e, unnest(generate_series(1, len(v))) AS g(i)
+        ),
+        cd AS (
+            SELECT label, half, dim, round(avg(x), 6) AS cv
+            FROM ex GROUP BY 1, 2, 3
+        ),
+        cl AS (
+            SELECT label, half, list(cv ORDER BY dim) AS cvec
+            FROM cd GROUP BY 1, 2
+        ),
+        cnt AS (
+            SELECT label,
+                   CAST(SUM(CASE WHEN vec_id < {_DRIFT_SPLIT} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hist,
+                   CAST(SUM(CASE WHEN vec_id >= {_DRIFT_SPLIT} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new
+            FROM e GROUP BY label
+        )
+        SELECT c.label, c.n_hist, c.n_new,
+               round(list_dot_product(h.cvec, n.cvec) /
+                     (sqrt(list_dot_product(h.cvec, h.cvec))
+                      * sqrt(list_dot_product(n.cvec, n.cvec))), 6)
+                   AS centroid_cos
+        FROM cnt c
+        JOIN cl h ON h.label = c.label AND h.half = 'hist'
+        JOIN cl n ON n.label = c.label AND n.half = 'new'
+        ORDER BY c.label
+    """,
+    tags=("llm", "similarity", "monitoring", "incremental"),
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: cosine similarity between each
+    cluster's HISTORY centroid (vec_id < 400, the llm_pq increment
+    convention) and its NEW-BATCH centroid - the retrain trigger for every
+    persisted embedding artifact in this engine (kmeans cells, PQ
+    codebooks, sign-LSH calibration): a label whose centroid_cos sags
+    signals the index no longer matches the data. The value-distribution
+    twin is drift_psi_value_buckets.
+
+    Scale: two bounded aggregates - per-(label, half, dim) means (group
+    count = labels x 2 x dims, map-side combinable over however many
+    vectors) assembled into centroid arrays, plus per-label counts; the
+    final join touches labels-x-2 rows. Per-dim means round at 6dp before
+    the cosine (the ivf_label_centroids parity convention), so both
+    engines compute the cosine over identical inputs in identical order."""
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
+    half = F.when(F.col("vec_id") < _DRIFT_SPLIT, "hist").otherwise("new")
+    ex = emb.select(
+        "label", half.alias("half"), F.posexplode("embedding").alias("dim", "x")
+    )
+    cl = (
+        ex.groupBy("label", "half", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cv"))
+        .groupBy("label", "half")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+    )
+    cnt = emb.groupBy("label").agg(
+        F.count(F.when(F.col("vec_id") < _DRIFT_SPLIT, 1)).alias("n_hist"),
+        F.count(F.when(F.col("vec_id") >= _DRIFT_SPLIT, 1)).alias("n_new"),
+    )
+    h = cl.filter(F.col("half") == "hist").select(
+        F.col("label").alias("hl"), F.col("cvec").alias("hv")
+    )
+    n = cl.filter(F.col("half") == "new").select(
+        F.col("label").alias("nl"), F.col("cvec").alias("nv")
+    )
+    from nyc_analytics_database_platform_spark.operators.similarity import cosine
+
+    return (
+        cnt.join(h, cnt.label == h.hl)
+        .join(n, cnt.label == n.nl)
+        .select(
+            "label",
+            "n_hist",
+            "n_new",
+            F.round(cosine(F.col("hv"), F.col("nv")), 6).alias("centroid_cos"),
+        )
+        .orderBy("label")
+    )
