@@ -134,20 +134,22 @@ def _scale_crossover(spark, specs) -> dict | None:
             )
             if n in specs
         }
-        # Min of 3 (not 2) for the sf1.0 trio: each spec.fn call builds a
-        # FRESH plan, so no AQE shuffle-stage reuse leaks between runs -
-        # every run pays the full shuffle; extra runs only shed JIT/codegen
-        # warmup noise, which at 3 queries is measured ~20-30% of run 2.
+        # Min of 5 (was 2) for the trio: each spec.fn call builds a FRESH
+        # plan, so no AQE shuffle-stage reuse leaks between runs - every
+        # run pays the full shuffle; extra runs shed JIT/codegen warmup
+        # and machine noise, which on these 0.5-1.5 s absolutes is
+        # measured at +-25% run-to-run (the DuckDB side swings just as
+        # much, so it gets the same run count).
         t1: dict[str, float] = {}
         for name, spec in sel1.items():
             best = float("inf")
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 spec.fn(spark, big1).collect()
                 best = min(best, time.perf_counter() - t0)
             t1[name] = round(best, 4)
             spark.catalog.clearCache()
-        duck1 = _duckdb_timings(sel1, big1, runs=3)
+        duck1 = _duckdb_timings(sel1, big1, runs=5)
         out["sf1.0"] = {
             "queries": t1,
             "duckdb_queries": duck1,
@@ -170,13 +172,13 @@ def _scale_crossover(spark, specs) -> dict | None:
         t2: dict[str, float] = {}
         for name, spec in sel1.items():
             best = float("inf")
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 spec.fn(spark, big2).collect()
                 best = min(best, time.perf_counter() - t0)
             t2[name] = round(best, 4)
             spark.catalog.clearCache()
-        duck2 = _duckdb_timings(sel1, big2, runs=3)
+        duck2 = _duckdb_timings(sel1, big2, runs=5)
         out["sf2.0"] = {
             "queries": t2,
             "duckdb_queries": duck2,
