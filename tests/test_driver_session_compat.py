@@ -39,6 +39,9 @@ def test_entry_under_driver_session(driver_like_spark):
         "json_extract_event_props",  # events: JSON
         "grouped_map_minmax_scale",  # events + applyInPandas
         "interval_join_click_counts",  # events interval join
+        "stream_left_outer_join_executed",  # r5: real drain + outer state
+        "stream_foreachbatch_upsert_executed",  # r5: foreachBatch sink
+        "cms_heavy_users_estimates",  # r5: mapInPandas MG + conv()
     ],
 )
 def test_events_queries_under_driver_session(driver_like_spark, sf_dir, name):
