@@ -449,3 +449,103 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+_SWEEP_T = (0.6, 0.7, 0.8, 0.9)
+
+_SWEEP_ORACLE = f"""
+        WITH {_shingle_cte(5)},
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        scored AS (
+            SELECT p.a_id, p.b_id,
+                   CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jac
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.a_id
+            JOIN sizes sb ON sb.doc_id = p.b_id
+            WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter)
+                  >= {min(_SWEEP_T)}
+        ),
+        sig AS (SELECT doc_id, {", ".join(f"MIN(md5('{p}:' || s)) AS m{p}" for p in range(12))}
+                FROM sh GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, bnd,
+                   CASE bnd {" ".join(
+                       "WHEN {b} THEN md5({cat})".format(
+                           b=b, cat=" || ".join(f"m{b * 2 + r}" for r in range(2)))
+                       for b in range(6))} END AS bucket
+            FROM sig, (SELECT unnest(generate_series(0, 5)) AS bnd) g
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+            FROM bands x
+            JOIN bands y ON x.bnd = y.bnd AND x.bucket = y.bucket
+                        AND x.doc_id < y.doc_id
+        ),
+        th AS (SELECT unnest([{", ".join(str(t) for t in _SWEEP_T)}]) AS threshold)
+        SELECT t.threshold,
+               CAST(COUNT(*) AS BIGINT) AS n_truth,
+               CAST(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_recalled,
+               CAST(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS recall
+        FROM th t
+        JOIN scored s ON s.jac >= t.threshold
+        LEFT JOIN cand c ON c.a_id = s.a_id AND c.b_id = s.b_id
+        GROUP BY t.threshold
+        ORDER BY t.threshold
+    """
+
+
+@register(
+    "dedup_lsh_threshold_sweep",
+    oracle=_SWEEP_ORACLE,
+    tags=("llm", "dedup", "evaluation"),
+)
+def dedup_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall audit as a CURVE: recall of the fixed production banding
+    (12 perms, 6 bands x 2 rows) against exact Jaccard ground truths at
+    thresholds 0.6/0.7/0.8/0.9 - one run answers "which similarity regime
+    do these parameters actually serve" (the S-curve of banded MinHash:
+    recall should climb steeply with the threshold). This is the
+    calibration table an operator consults before retuning bands for a
+    different dedup aggressiveness; single-point twin:
+    dedup_lsh_recall_audit.
+
+    Scale: the exact scored pairs exist only at calibration-sample scale
+    (the quadratic baseline, as in the single-point audit); the sweep adds
+    one broadcast range join against a 4-row threshold frame and a 4-group
+    aggregate - free. Counts are exact integers; recall is one IEEE
+    division."""
+    from nyc_analytics_database_platform_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        with_tokens,
+    )
+
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    scored = ngram_jaccard_pairs(docs, min(_SWEEP_T), k=5).select(
+        "a_id", "b_id", "jaccard"
+    )
+    sigs = minhash_signatures(with_tokens(docs), num_perm=12, k=5)
+    cand = lsh_candidate_pairs(sigs, num_perm=12, rows_per_band=2)
+    marked = scored.join(
+        cand.withColumn("hit", F.lit(1)), ["a_id", "b_id"], "left"
+    )
+    th = spark.createDataFrame([(t,) for t in _SWEEP_T], "threshold double")
+    return (
+        F.broadcast(th)
+        .join(marked, marked.jaccard >= th.threshold)
+        .groupBy("threshold")
+        .agg(
+            F.count("*").alias("n_truth"),
+            F.count("hit").alias("n_recalled"),
+            (F.count("hit").cast("double") / F.count("*")).alias("recall"),
+        )
+        .orderBy("threshold")
+    )
