@@ -493,3 +493,73 @@ def corpus_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dataset_card_report",
+    oracle=r"""
+        WITH d AS (
+            SELECT doc_id, source, lang, n_chars,
+                   md5(lower(trim(text))) AS digest,
+                   CASE WHEN text IS NULL THEN 0
+                        ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                   END AS n_toks,
+                   (text IS NULL) AS is_null
+            FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_text,
+               round(1.0 - CAST(COUNT(DISTINCT digest) AS DOUBLE) / COUNT(*), 6)
+                   AS exact_dup_rate,
+               PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY n_chars)
+                   AS median_chars,
+               round(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_tokens
+        FROM d
+    """,
+    tags=("llm", "corpus", "reporting"),
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary row: corpus size, language/source spread,
+    NULL-text count, exact-duplicate mass, median length, mean token count
+    - the one-glance documentation block published beside a training
+    corpus (Datasheets/Data-Cards practice), every number a
+    driver-attested aggregate consistent with the dedicated operators
+    (dedup_rate_by_source, text_token_stats, train_val_test_split_report).
+
+    Scale: one scan + one global aggregate. The two COUNT DISTINCTs
+    (lang/source, bounded domains) and the digest distinct (corpus-sized)
+    share the pass; at 100 TB the digest distinct is the expensive term
+    and swaps to approx_count_distinct exactly as approx_distinct_buyers
+    demonstrates. Exact median over n_chars shuffles the column once
+    (the documented exact-percentile cost; approx twin policy applies)."""
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    d = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("digest"),
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")))
+        .alias("n_toks"),
+        F.col("text").isNull().alias("is_null"),
+    )
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.count(F.when(F.col("is_null"), 1)).alias("n_null_text"),
+        F.round(
+            1.0 - F.countDistinct("digest").cast("double") / F.count("*"), 6
+        ).alias("exact_dup_rate"),
+        F.percentile("n_chars", 0.5).alias("median_chars"),
+        F.round(F.sum("n_toks").cast("double") / F.count("*"), 6).alias(
+            "mean_tokens"
+        ),
+    )
