@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
-from nyc_analytics_database_platform_spark.functions.text import count_in, ws_tokens
+from nyc_analytics_database_platform_spark.functions.text import count_in, punct_ratio, ws_tokens
 from nyc_analytics_database_platform_spark.operators.dedup import (
     banded_buckets,
     minhash_signatures,
@@ -652,3 +652,133 @@ def benchmark_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("vec_id")
     )
+
+
+# --- filter ablation ---------------------------------------------------------
+
+_AB_MIN_TOKS = 25
+_AB_WL_LO, _AB_WL_HI = 3.0, 4.8
+_AB_STOP_MIN = 0.05
+_AB_PUNCT_MAX = 0.10
+_AB_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+_AB_RULES = ("short", "wordlen", "stopword", "punct")
+
+
+def _ab_flags_sql() -> str:
+    stop_arr = ", ".join(f"'{w}'" for w in _AB_STOPWORDS)
+    return rf"""
+        base AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN []::VARCHAR[]
+                        ELSE string_split_regex(lower(trim(text)), '\s+') END AS t,
+                   CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+                        ELSE CAST(length(regexp_replace(text,
+                                 '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+                             / length(text) END AS pr
+            FROM documents
+        ),
+        flags AS (
+            SELECT doc_id,
+                   len(t) < {_AB_MIN_TOKS} AS f_short,
+                   CASE WHEN len(t) = 0 THEN FALSE
+                        ELSE CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t)
+                                 < {_AB_WL_LO}
+                             OR CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t)
+                                 > {_AB_WL_HI} END AS f_wordlen,
+                   CASE WHEN len(t) = 0 THEN FALSE
+                        ELSE CAST(len(list_filter(t,
+                                 x -> list_contains([{stop_arr}], x))) AS DOUBLE)
+                             / len(t) < {_AB_STOP_MIN} END AS f_stopword,
+                   pr > {_AB_PUNCT_MAX} AS f_punct
+            FROM base
+        )
+    """
+
+
+@register(
+    "filter_ablation_report",
+    oracle=f"""
+        WITH {_ab_flags_sql()},
+        m AS (
+            SELECT doc_id, f_short, f_wordlen, f_stopword, f_punct,
+                   CAST(f_short AS INT) + CAST(f_wordlen AS INT)
+                   + CAST(f_stopword AS INT) + CAST(f_punct AS INT) AS n_fired
+            FROM flags
+        )
+        SELECT 'any' AS rule,
+               CAST(SUM(CASE WHEN n_fired > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rejected,
+               CAST(SUM(CASE WHEN n_fired = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exclusive
+        FROM m
+        {"".join(
+            f'''UNION ALL SELECT '{r}',
+               CAST(SUM(CASE WHEN f_{r} THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN f_{r} AND n_fired = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM m '''
+            for r in _AB_RULES
+        )}
+        ORDER BY rule
+    """,
+    tags=("llm", "quality", "evaluation"),
+)
+def filter_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ABLATION: for each of four heuristic reject rules
+    (too-short, mean-word-length outside [3,4.8], stopword ratio < 0.05
+    Gopher-style, punctuation ratio > 0.10 C4-style), how many documents
+    it rejects and how many it ALONE rejects - the exclusive count is
+    what tells an operator whether a rule pulls its weight or merely
+    shadows the others, the standard analysis before committing a filter
+    chain (the committed chain itself is curation_v2_funnel_report).
+    NULL/empty documents trip only the short rule by construction. On the
+    driver corpus the punct rule fires ZERO times (the synthetic text has
+    no punctuation) - exactly the dead-weight finding ablation exists to
+    surface.
+
+    Scale: one scan, all-native per-row flag expressions, one 4-int
+    aggregate + a 5-row report union. Ratio arithmetic is int/int IEEE
+    division identical in both engines (the text_quality_scores
+    convention)."""
+    docs = load(spark, sf_dir, "documents", parallel=True)
+    toks = F.when(F.col("text").isNull(), F.expr("cast(array() as array<string>)")
+    ).otherwise(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    base = docs.select("doc_id", toks.alias("t"), punct_ratio("text").alias("pr"))
+    n = F.size("t")
+    chars = F.expr("length(array_join(t, ''))")
+    stop_arr = ", ".join(f"'{w}'" for w in _AB_STOPWORDS)
+    n_stop = F.expr(f"size(filter(t, x -> array_contains(array({stop_arr}), x)))")
+    mean_wl = chars.cast("double") / n
+    flags = base.select(
+        "doc_id",
+        (n < _AB_MIN_TOKS).alias("f_short"),
+        F.when(n == 0, F.lit(False))
+        .otherwise((mean_wl < _AB_WL_LO) | (mean_wl > _AB_WL_HI))
+        .alias("f_wordlen"),
+        F.when(n == 0, F.lit(False))
+        .otherwise(n_stop.cast("double") / n < _AB_STOP_MIN)
+        .alias("f_stopword"),
+        (F.col("pr") > _AB_PUNCT_MAX).alias("f_punct"),
+    )
+    m = flags.withColumn(
+        "n_fired",
+        sum(F.col(f"f_{r}").cast("int") for r in _AB_RULES),
+    )
+    rows = [
+        m.agg(
+            F.count(F.when(F.col("n_fired") > 0, 1)).alias("n_rejected"),
+            F.count(F.when(F.col("n_fired") == 1, 1)).alias("n_exclusive"),
+        ).select(F.lit("any").alias("rule"), "n_rejected", "n_exclusive")
+    ]
+    for r in _AB_RULES:
+        rows.append(
+            m.agg(
+                F.count(F.when(F.col(f"f_{r}"), 1)).alias("n_rejected"),
+                F.count(
+                    F.when(F.col(f"f_{r}") & (F.col("n_fired") == 1), 1)
+                ).alias("n_exclusive"),
+            ).select(F.lit(r).alias("rule"), "n_rejected", "n_exclusive")
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, rows).orderBy("rule")
