@@ -563,3 +563,62 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_tokens"
         ),
     )
+
+
+@register(
+    "hapax_rate_by_source",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT source, unnest({_TOKS}) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        counts AS (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks WHERE tok <> '' GROUP BY source, tok
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               round(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS hapax_rate,
+               CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM counts
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("llm", "corpus", "text", "reporting"),
+)
+def hapax_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-health metric per source: hapax legomena rate (fraction
+    of the source's vocabulary occurring exactly once). A healthy natural
+    corpus sits near ~0.4-0.6 (Zipf); a CRASHED rate signals boilerplate/
+    template spam, a rate near 1.0 signals OCR noise or junk tokens -
+    both the crawl-level triage signals that decide whether a source is
+    worth dedup + filtering at all (pairs with dedup_rate_by_source and
+    vocab_zipf_slope).
+
+    Scale: one explode + one (source, token)-keyed count with map-side
+    partial aggregation (shuffle bounded by per-source vocab, not token
+    occurrences), then a per-source rollup of that bounded frame."""
+    docs = load(spark, sf_dir, "documents", parallel=True).filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.count("*").alias("vocab_size"),
+            F.count(F.when(F.col("n") == 1, 1)).alias("n_hapax"),
+            F.round(
+                F.count(F.when(F.col("n") == 1, 1)).cast("double") / F.count("*"),
+                6,
+            ).alias("hapax_rate"),
+            F.sum("n").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
