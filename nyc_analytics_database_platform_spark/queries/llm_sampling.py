@@ -607,3 +607,89 @@ def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@register(
+    "contamination_rate_by_source",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, {_TOKS} AS t FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, source,
+                   array_to_string(t[i:i+{_NGRAM - 1}], ' ') AS s
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(t) - {_NGRAM - 1}, 0))) AS g(i)
+        ),
+        bench AS (
+            SELECT DISTINCT s FROM sh WHERE doc_id < {_BENCH_MAX_ID}
+        ),
+        corp_docs AS (
+            SELECT DISTINCT doc_id, source FROM sh
+            WHERE doc_id >= {_BENCH_MAX_ID}
+        ),
+        hit_docs AS (
+            SELECT DISTINCT c.doc_id
+            FROM sh c JOIN bench b ON c.s = b.s
+            WHERE c.doc_id >= {_BENCH_MAX_ID}
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated,
+               round(CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS contamination_rate
+        FROM corp_docs d LEFT JOIN hit_docs h ON d.doc_id = h.doc_id
+        GROUP BY d.source
+        ORDER BY d.source
+    """,
+    tags=("llm", "sampling", "contamination", "reporting"),
+)
+def contamination_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH SOURCES leak eval content: the exact 8-gram contamination
+    screen rolled up per source - the crawl-operator view that decides
+    whether a feed gets quarantined rather than per-doc scrubbed (pairs
+    with dedup_rate_by_source and hapax_rate_by_source in the per-source
+    triage panel). Counts only docs with at least one n-gram (the same
+    denominator discipline as the per-doc report).
+
+    Scale: identical shape to benchmark_contamination_report - the bench
+    n-gram digest set broadcasts, the corpus streams through without
+    shuffling; the only additions are a distinct doc set and a
+    per-source 4-column rollup."""
+    docs = with_tokens(load(spark, sf_dir, "documents", parallel=True))
+    sh = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(toks) >= {_NGRAM} "
+                    f"THEN transform(sequence(1, size(toks) - {_NGRAM} + 1), "
+                    f"i -> array_join(slice(toks, i, {_NGRAM}), ' ')) "
+                    f"ELSE array() END"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "source", F.md5("s").alias("hs"))
+        .distinct()
+    )
+    bench = sh.filter(F.col("doc_id") < _BENCH_MAX_ID).select("hs").distinct()
+    corp = sh.filter(F.col("doc_id") >= _BENCH_MAX_ID)
+    corp_docs = corp.select("doc_id", "source").distinct()
+    hit_docs = (
+        corp.join(F.broadcast(bench), "hs").select("doc_id").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        corp_docs.join(hit_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("hit").alias("n_contaminated"),
+            F.round(F.count("hit").cast("double") / F.count("*"), 6).alias(
+                "contamination_rate"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -182,6 +182,29 @@ def test_idempotent_sink_replay_and_crash_safety(spark, tmp_path):
     ) == [(1, 10), (2, 25), (3, 30)]
 
 
+# --- cross-family consistency ------------------------------------------------
+
+
+def test_dataset_card_consistent_with_dedicated_operators(spark, sf_dir):
+    """The card's numbers must agree with the operators that own each
+    metric - a composite that drifts from its parts is worse than none."""
+    card = all_specs()["dataset_card_report"].fn(spark, sf_dir).head()
+    docs = load(spark, sf_dir, "documents")
+    assert card["n_docs"] == docs.count()
+    assert card["total_chars"] == docs.agg(F.sum("n_chars")).head()[0]
+    by_source = {
+        r["source"]: r
+        for r in all_specs()["dedup_rate_by_source"].fn(spark, sf_dir).collect()
+    }
+    # dedup_rate_by_source drops NULL-text docs; the card counts them all:
+    # reconcile via distinct-digest identity (NULL text has its own digest)
+    n_distinct = docs.select(
+        F.md5(F.lower(F.trim(F.col("text"))))
+    ).distinct().count()
+    assert abs(card["exact_dup_rate"] - (1 - n_distinct / card["n_docs"])) < 1e-6
+    assert card["n_sources"] == len(by_source)
+
+
 # --- split leakage -----------------------------------------------------------
 
 
