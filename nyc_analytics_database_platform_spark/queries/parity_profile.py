@@ -285,3 +285,51 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit(orders, "o_custkey", "orders.o_custkey"))
         .orderBy("join_key")
     )
+
+
+_KANON_K = 5
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+        WITH g AS (
+            SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_risky_groups,
+               CAST(COALESCE(SUM(CASE WHEN n < {_KANON_K} THEN n END), 0)
+                    AS BIGINT) AS n_risky_rows,
+               CAST(MIN(n) AS BIGINT) AS min_group_size
+        FROM g
+    """,
+    tags=("quality", "privacy", "reporting"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair
+    (nation, market segment): how many equivalence classes fall below
+    k={_KANON_K} members - rows in those classes are re-identifiable by
+    the quasi-identifiers alone, the release-gating check a governance
+    review runs before publishing an extract (the reference's
+    Geographic_Area natural key plays the same quasi-identifier role for
+    NYC parcels). The remedy is generalization (coarsen a column) or
+    suppression (drop risky rows) until n_risky_groups = 0.
+
+    Scale: one map-side-combinable groupBy over the quasi-identifier
+    domain (bounded: nations x segments) + a 4-column scalar rollup of
+    that bounded frame."""
+    cust = load(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n")
+    )
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.count(F.when(F.col("n") < _KANON_K, 1)).alias("n_risky_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < _KANON_K, F.col("n"))), F.lit(0)
+        ).cast("long").alias("n_risky_rows"),
+        F.min("n").alias("min_group_size"),
+    )
