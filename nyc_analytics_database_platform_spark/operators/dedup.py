@@ -277,6 +277,105 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def prefix_filter_containment_pairs(
+    docs: DataFrame, num: int, den: int, id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """All ORDERED pairs (a, b), a != b, with shingle-set containment
+    C(a->b) = |A n B| / |A| >= num/den - the ASYMMETRIC near-dup relation
+    Jaccard misses: a snippet extracted from a longer document has high
+    containment in it but low Jaccard (the union is dominated by the long
+    side), so quote-inclusion / boilerplate-wrapping duplicates survive a
+    Jaccard-thresholded dedup. Corpus curation runs this as the complement
+    pass (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" flags exactly this containment failure mode).
+
+    Candidate generation is the asymmetric prefix filter: under the global
+    df-ascending shingle order, C(a->b) >= t forces inter >= ceil(t*|A|),
+    so A's prefix of length |A| - ceil(t*|A|) + 1 MUST hit B - joining
+    A-prefixes against B's FULL shingle index is lossless (if the prefix
+    misses B, inter <= ceil(t*|A|) - 1). Unlike the Jaccard filter the
+    probed side cannot be prefix-shortened (|A| varies per pair), so the
+    b-side is the whole inverted index - but the PROBE rows are rare
+    shingles (df-ascending prefixes), which bounds the join fan-out: each
+    probe row emits df(hs) candidates and prefix shingles have small df by
+    construction. The answer-preserving length filter is the one-sided
+    den*nb >= num*na (inter <= |B| and inter >= t*|A| force |B| >= t*|A|);
+    threshold compares stay in integer arithmetic (den*inter >= num*na),
+    never double rounding. Verification is the same per-pair
+    array_intersect as the Jaccard path: candidates join the cached
+    doc->sorted-shingle-array artifact, O(na+nb) per pair in codegen.
+
+    Scale shape: one df aggregate + one doc-keyed gather (both shared with
+    the Jaccard path's artifact), probe join keyed on rare shingles,
+    verify join linear in candidates. The full b-side index is the same
+    inverted index an exact-dedup deployment already maintains."""
+    sh = distinct_hashed_shingles(with_tokens(docs), id_col, k).cache()
+    sh.count()
+    dfreq = sh.groupBy("hs").agg(F.count("*").alias("df"))
+    base = (
+        sh.join(dfreq, "hs")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("df", "hs"))).alias("sl"))
+        .cache()
+    )
+    base.count()
+    # A-side probes: df-ascending prefix of length n - ceil(t*n) + 1.
+    probes = base.select(
+        id_col,
+        F.size("sl").alias("n"),
+        F.explode(
+            F.slice(
+                "sl",
+                1,
+                F.greatest(
+                    F.lit(0),
+                    F.size("sl")
+                    - F.expr(f"({num} * size(sl) + {den} - 1) div {den}")
+                    + 1,
+                ),
+            )
+        ).alias("x"),
+    ).select(id_col, "n", F.col("x.hs").alias("hs"))
+    # B-side: the FULL inverted index (asymmetric - see docstring).
+    index = base.select(
+        id_col, F.size("sl").alias("n"), F.explode("sl").alias("x")
+    ).select(id_col, "n", F.col("x.hs").alias("hs"))
+    cand = (
+        probes.alias("pa")
+        .join(index.alias("pb"), "hs")
+        .filter(F.col(f"pa.{id_col}") != F.col(f"pb.{id_col}"))
+        # one-sided length filter: |B| >= t*|A|, integer-exact.
+        .filter(F.col("pb.n") * den >= F.col("pa.n") * num)
+        .select(
+            F.col(f"pa.{id_col}").alias("a_id"), F.col(f"pb.{id_col}").alias("b_id")
+        )
+        .distinct()
+    )
+    arrs = base.select(id_col, F.transform("sl", lambda s: s["hs"]).alias("arr"))
+    return (
+        cand.join(
+            arrs.select(F.col(id_col).alias("a_id"), F.col("arr").alias("a_arr")),
+            "a_id",
+        )
+        .join(
+            arrs.select(F.col(id_col).alias("b_id"), F.col("arr").alias("b_arr")),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("a_arr", "b_arr")).cast("long").alias("inter"),
+            F.size("a_arr").cast("long").alias("na"),
+            F.size("b_arr").cast("long").alias("nb"),
+        )
+        .filter(F.col("inter") * den >= F.col("na") * num)
+        .withColumn(
+            "containment", F.col("inter").cast("double") / F.col("na")
+        )
+        .select("a_id", "b_id", "inter", "na", "nb", "containment")
+    )
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from nyc_analytics_database_platform_spark.catalog import load
 from nyc_analytics_database_platform_spark.operators.dedup import (
     banded_buckets,
+    prefix_filter_containment_pairs,
     prefix_filter_jaccard_pairs,
     exact_dedup_groups,
     lsh_candidate_pairs,
@@ -362,6 +363,47 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-length discipline."""
     docs = load(spark, sf_dir, "documents")
     return prefix_filter_jaccard_pairs(docs, _JACCARD_T, k=5).orderBy("a_id", "b_id")
+
+
+_CONTAIN_NUM, _CONTAIN_DEN = 9, 10  # containment threshold 0.9, exact rational
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+        WITH {_shingle_cte(5)},
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(COUNT(*) AS BIGINT) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1
+        )
+        SELECT p.a_id, p.b_id, p.inter, sa.n AS na, sb.n AS nb,
+               CAST(p.inter AS DOUBLE) / sa.n AS containment
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.a_id
+        JOIN sizes sb ON sb.doc_id = p.b_id
+        WHERE p.inter * {_CONTAIN_DEN} >= sa.n * {_CONTAIN_NUM}
+        ORDER BY a_id, b_id
+    """,
+    tags=("llm", "dedup", "prefix-filter"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs: ordered (a, b) with
+    |A n B| / |A| >= 0.9 over distinct 5-shingles. Catches the duplicate
+    class Jaccard structurally misses - a short doc embedded in a longer
+    one (quote inclusion, boilerplate wrapping) has containment ~1 but
+    Jaccard ~|A|/|B|. Candidates via the asymmetric prefix filter
+    (df-ascending A-prefixes probing the full inverted index - lossless,
+    see operators/dedup.prefix_filter_containment_pairs); thresholds in
+    integer arithmetic end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    return prefix_filter_containment_pairs(
+        docs, _CONTAIN_NUM, _CONTAIN_DEN, k=5
+    ).orderBy("a_id", "b_id")
 
 
 _RECALL_ORACLE = f"""

@@ -333,3 +333,56 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_risky_rows"),
         F.min("n").alias("min_group_size"),
     )
+
+
+_LDIV_L = 3
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+        WITH g AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000)
+                                            AS BIGINT)) AS BIGINT) AS l
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN l < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_low_div_groups,
+               CAST(COALESCE(SUM(CASE WHEN l < {_LDIV_L} THEN n END), 0)
+                    AS BIGINT) AS n_exposed_rows,
+               CAST(MIN(l) AS BIGINT) AS min_l
+        FROM g
+    """,
+    tags=("quality", "privacy", "reporting"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the companion check to [k_anonymity_audit]:
+    k-anonymity only bounds group SIZE, so a group of 50 rows that all
+    share one sensitive value still leaks it (the homogeneity attack).
+    Here the sensitive attribute is the account-balance band
+    (floor(acctbal/1000), exact decimal arithmetic); a quasi-identifier
+    group with fewer than l=3 distinct bands exposes its members'
+    financial tier. Release gate: n_low_div_groups must be 0.
+
+    Scale: COUNT(DISTINCT band) per group rewrites to a two-level
+    aggregate (distinct expand then count) - both levels map-side
+    combinable, output bounded by the quasi-identifier domain."""
+    cust = load(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+        ).alias("l"),
+    )
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.count(F.when(F.col("l") < _LDIV_L, 1)).alias("n_low_div_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("l") < _LDIV_L, F.col("n"))), F.lit(0)
+        ).cast("long").alias("n_exposed_rows"),
+        F.min("l").alias("min_l"),
+    )

@@ -754,3 +754,114 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     ).orderBy("digit")
+
+
+_KS_CRIT = 1.358  # Kolmogorov c(alpha) at alpha = 0.05
+
+
+@register(
+    "ks_two_sample_price_drift",
+    oracle=f"""
+        WITH v AS (
+            SELECT o_totalprice AS val,
+                   CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+            FROM orders
+            GROUP BY 1
+        ),
+        e AS (
+            SELECT SUM(c1) OVER (ORDER BY val) AS r1,
+                   SUM(c2) OVER (ORDER BY val) AS r2
+            FROM v
+        ),
+        t AS (
+            SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2
+            FROM v
+        )
+        SELECT t.n1, t.n2,
+               round(MAX(ABS(e.r1 / CAST(t.n1 AS DOUBLE)
+                             - e.r2 / CAST(t.n2 AS DOUBLE))), 6) AS ks_stat,
+               round({_KS_CRIT} * sqrt((t.n1 + t.n2)
+                     / CAST(t.n1 * t.n2 AS DOUBLE)), 6) AS crit_05,
+               MAX(ABS(e.r1 / CAST(t.n1 AS DOUBLE)
+                       - e.r2 / CAST(t.n2 AS DOUBLE)))
+                   > {_KS_CRIT} * sqrt((t.n1 + t.n2)
+                     / CAST(t.n1 * t.n2 AS DOUBLE)) AS reject_05
+        FROM e, t
+        GROUP BY t.n1, t.n2
+    """,
+    tags=("stats", "drift", "monitoring"),
+)
+def ks_two_sample_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test between the order-value
+    distributions of URGENT vs non-urgent orders - the nonparametric drift
+    check that sees SHAPE changes PSI's fixed buckets smear away
+    (drift_psi_value_buckets is the binned twin). D = max |F1 - F2| over
+    the merged jump points, evaluated right-continuously at every distinct
+    value - exact, no sampling; reject at alpha=0.05 via the Kolmogorov
+    asymptotic critical value 1.358*sqrt((n1+n2)/(n1*n2)).
+
+    Scale: the global ECDF running sums use the repo's two-level scan, not
+    a single-partition window - rows pre-aggregate to distinct values,
+    values bucket by a fixed price-range prefix (bucket count bounded by
+    the price DOMAIN, not the data), per-bucket windows run in parallel,
+    and the bucket-offset frame (~60 rows) broadcasts back. Counts stay
+    integer-exact until the two final divisions, so both engines compute
+    identical doubles."""
+    orders = load(spark, sf_dir, "orders")
+    v = orders.groupBy(F.col("o_totalprice").alias("val")).agg(
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).cast("long").alias("c1"),
+        F.sum(
+            F.when(F.col("o_orderpriority") != "1-URGENT", 1).otherwise(0)
+        ).cast("long").alias("c2"),
+    )
+    v = v.withColumn("bucket", F.floor(F.col("val") / 10000).cast("long"))
+    # level 1: per-bucket totals -> exclusive offsets (bounded frame:
+    # price-domain / 10000 buckets, ~60 rows).
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        v.groupBy("bucket")
+        .agg(F.sum("c1").alias("b1"), F.sum("c2").alias("b2"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("b1").over(wb), F.lit(0)).alias("off1"),
+            F.coalesce(F.sum("b2").over(wb), F.lit(0)).alias("off2"),
+        )
+    )
+    # level 2: within-bucket running sums (partitioned window) + offset.
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ecdf = v.join(F.broadcast(offsets), "bucket").select(
+        (F.sum("c1").over(wv) + F.col("off1")).alias("r1"),
+        (F.sum("c2").over(wv) + F.col("off2")).alias("r2"),
+    )
+    totals = v.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    d = F.max(
+        F.abs(
+            F.col("r1") / F.col("n1").cast("double")
+            - F.col("r2") / F.col("n2").cast("double")
+        )
+    )
+    crit = F.lit(_KS_CRIT) * F.sqrt(
+        (F.col("n1") + F.col("n2")) / (F.col("n1") * F.col("n2")).cast("double")
+    )
+    return (
+        ecdf.join(F.broadcast(totals))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(d, 6).alias("ks_stat"),
+            F.round(crit, 6).alias("crit_05"),
+            (d > crit).alias("reject_05"),
+        )
+        .select("n1", "n2", "ks_stat", "crit_05", "reject_05")
+    )

@@ -236,3 +236,65 @@ def test_cluster_split_assignment_has_no_leaks(spark, sf_dir):
         .count()
     )
     assert n_leaky == 0
+
+
+# --- containment dedup -------------------------------------------------------
+
+
+def test_containment_catches_snippet_jaccard_misses(spark):
+    """The defining case: a short doc embedded verbatim in a much longer
+    one has containment 1.0 but Jaccard well under any dedup threshold -
+    prefix_filter_containment_pairs must emit the (snippet -> host) ordered
+    pair and ngram_jaccard_pairs at 0.8 must not."""
+    from nyc_analytics_database_platform_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_containment_pairs,
+    )
+
+    snippet = " ".join(f"w{i}" for i in range(10))
+    host = snippet + " " + " ".join(f"x{i}" for i in range(60))
+    other = " ".join(f"y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, snippet), (2, host), (3, other)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["a_id"], r["b_id"]): r["containment"]
+        for r in prefix_filter_containment_pairs(docs, 9, 10, k=5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (2, 1) not in pairs  # asymmetric: host not contained in snippet
+    jac = ngram_jaccard_pairs(docs, 0.8, k=5).collect()
+    assert not any({r["a_id"], r["b_id"]} == {1, 2} for r in jac)
+
+
+def test_containment_prefix_filter_matches_bruteforce(spark):
+    """Lossless-filter property on a corpus with planted overlaps: the
+    prefix-filtered result equals the brute-force shingle self-join."""
+    from nyc_analytics_database_platform_spark.operators.dedup import (
+        distinct_hashed_shingles,
+        prefix_filter_containment_pairs,
+        with_tokens,
+    )
+
+    words = [f"t{i}" for i in range(40)]
+    docs = []
+    for d in range(12):
+        lo = (d * 3) % 25
+        docs.append((d, " ".join(words[lo : lo + 12 + (d % 5)])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sh = distinct_hashed_shingles(with_tokens(df), "doc_id", 5)
+    a = sh.selectExpr("doc_id AS a_id", "hs")
+    b = sh.selectExpr("doc_id AS b_id", "hs")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    brute = (
+        a.join(b, "hs")
+        .filter("a_id <> b_id")
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.selectExpr("doc_id AS a_id", "n AS na"), "a_id")
+        .filter("inter * 10 >= na * 9")
+        .select("a_id", "b_id")
+    )
+    got = prefix_filter_containment_pairs(df, 9, 10, k=5).select("a_id", "b_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, brute.collect()))
