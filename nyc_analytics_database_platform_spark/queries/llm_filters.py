@@ -782,3 +782,78 @@ def filter_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     return reduce(DataFrame.unionByName, rows).orderBy("rule")
+
+
+_ENTROPY_LOW_BITS = 3.0  # below this, the doc reads as template/spam
+
+
+@register(
+    "token_entropy_filter",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ),
+        cnt AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks, unnest(t) AS u(tok)
+            GROUP BY 1, 2
+        ),
+        ent AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+                   (ln(CAST(SUM(c) AS DOUBLE))
+                    - SUM(c * ln(CAST(c AS DOUBLE)))
+                      / CAST(SUM(c) AS DOUBLE)) / ln(2) AS h
+            FROM cnt
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, distinct_tokens,
+               round(h, 4) AS entropy_bits,
+               round(h, 4) < {_ENTROPY_LOW_BITS} AS is_low_entropy
+        FROM ent
+        ORDER BY doc_id
+    """,
+    tags=("llm", "filter", "quality"),
+)
+def token_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon token-entropy quality filter - the gibberish/template
+    detector the ratio panel (text_quality_scores) and repetition scores
+    miss: a doc that loops one phrase has high length and fine stopword
+    ratios but entropy near 0, while keyboard-mash has near-uniform
+    maximal entropy. H = log2-entropy of the doc's token distribution via
+    the integer-stable identity H = (ln n - (1/n) * sum c_i ln c_i)/ln 2 -
+    all counts stay integers until two final divisions, so both engines
+    compute the identical double (rounded 4dp; the flag thresholds the
+    ROUNDED value so the boolean can never straddle an ulp).
+
+    Scale: explode -> (doc, token) count -> per-doc aggregate; two
+    map-side-combinable shuffles keyed by doc, no corpus self-join. The
+    low-entropy flag at {_ENTROPY_LOW_BITS} bits is the curation cut."""
+    docs = load(spark, sf_dir, "documents", parallel=True).filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    cnt = (
+        docs.select("doc_id", F.explode(ws_tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").cast("long")
+    h = (
+        F.log(n.cast("double"))
+        - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n.cast("double")
+    ) / F.log(F.lit(2.0))
+    ent = cnt.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.count("*").cast("long").alias("distinct_tokens"),
+        F.round(h, 4).alias("entropy_bits"),
+    )
+    return ent.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_tokens",
+        "entropy_bits",
+        (F.col("entropy_bits") < _ENTROPY_LOW_BITS).alias("is_low_entropy"),
+    ).orderBy("doc_id")

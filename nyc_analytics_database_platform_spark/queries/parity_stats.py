@@ -865,3 +865,86 @@ def ks_two_sample_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n1", "n2", "ks_stat", "crit_05", "reject_05")
     )
+
+
+_MAD_SCALE = 1.4826  # normal-consistency constant: MAD * 1.4826 ~ sigma
+_MAD_CUT = 3.0
+
+
+@register(
+    "mad_robust_outliers_by_segment",
+    oracle=f"""
+        WITH p AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(o.o_totalprice * 100 AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        med AS (
+            SELECT segment,
+                   quantile_cont(cents, 0.5) AS med_cents
+            FROM p GROUP BY 1
+        ),
+        dev AS (
+            SELECT p.segment, p.cents, ABS(p.cents - m.med_cents) AS adev,
+                   m.med_cents
+            FROM p JOIN med m ON p.segment = m.segment
+        ),
+        mad AS (
+            SELECT segment, quantile_cont(adev, 0.5) AS mad_cents
+            FROM dev GROUP BY 1
+        )
+        SELECT d.segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               round(MAX(d.med_cents) / 100, 2) AS median_price,
+               round(MAX(x.mad_cents) / 100, 2) AS mad_price,
+               CAST(SUM(CASE WHEN d.adev > {_MAD_CUT} * {_MAD_SCALE}
+                                  * x.mad_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad x ON d.segment = x.segment
+        GROUP BY d.segment
+        ORDER BY d.segment
+    """,
+    tags=("stats", "anomaly", "robust"),
+)
+def mad_robust_outliers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen per market segment - the
+    heavy-tail-safe twin of events_user_zscore_anomalies: mean/stddev are
+    themselves dragged by the outliers they hunt, median/MAD are not
+    (50% breakdown point). Outlier = |x - median| > 3 * 1.4826 * MAD (the
+    normal-consistency scaling). Exactness: prices integerize to cents, so
+    both engines' interpolated medians are identical doubles (halves at
+    worst) and every comparison is over exact values.
+
+    Scale: two grouped exact percentiles (the documented full-shuffle
+    cost - approx_percentile is the 100 TB swap) + one broadcast join of
+    the per-segment stats back onto the deviation stream."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    p = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    med = p.groupBy("segment").agg(
+        F.percentile("cents", 0.5).alias("med_cents")
+    )
+    dev = p.join(F.broadcast(med), "segment").select(
+        "segment", "med_cents", F.abs(F.col("cents") - F.col("med_cents")).alias("adev")
+    )
+    mad = dev.groupBy("segment").agg(
+        F.percentile("adev", 0.5).alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.max("med_cents") / 100, 2).alias("median_price"),
+            F.round(F.max("mad_cents") / 100, 2).alias("mad_price"),
+            F.sum(
+                F.when(
+                    F.col("adev") > _MAD_CUT * _MAD_SCALE * F.col("mad_cents"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("segment")
+    )

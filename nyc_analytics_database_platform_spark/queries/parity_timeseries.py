@@ -562,3 +562,63 @@ def monthly_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "seasonal_index_by_month",
+    oracle="""
+        WITH m AS (
+            SELECT date_trunc('month', o_orderdate) AS ym,
+                   CAST(month(o_orderdate) AS BIGINT) AS moy,
+                   SUM(o_totalprice) AS rev
+            FROM orders
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT SUM(rev) AS grand, CAST(COUNT(*) AS BIGINT) AS n_all FROM m
+        )
+        SELECT moy,
+               CAST(COUNT(*) AS BIGINT) AS n_months,
+               round((CAST(SUM(rev) AS DOUBLE) * t.n_all)
+                     / (CAST(t.grand AS DOUBLE) * COUNT(*)), 6)
+                   AS seasonal_index
+        FROM m, tot t
+        GROUP BY moy, t.grand, t.n_all
+        ORDER BY moy
+    """,
+    tags=("A6", "timeseries", "forecast"),
+)
+def seasonal_index_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative seasonal decomposition of monthly revenue: the
+    calendar-month index = (mean revenue of that month-of-year) / (mean
+    over all year-months) - index > 1 months run seasonally hot. This is
+    the seasonal leg next to the trend legs (EWMA/Holt) and the
+    change-point leg (CUSUM); a forecaster multiplies the Holt level by
+    this index. Exactness: revenues stay DECIMAL through both aggregates;
+    the index is one double expression over four exact terms (sum * count
+    / (sum * count)), rounded 6dp identically in both engines.
+
+    Scale: facts aggregate once to the bounded year-month grid; everything
+    after runs on that ~O(years*12)-row frame with a broadcast scalar."""
+    orders = load(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("ym"),
+        F.month("o_orderdate").cast("long").alias("moy"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    tot = m.agg(
+        F.sum("rev").alias("grand"), F.count("*").cast("long").alias("n_all")
+    )
+    return (
+        m.join(F.broadcast(tot))
+        .groupBy("moy", "grand", "n_all")
+        .agg(
+            F.count("*").cast("long").alias("n_months"),
+            F.round(
+                (F.sum("rev").cast("double") * F.first("n_all"))
+                / (F.first("grand").cast("double") * F.count("*")),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .select("moy", "n_months", "seasonal_index")
+        .orderBy("moy")
+    )
