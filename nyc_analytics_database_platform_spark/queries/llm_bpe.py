@@ -429,3 +429,207 @@ def bpe_segment_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("freq").desc(), "word")
     )
+
+
+# --- Unigram-LM (SentencePiece-style) Viterbi segmentation ------------------
+
+# Vocabulary: every corpus character + the top-50 2..4-char substrings,
+# each with its frequency-weighted occurrence count; piece log-prob
+# lp(g) = round(ln(n_g / N), 9) with N = total count over the vocab. The
+# 9dp rounding pins the only transcendental to a shared value, so every
+# downstream double (path sums, comparisons) is identical cross-engine.
+_UNI_TOP_GRAMS = 50
+_UNI_MAX_LEN = 4
+_UNI_TOP_WORDS = 20
+
+
+def _uni_cands(word: str, acc: str, t: str, lpm: str) -> str:
+    """Spark SQL: candidate list at position `t` - for piece length L,
+    extend best[t-L] (= element_at(acc, t-L+1)) with word[t-L+1 .. t]."""
+    return f"""
+        filter(transform(sequence(1, {_UNI_MAX_LEN}), L ->
+            IF({t} >= L
+               AND try_element_at({lpm}, substr({word}, {t} - L + 1, L))
+                   IS NOT NULL,
+               named_struct(
+                   's', element_at({acc}, {t} - L + 1).s
+                        + try_element_at({lpm}, substr({word}, {t} - L + 1, L)),
+                   'p', CASE WHEN element_at({acc}, {t} - L + 1).p = ''
+                             THEN substr({word}, {t} - L + 1, L)
+                             ELSE concat(element_at({acc}, {t} - L + 1).p,
+                                         '|', substr({word}, {t} - L + 1, L))
+                        END),
+               cast(null as struct<s: double, p: string>))),
+            x -> x IS NOT NULL)
+    """
+
+
+def _uni_fold_expr() -> str:
+    """DP fold over positions 1..len(word): state = array of best[0..pos]
+    structs (score, '|'-joined path). Per-position pick = max score, ties
+    to the lexicographically smallest path - the same deterministic rule
+    the oracle replays."""
+    cands = _uni_cands("word", "acc", "t", "lpm")
+    return f"""
+        aggregate(
+            sequence(1, length(word)),
+            array(named_struct('s', cast(0.0 as double), 'p', '')),
+            (acc, t) -> concat(acc, array(
+                element_at(transform(array({cands}), cs -> named_struct(
+                    's', array_max(transform(cs, c -> c.s)),
+                    'p', array_min(transform(
+                            filter(cs,
+                                   c -> c.s = array_max(transform(cs, c -> c.s))),
+                            c -> c.p))
+                )), 1))),
+            acc -> element_at(acc, size(acc)))
+    """
+
+
+def _uni_pick_sql() -> str:
+    """DuckDB twin of the per-position pick, over state list s.bests with
+    t = s.pos + 1 and the vocab arrays v.vg / v.vlp."""
+    piece = "substr(s.word, s.pos + 1 - L + 1, L)"
+    cands = f"""
+        list_filter(list_transform([1, 2, 3, 4], L ->
+            CASE WHEN s.pos + 1 >= L
+                      AND list_position(v.vg, {piece}) IS NOT NULL
+                 THEN {{'s': s.bests[s.pos + 1 - L + 1].s
+                             + v.vlp[list_position(v.vg, {piece})],
+                       'p': CASE WHEN s.bests[s.pos + 1 - L + 1].p = ''
+                                 THEN {piece}
+                                 ELSE s.bests[s.pos + 1 - L + 1].p
+                                      || '|' || {piece} END}}
+                 ELSE NULL END),
+            x -> x IS NOT NULL)
+    """
+    return f"""
+        list_transform([{cands}], cs -> {{
+            's': list_max(list_transform(cs, c -> c.s)),
+            'p': list_min(list_transform(
+                    list_filter(cs,
+                        c -> c.s = list_max(list_transform(cs, c -> c.s))),
+                    c -> c.p))}})[1]
+    """
+
+
+@register(
+    "unigram_viterbi_segment",
+    oracle=f"""
+        WITH RECURSIVE {_WORDS_CTE},
+        g AS (
+            SELECT substr(word, i, L) AS gram, CAST(SUM(freq) AS BIGINT) AS n
+            FROM words,
+                 unnest(generate_series(1, {_UNI_MAX_LEN})) AS gl(L),
+                 unnest(generate_series(1, length(word) - L + 1)) AS gi(i)
+            GROUP BY 1
+        ),
+        vocab AS (
+            SELECT gram, n FROM g WHERE length(gram) = 1
+            UNION ALL
+            SELECT gram, n FROM (
+                SELECT gram, n,
+                       ROW_NUMBER() OVER (ORDER BY n DESC, gram) AS rk
+                FROM g WHERE length(gram) >= 2
+            ) WHERE rk <= {_UNI_TOP_GRAMS}
+        ),
+        vl AS (
+            SELECT list(gram ORDER BY gram) AS vg,
+                   list(round(ln(n / CAST(t.tot AS DOUBLE)), 9)
+                        ORDER BY gram) AS vlp
+            FROM vocab, (SELECT SUM(n) AS tot FROM vocab) t
+            GROUP BY t.tot
+        ),
+        ranked AS (
+            SELECT word, freq,
+                   ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rk
+            FROM words
+        ),
+        topw AS (SELECT word, freq FROM ranked WHERE rk <= {_UNI_TOP_WORDS}),
+        seg AS (
+            SELECT word, freq, 0 AS pos,
+                   [{{'s': CAST(0.0 AS DOUBLE), 'p': ''}}] AS bests
+            FROM topw
+            UNION ALL
+            SELECT word, freq, pos + 1, bests || [{_uni_pick_sql()}]
+            FROM seg s, vl v
+            WHERE s.pos < length(s.word)
+        )
+        SELECT word, freq,
+               bests[length(word) + 1].p AS pieces,
+               CAST(length(string_split(bests[length(word) + 1].p, '|'))
+                    AS INT) AS n_pieces,
+               round(bests[length(word) + 1].s, 6) AS logprob
+        FROM seg
+        WHERE pos = length(word)
+        ORDER BY freq DESC, word
+    """,
+    tags=("llm", "text", "tokenize"),
+)
+def unigram_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer inference (the SentencePiece decoding rule,
+    Kudo 2018): segment the top-{_UNI_TOP_WORDS} corpus words into the
+    MAXIMUM-LIKELIHOOD piece sequence under a unigram model - Viterbi DP,
+    not greedy - completing the tokenizer trio next to merge-order BPE
+    (bpe_segment_top_words) and greedy WordPiece
+    (wordpiece_segment_greedy); the three genuinely differ (greedy commits
+    to the longest local piece, Viterbi trades it for a globally better
+    split). Piece log-probs are frequency-weighted substring counts over
+    the vocab (all chars + top-{_UNI_TOP_GRAMS} 2..{_UNI_MAX_LEN}-grams),
+    ln pinned to 9dp so both engines fold identical doubles; per-position
+    ties resolve (max score, then lexicographically smallest path) - the
+    oracle's recursive CTE replays the identical recurrence.
+
+    Scale: vocab = one bounded substring aggregate broadcast as a single
+    map row; the DP is a per-word JVM aggregate fold, O(len * maxlen) per
+    word over the distinct-word table - full-corpus segmentation is the
+    same fold joined back to the token stream."""
+    words = _word_syms(spark, sf_dir).select("word", "freq")
+    grams = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, {_UNI_MAX_LEN}), "
+                f"L -> CASE WHEN length(word) >= L "
+                f"THEN transform(sequence(1, length(word) - L + 1), "
+                f"i -> substring(word, i, L)) "
+                f"ELSE cast(array() as array<string>) END))"
+            )
+        ).alias("gram"),
+    )
+    cnt = grams.groupBy("gram").agg(F.sum("freq").alias("n"))
+    w_rank = Window.orderBy(F.col("n").desc(), "gram")
+    vocab = cnt.filter(F.length("gram") == 1).unionByName(
+        cnt.filter(F.length("gram") >= 2)
+        .select("gram", "n", F.row_number().over(w_rank).alias("rk"))
+        .filter(F.col("rk") <= _UNI_TOP_GRAMS)
+        .drop("rk")
+    )
+    vrow = (
+        vocab.agg(F.array_sort(F.collect_list(F.struct("gram", "n"))).alias("vn"))
+        .select(
+            F.expr(
+                "map_from_arrays(transform(vn, x -> x.gram), "
+                "transform(vn, x -> round(ln(x.n / cast("
+                "aggregate(vn, 0L, (a, y) -> a + y.n) as double)), 9)))"
+            ).alias("lpm")
+        )
+    )
+    w_top = Window.orderBy(F.col("freq").desc(), "word")
+    topw = (
+        words.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= _UNI_TOP_WORDS)
+        .select("word", "freq")
+    )
+    return (
+        topw.crossJoin(F.broadcast(vrow))
+        .withColumn("best", F.expr(_uni_fold_expr()))
+        .select(
+            "word",
+            "freq",
+            F.col("best.p").alias("pieces"),
+            F.size(F.split("best.p", r"\|")).cast("int").alias("n_pieces"),
+            F.round("best.s", 6).alias("logprob"),
+        )
+        .orderBy(F.col("freq").desc(), "word")
+    )

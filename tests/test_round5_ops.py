@@ -298,3 +298,77 @@ def test_containment_prefix_filter_matches_bruteforce(spark):
     )
     got = prefix_filter_containment_pairs(df, 9, 10, k=5).select("a_id", "b_id")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, brute.collect()))
+
+
+# --- unigram Viterbi segmentation -------------------------------------------
+
+
+def _py_viterbi(word, lp):
+    """Pure-Python replay of the fold's recurrence: max score, ties to the
+    lexicographically smallest '|'-joined path."""
+    best = [(0.0, "")]
+    for t in range(1, len(word) + 1):
+        cands = []
+        for L in range(1, 5):
+            if t >= L and word[t - L : t] in lp:
+                s0, p0 = best[t - L]
+                piece = word[t - L : t]
+                cands.append(
+                    (s0 + lp[piece], piece if p0 == "" else p0 + "|" + piece)
+                )
+        ms = max(s for s, _ in cands)
+        best.append((ms, min(p for s, p in cands if s == ms)))
+    return best[-1]
+
+
+@pytest.mark.parametrize(
+    "word,lp",
+    [
+        # Viterbi beats greedy: longest-first takes ab|c (-11), optimal a|bc (-3)
+        ("abc", {"a": -2.0, "b": -9.0, "c": -10.0, "ab": -1.0, "bc": -1.0}),
+        # tie between x|yz and xy|z forces the lexicographic tie-break
+        ("xyz", {"x": -1.0, "y": -5.0, "z": -1.0, "xy": -2.0, "yz": -2.0}),
+        ("aaaa", {"a": -3.0, "aa": -4.0, "aaa": -8.0, "aaaa": -20.0}),
+        ("q", {"q": -0.5}),
+    ],
+)
+def test_unigram_viterbi_fold_matches_python_reference(spark, word, lp):
+    from nyc_analytics_database_platform_spark.queries.llm_bpe import (
+        _uni_fold_expr,
+    )
+
+    map_expr = "map(" + ", ".join(
+        f"'{g}', cast({v} as double)" for g, v in lp.items()
+    ) + ")"
+    row = (
+        spark.createDataFrame([(word,)], "word string")
+        .withColumn("lpm", F.expr(map_expr))
+        .withColumn("best", F.expr(_uni_fold_expr()))
+        .select("best.s", "best.p")
+        .collect()[0]
+    )
+    exp_s, exp_p = _py_viterbi(word, lp)
+    assert row["p"] == exp_p
+    assert abs(row["s"] - exp_s) < 1e-12
+
+
+def test_unigram_viterbi_differs_from_greedy_on_corpus_shape(spark):
+    """The 'abc' case above IS the greedy/Viterbi divergence: WordPiece's
+    longest-match-first rule would emit ab|c. Pin that the fold does not."""
+    from nyc_analytics_database_platform_spark.queries.llm_bpe import (
+        _uni_fold_expr,
+    )
+
+    row = (
+        spark.createDataFrame([("abc",)], "word string")
+        .withColumn(
+            "lpm",
+            F.expr(
+                "map('a', -2.0D, 'b', -9.0D, 'c', -10.0D,"
+                " 'ab', -1.0D, 'bc', -1.0D)"
+            ),
+        )
+        .withColumn("best", F.expr(_uni_fold_expr()))
+        .collect()[0]
+    )
+    assert row["best"]["p"] == "a|bc"
