@@ -1,0 +1,223 @@
+"""Spatial joins over synthetic-but-deterministic coordinates - the
+geo-analytics family the reference's NYC domain implies (its
+Geographic_Area / address columns are the real-world carrier; the
+geocode enrichment in sources/geocode.py produces exactly such points).
+
+The testdata tables carry no lat/lon, so coordinates derive from entity
+keys via the repo's cross-engine md5-hex convention (same idiom as
+cms_bucket_cols / minhash_signatures): frac(k) = int(md5(salt||k)[:6],
+16) / 16^6 is uniform on [0,1) with ~6e-8 resolution and bit-identical
+in any engine with md5. Points land in the NYC bounding box
+(lat 40.50..40.90, lon -74.25..-73.75).
+
+Distance is PLANAR with fixed meters-per-degree constants
+(111320 m/deg lat; 84288 m/deg lon = 111320 * cos(40.7 deg), the box
+midpoint, precomputed so no engine evaluates a transcendental): at city
+scale (<= 50 km) the fixed-latitude scaling error is < 0.15% - and
+keeping the whole distance expression in +,*,sqrt means both engines
+produce the identical IEEE double, so parity needs no tolerance.
+
+Scale design: near-pair search buckets points into 0.01-degree grid
+cells (>= the 500 m radius in both axes), so candidates come from each
+point's 3x3 cell neighborhood - one equi-join on cell keys, never
+all-pairs; the oracle IS the brute-force all-pairs filter, proving the
+cell join lossless. Facility assignment broadcasts the tiny facility dim
+and takes a min_by per point - zero shuffle of the point stream beyond
+the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.registry import register
+
+_LAT0, _LAT_SPAN = 40.50, 0.40
+_LON0, _LON_SPAN = -74.25, 0.50
+_M_PER_DEG_LAT = 111320.0
+_M_PER_DEG_LON = 84288.0  # 111320 * cos(40.7 deg), fixed - no runtime trig
+_RADIUS_M = 500.0
+_CELL_DEG = 0.01  # 1113 m lat / 843 m lon per cell - both >= the radius
+
+
+def _frac(salt: str, key_col) -> F.Column:
+    """Deterministic uniform [0,1): first 6 md5 hex chars / 16^6."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("", F.lit(salt), key_col)), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(16**6))
+    )
+
+
+def with_point(df: DataFrame, key_col: str, prefix: str = "") -> DataFrame:
+    """Attach deterministic (lat, lon) derived from `key_col`."""
+    return df.withColumn(
+        f"{prefix}lat", F.lit(_LAT0) + _frac("lat:", F.col(key_col)) * _LAT_SPAN
+    ).withColumn(
+        f"{prefix}lon", F.lit(_LON0) + _frac("lon:", F.col(key_col)) * _LON_SPAN
+    )
+
+
+def _frac_sql(salt: str, key: str) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5('{salt}' || {key}), 1, 6)) AS BIGINT)"
+        f" / CAST({16**6} AS DOUBLE))"
+    )
+
+
+def _point_sql(key: str) -> str:
+    return (
+        f"{_LAT0} + {_frac_sql('lat:', key)} * {_LAT_SPAN} AS lat, "
+        f"{_LON0} + {_frac_sql('lon:', key)} * {_LON_SPAN} AS lon"
+    )
+
+
+_DIST_SQL = (
+    f"sqrt(power((a.lat - b.lat) * {_M_PER_DEG_LAT}, 2)"
+    f" + power((a.lon - b.lon) * {_M_PER_DEG_LON}, 2))"
+)
+
+
+def _dist_m(lat_a, lon_a, lat_b, lon_b) -> F.Column:
+    return F.sqrt(
+        F.pow((lat_a - lat_b) * _M_PER_DEG_LAT, 2)
+        + F.pow((lon_a - lon_b) * _M_PER_DEG_LON, 2)
+    )
+
+
+def near_pairs_cells(
+    pts: DataFrame, radius_m: float = _RADIUS_M, cell_deg: float = _CELL_DEG
+) -> DataFrame:
+    """Pairs (a_id < b_id) within radius_m over a (id, lat, lon) frame via
+    the 3x3 grid-cell candidate join. Requires cell_deg * m-per-degree >=
+    radius_m on both axes (asserted) so the neighborhood covers the disc."""
+    assert cell_deg * _M_PER_DEG_LAT >= radius_m
+    assert cell_deg * _M_PER_DEG_LON >= radius_m
+    cells = pts.select(
+        "id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / cell_deg).cast("long").alias("clat"),
+        F.floor(F.col("lon") / cell_deg).cast("long").alias("clon"),
+    )
+    probes = cells.select(
+        F.col("id").alias("a_id"),
+        F.col("lat").alias("a_lat"),
+        F.col("lon").alias("a_lon"),
+        F.explode(
+            F.expr("flatten(transform(sequence(-1, 1), "
+                   "dx -> transform(sequence(-1, 1), "
+                   "dy -> named_struct('clat', clat + dx, 'clon', clon + dy))))")
+        ).alias("cell"),
+    ).select("a_id", "a_lat", "a_lon", "cell.clat", "cell.clon")
+    dist = _dist_m(F.col("a_lat"), F.col("a_lon"), F.col("lat"), F.col("lon"))
+    return (
+        probes.join(
+            cells.select(F.col("id").alias("b_id"), "lat", "lon", "clat", "clon"),
+            ["clat", "clon"],
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(dist <= radius_m)
+        .select("a_id", "b_id", F.round(dist, 2).alias("dist_m"))
+    )
+
+
+@register(
+    "spatial_near_pairs_cells",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey AS id, {_point_sql("c_custkey")}
+            FROM customer
+        )
+        SELECT a.id AS a_id, b.id AS b_id,
+               round({_DIST_SQL}, 2) AS dist_m
+        FROM pts a JOIN pts b ON a.id < b.id
+        WHERE {_DIST_SQL} <= {_RADIUS_M}
+        ORDER BY a_id, b_id
+    """,
+    tags=("spatial", "join"),
+)
+def spatial_near_pairs_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within 500 m - the distance-radius self-join
+    (cluster detection, duplicate-address screening). Each point probes
+    its 3x3 grid-cell neighborhood (cell edge >= radius, so the
+    neighborhood provably covers the disc); the brute-force all-pairs
+    oracle certifies the cell join drops nothing. Candidate volume is
+    sum over cells of 9 * occupancy^2 instead of n^2 - and the cell keys
+    shuffle-partition evenly because the coordinates are hash-uniform."""
+    pts = with_point(
+        load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id")),
+        "id",
+    ).select("id", "lat", "lon")
+    return near_pairs_cells(pts).orderBy("a_id", "b_id")
+
+
+@register(
+    "spatial_nearest_facility",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey AS id, {_point_sql("c_custkey")}
+            FROM customer
+        ),
+        fac AS (
+            SELECT s_suppkey AS fid, {_point_sql("s_suppkey")}
+            FROM supplier
+        ),
+        d AS (
+            SELECT a.id, b.fid, {_DIST_SQL} AS dist
+            FROM pts a CROSS JOIN fac b
+        ),
+        best AS (
+            SELECT id, fid, dist,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY dist, fid) AS rk
+            FROM d
+        )
+        SELECT fid AS facility_id,
+               CAST(COUNT(*) AS BIGINT) AS n_assigned,
+               round(MIN(dist), 2) AS min_dist_m,
+               round(MAX(dist), 2) AS max_dist_m
+        FROM best WHERE rk = 1
+        GROUP BY fid
+        ORDER BY facility_id
+    """,
+    tags=("spatial", "join", "reporting"),
+)
+def spatial_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility assignment (customers -> closest supplier site)
+    with per-facility catchment stats - the service-area / coverage
+    report. The facility dim is tiny at any scale, so the plan is a
+    BROADCAST nested-loop against the point stream + one min_by struct
+    argmin per point (ties break on facility id via the struct order) -
+    the point table never shuffles; the rollup is map-side combinable."""
+    pts = with_point(
+        load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id")),
+        "id",
+    ).select("id", "lat", "lon")
+    fac = with_point(
+        load(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("fid")),
+        "fid",
+        prefix="f",
+    ).select("fid", "flat", "flon")
+    dist = _dist_m(F.col("lat"), F.col("lon"), F.col("flat"), F.col("flon"))
+    best = (
+        pts.crossJoin(F.broadcast(fac))
+        .select("id", F.struct(dist.alias("dist"), F.col("fid")).alias("c"))
+        .groupBy("id")
+        .agg(F.min("c").alias("c"))
+        .select("id", F.col("c.fid").alias("fid"), F.col("c.dist").alias("dist"))
+    )
+    return (
+        best.groupBy(F.col("fid").alias("facility_id"))
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.round(F.min("dist"), 2).alias("min_dist_m"),
+            F.round(F.max("dist"), 2).alias("max_dist_m"),
+        )
+        .orderBy("facility_id")
+    )

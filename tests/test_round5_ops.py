@@ -372,3 +372,59 @@ def test_unigram_viterbi_differs_from_greedy_on_corpus_shape(spark):
         .collect()[0]
     )
     assert row["best"]["p"] == "a|bc"
+
+
+# --- spatial cell join -------------------------------------------------------
+
+
+def test_spatial_cell_join_finds_cross_cell_boundary_pairs(spark):
+    """Points on opposite sides of a cell boundary (and across a corner)
+    within the radius must surface - the case a same-cell-only join drops."""
+    from nyc_analytics_database_platform_spark.queries.parity_spatial import (
+        near_pairs_cells,
+    )
+
+    pts = spark.createDataFrame(
+        [
+            (1, 40.69999, -74.00999),  # just inside cell (4069, -7401)
+            (2, 40.70001, -74.01001),  # corner-adjacent cell, ~2.5 m away
+            (3, 40.70001, -74.00999),  # edge-adjacent cell (lat)
+            (4, 40.70300, -74.00999),  # same lat cell-column, ~335 m from 3
+            (5, 40.80000, -74.20000),  # far away: no pairs
+        ],
+        "id long, lat double, lon double",
+    )
+    pairs = {
+        (r["a_id"], r["b_id"]) for r in near_pairs_cells(pts).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (3, 4) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_spatial_cell_join_matches_bruteforce_on_random_cloud(spark):
+    """Losslessness on a deterministic cloud: cell join == all-pairs."""
+    from nyc_analytics_database_platform_spark.queries.parity_spatial import (
+        near_pairs_cells,
+        with_point,
+        _dist_m,
+    )
+
+    base = spark.range(1, 300).select(F.col("id"))
+    pts = with_point(base, "id").select("id", "lat", "lon")
+    got = {
+        (r["a_id"], r["b_id"]) for r in near_pairs_cells(pts).collect()
+    }
+    a = pts.selectExpr("id AS a_id", "lat AS a_lat", "lon AS a_lon")
+    b = pts.selectExpr("id AS b_id", "lat AS b_lat", "lon AS b_lon")
+    brute = (
+        a.crossJoin(b)
+        .filter("a_id < b_id")
+        .filter(
+            _dist_m(
+                F.col("a_lat"), F.col("a_lon"), F.col("b_lat"), F.col("b_lon")
+            )
+            <= 500.0
+        )
+    )
+    exp = {(r["a_id"], r["b_id"]) for r in brute.collect()}
+    assert got == exp and len(exp) > 0
