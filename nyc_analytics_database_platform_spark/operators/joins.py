@@ -64,6 +64,52 @@ def asof_join(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the EARLIEST right row with
+    right_ts >= left_ts within the same `on` key (left outer semantics) -
+    the forward/"next event" mirror of asof_join, e.g. click -> next
+    purchase, quote -> next trade, alert -> next deploy.
+
+    Same union-window shape (one shuffle on the key, no row multiplication):
+    the only difference is the traversal order - DESCENDING ts, right rows
+    still visited before left rows at equal ts so the match is inclusive -
+    and the carried struct is therefore the nearest FUTURE right row."""
+    lcols = left.columns
+    payload_t = (
+        "struct<" + ", ".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols) + ">"
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        F.lit(None).cast(payload_t).alias("_r"),
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = l.unionByName(r).withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+    return u.filter(F.col("_side") == 1).select(
+        *lcols, *[F.col(f"_r.{c}").alias(f"asof_{c}") for c in value_cols]
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -304,3 +304,51 @@ def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "asof_forward_next_purchase",
+    oracle="""
+        SELECT c.event_id,
+               c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+               strftime(MIN(p.ts), '%Y-%m-%d %H:%M:%S.%f') AS asof_ts
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        GROUP BY c.event_id, c.user_id, c.ts
+        ORDER BY c.event_id
+    """,
+    tags=("J-ext", "asof"),
+)
+def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each click, the earliest purchase by the
+    same user at or after it - the time-to-conversion primitive
+    (click -> next purchase), mirroring asof_join_purchase_last_click's
+    backward lookup. The oracle states the semantics as a MIN over the
+    future side; the Spark plan is operators/joins.asof_join_forward -
+    the same union + sorted-window shape traversed in DESCENDING ts, so
+    still one shuffle on user_id and zero row multiplication however many
+    events a user has (the oracle's join-then-min is |clicks| x
+    |purchases| per user and exists only as the spec)."""
+    from nyc_analytics_database_platform_spark.operators.joins import (
+        asof_join_forward,
+    )
+
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    joined = asof_join_forward(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_ts"),
+    ).orderBy("event_id")

@@ -948,3 +948,90 @@ def mad_robust_outliers_by_segment(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "weighted_median_price_by_flag",
+    oracle="""
+        WITH v AS (
+            SELECT l_returnflag AS returnflag, l_extendedprice AS val,
+                   CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS w
+            FROM lineitem
+            GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT returnflag, val, w,
+                   SUM(w) OVER (PARTITION BY returnflag ORDER BY val) AS cw,
+                   SUM(w) OVER (PARTITION BY returnflag) AS tw
+            FROM v
+        )
+        SELECT returnflag,
+               MIN(val) AS weighted_median_price,
+               CAST(MAX(tw) AS BIGINT) AS total_weight
+        FROM c
+        WHERE 2 * cw >= tw
+        GROUP BY returnflag
+        ORDER BY returnflag
+    """,
+    tags=("stats", "A-ext", "percentile"),
+)
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median price per return flag - the
+    inventory-weighted center percentile() cannot express (each row
+    counts quantity times, so a few huge-quantity lines move the median
+    where the unweighted one sits still). Lower weighted median: the
+    smallest value whose cumulative weight reaches half the total -
+    picked by an integer predicate (2*cw >= tw), no interpolation, no
+    floats anywhere.
+
+    Scale: rows pre-aggregate to distinct (flag, value) with integer
+    centiweights; the cumulative weights use the two-level scan - offsets
+    over the per-(flag, price-kilobucket) totals frame (bounded by the
+    price DOMAIN: ~105 buckets x 3 flags), within-bucket windows fully
+    partitioned - no single-partition window touches data."""
+    li = load(spark, sf_dir, "lineitem")
+    v = li.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_extendedprice").alias("val"),
+    ).agg(
+        F.sum((F.col("l_quantity") * 100).cast("long")).cast("long").alias("w")
+    )
+    v = v.withColumn("bucket", F.floor(F.col("val") / 1000).cast("long"))
+    wb = (
+        Window.partitionBy("returnflag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        v.groupBy("returnflag", "bucket")
+        .agg(F.sum("w").alias("bw"))
+        .select(
+            "returnflag",
+            "bucket",
+            F.coalesce(F.sum("bw").over(wb), F.lit(0)).alias("off"),
+        )
+    )
+    wv = (
+        Window.partitionBy("returnflag", "bucket")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = v.groupBy("returnflag").agg(F.sum("w").cast("long").alias("tw"))
+    c = (
+        v.join(F.broadcast(offsets), ["returnflag", "bucket"])
+        .select(
+            "returnflag",
+            "val",
+            (F.sum("w").over(wv) + F.col("off")).alias("cw"),
+        )
+        .join(F.broadcast(tot), "returnflag")
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("returnflag")
+        .agg(
+            F.min("val").alias("weighted_median_price"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy("returnflag")
+    )
