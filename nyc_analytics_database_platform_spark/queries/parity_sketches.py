@@ -177,3 +177,157 @@ def dedup_bloom_screen_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_new"), F.sum("doc_id").alias("id_sum"))
         .orderBy("source")
     )
+
+
+# --- KMV / theta sketch set operations --------------------------------------
+
+_KMV_K = 64
+_SEG_A, _SEG_B = "BUILDING", "MACHINERY"
+_POW48 = float(2**48)
+
+
+def _kmv_oracle() -> str:
+    h = (
+        "((CAST(('0x' || substr(md5(CAST(custkey AS VARCHAR)), 1, 12)) AS BIGINT)"
+        f" + 1) / {_POW48})"
+    )
+    return f"""
+        WITH flags AS (
+            SELECT o.o_custkey AS custkey,
+                   MAX(CASE WHEN c.c_mktsegment = '{_SEG_A}' THEN 1 ELSE 0 END)
+                       AS in_a,
+                   MAX(CASE WHEN c.c_mktsegment = '{_SEG_B}' THEN 1 ELSE 0 END)
+                       AS in_b
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment IN ('{_SEG_A}', '{_SEG_B}')
+            GROUP BY 1
+        ),
+        hashed AS (SELECT custkey, in_a, in_b, {h} AS h FROM flags),
+        sk_a AS (
+            SELECT h FROM hashed WHERE in_a = 1
+            QUALIFY ROW_NUMBER() OVER (ORDER BY h, custkey) <= {_KMV_K}
+        ),
+        sk_b AS (
+            SELECT h FROM hashed WHERE in_b = 1
+            QUALIFY ROW_NUMBER() OVER (ORDER BY h, custkey) <= {_KMV_K}
+        ),
+        sk_u AS (
+            SELECT h, in_a, in_b FROM hashed
+            QUALIFY ROW_NUMBER() OVER (ORDER BY h, custkey) <= {_KMV_K}
+        ),
+        est AS (
+            SELECT
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM hashed WHERE in_a = 1)
+                  AS exact_a,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM hashed WHERE in_b = 1)
+                  AS exact_b,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM hashed) AS exact_union,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM hashed
+               WHERE in_a = 1 AND in_b = 1) AS exact_intersect,
+              (SELECT CASE WHEN COUNT(*) < {_KMV_K}
+                           THEN CAST(COUNT(*) AS DOUBLE)
+                           ELSE round(({_KMV_K} - 1) / MAX(h), 2) END
+               FROM sk_a) AS est_a,
+              (SELECT CASE WHEN COUNT(*) < {_KMV_K}
+                           THEN CAST(COUNT(*) AS DOUBLE)
+                           ELSE round(({_KMV_K} - 1) / MAX(h), 2) END
+               FROM sk_b) AS est_b,
+              (SELECT CASE WHEN COUNT(*) < {_KMV_K}
+                           THEN CAST(COUNT(*) AS DOUBLE)
+                           ELSE round(({_KMV_K} - 1) / MAX(h), 2) END
+               FROM sk_u) AS est_union,
+              (SELECT CAST(SUM(in_a * in_b) AS BIGINT) FROM sk_u)
+                  AS inter_in_sketch
+        )
+        SELECT exact_a, est_a, exact_b, est_b, exact_union, est_union,
+               exact_intersect,
+               round(inter_in_sketch * est_union / {_KMV_K}, 2)
+                   AS est_intersect
+        FROM est
+    """
+
+
+@register(
+    "kmv_theta_set_estimates",
+    oracle=_kmv_oracle(),
+    tags=("sketch", "approx", "A-ext"),
+)
+def kmv_theta_set_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta) sketch with SET OPERATIONS: distinct
+    buyers per segment plus UNION and - the thing HyperLogLog cannot do -
+    INTERSECTION estimates, from three 64-value sketches. Union sketch =
+    the k smallest hashes of the merged stream; intersection = (matching
+    fraction inside the union sketch) * union estimate (the theta-sketch
+    rule). The hash is the repo's md5-hex convention mapped to (0,1] with
+    power-of-two scaling, so h, the k-th minimum, and every estimate are
+    the SAME doubles in both engines - the oracle compares the estimates
+    EXACTLY, alongside the exact counts it certifies them against
+    (estimator error here: ~12% at k=64, visible in the output row).
+
+    Scale: the per-set k-minimum is a TakeOrderedAndProject (per-partition
+    heap, k-row merge - no global sort); sketches are k rows however large
+    the key domain; merging sketches is a k-row operation. This is the
+    partial-aggregable distinct-sketch family's third member beside HLL
+    (approx_distinct_buyers) and bloom (dedup_bloom_screen_new_docs)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(_SEG_A, _SEG_B)
+    ).select("c_custkey", "c_mktsegment")
+    flags = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(
+                F.when(F.col("c_mktsegment") == _SEG_A, 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("c_mktsegment") == _SEG_B, 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("custkey").cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        + 1
+    ) / F.lit(_POW48)
+    hashed = flags.withColumn("h", h)
+
+    def sketch(df: DataFrame) -> DataFrame:
+        return df.orderBy("h", "custkey").limit(_KMV_K)
+
+    def est(sk: DataFrame, name: str) -> DataFrame:
+        return sk.agg(
+            F.when(F.count("*") < _KMV_K, F.count("*").cast("double"))
+            .otherwise(F.round((_KMV_K - 1) / F.max("h"), 2))
+            .alias(name)
+        )
+
+    exacts = hashed.agg(
+        F.sum("in_a").cast("long").alias("exact_a"),
+        F.sum("in_b").cast("long").alias("exact_b"),
+        F.count("*").cast("long").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("exact_intersect"),
+    )
+    sk_u = sketch(hashed)
+    inter = sk_u.agg(
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("inter_in_sketch")
+    )
+    out = (
+        exacts.crossJoin(F.broadcast(est(sketch(hashed.filter("in_a = 1")), "est_a")))
+        .crossJoin(F.broadcast(est(sketch(hashed.filter("in_b = 1")), "est_b")))
+        .crossJoin(F.broadcast(est(sk_u, "est_union")))
+        .crossJoin(F.broadcast(inter))
+    )
+    return out.select(
+        "exact_a",
+        "est_a",
+        "exact_b",
+        "est_b",
+        "exact_union",
+        "est_union",
+        "exact_intersect",
+        F.round(F.col("inter_in_sketch") * F.col("est_union") / _KMV_K, 2).alias(
+            "est_intersect"
+        ),
+    )

@@ -428,3 +428,26 @@ def test_spatial_cell_join_matches_bruteforce_on_random_cloud(spark):
     )
     exp = {(r["a_id"], r["b_id"]) for r in brute.collect()}
     assert got == exp and len(exp) > 0
+
+
+# --- KMV theta sketch --------------------------------------------------------
+
+
+def test_kmv_estimates_land_near_exact_counts(spark, sf_dir):
+    """Deterministic accuracy guard: at k=64 the KMV relative error should
+    stay well inside 3/sqrt(k) ~ 37% on every set, and the intersection
+    estimate must be nonnegative and bounded by the union estimate."""
+    from nyc_analytics_database_platform_spark.registry import all_specs
+
+    fn = all_specs()["kmv_theta_set_estimates"].fn
+    r = fn(spark, sf_dir).collect()[0]
+    for est, exact in [
+        (r["est_a"], r["exact_a"]),
+        (r["est_b"], r["exact_b"]),
+        (r["est_union"], r["exact_union"]),
+    ]:
+        if exact >= 64:
+            assert abs(est - exact) / exact < 0.37, (est, exact)
+        else:
+            assert est == exact
+    assert 0.0 <= r["est_intersect"] <= r["est_union"] + 1e-9
