@@ -1035,3 +1035,108 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("returnflag")
     )
+
+
+_APX_QS = (0.5, 0.95, 0.99)
+_APX_ACCS = (100, 1000, 10000)
+
+
+@register(
+    "approx_percentile_rank_error_sweep",
+    oracle=f"""
+        WITH e AS (
+            SELECT
+              PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+              PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95,
+              PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99
+            FROM orders
+        )
+        SELECT g.acc AS accuracy, g.q AS quantile,
+               CASE g.q WHEN 0.5 THEN e.p50
+                        WHEN 0.95 THEN e.p95
+                        ELSE e.p99 END AS exact_value,
+               TRUE AS rank_error_ok
+        FROM e, (VALUES {", ".join(f"({a}, {q})" for a in _APX_ACCS for q in _APX_QS)})
+                 AS g(acc, q)
+        ORDER BY accuracy, quantile
+    """,
+    tags=("stats", "approx", "calibration"),
+)
+def approx_percentile_rank_error_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration sweep for the percentile 100 TB path: at accuracies
+    100 / 1000 / 10000, certify that percentile_approx's RANK error -
+    the quantity its Greenwald-Khanna contract actually bounds
+    (|rank(v)/n - q| <= 1/accuracy) - holds at q = 0.5 / 0.95 / 0.99.
+    Sketch VALUES are engine-specific, so (same pattern as
+    median_price_approx) the compared columns are the exact percentile
+    both engines compute plus a TRUE-pinned contract assertion; a hash
+    mismatch means the sketch broke its published bound. This is the
+    consult-before-retuning table for swapping exact percentile() out at
+    scale, the percentile twin of dedup_lsh_threshold_sweep.
+
+    Scale: one pass computes every rank - the nine approx values ride a
+    1-row broadcast into conditional counts, all map-side combinable; the
+    exact percentiles are the documented full-shuffle calibration cost."""
+    orders = load(spark, sf_dir, "orders")
+    qlist = list(_APX_QS)
+    one = orders.agg(
+        F.percentile("o_totalprice", qlist).alias("evs"),
+        F.count("*").alias("n"),
+        *[
+            F.percentile_approx("o_totalprice", qlist, a).alias(f"avs_{a}")
+            for a in _APX_ACCS
+        ],
+    )
+    ranks = orders.crossJoin(F.broadcast(one)).agg(
+        *[
+            F.array(
+                *[
+                    F.sum(
+                        F.when(
+                            F.col("o_totalprice")
+                            <= F.element_at(f"avs_{a}", i + 1),
+                            1,
+                        ).otherwise(0)
+                    )
+                    for i in range(len(qlist))
+                ]
+            ).alias(f"ranks_{a}")
+            for a in _APX_ACCS
+        ],
+        F.first("evs").alias("evs"),
+        F.first("n").alias("n"),
+    )
+    grid = spark.createDataFrame(
+        [(a, i, int(round(q * 100))) for a in _APX_ACCS for i, q in enumerate(qlist)],
+        "accuracy long, qi int, q100 long",
+    )
+    rank_col = F.when(
+        F.col("accuracy") == _APX_ACCS[0],
+        F.element_at(f"ranks_{_APX_ACCS[0]}", F.col("qi") + 1),
+    ).when(
+        F.col("accuracy") == _APX_ACCS[1],
+        F.element_at(f"ranks_{_APX_ACCS[1]}", F.col("qi") + 1),
+    ).otherwise(F.element_at(f"ranks_{_APX_ACCS[2]}", F.col("qi") + 1))
+    return (
+        grid.crossJoin(F.broadcast(ranks))
+        .select(
+            "accuracy",
+            (F.col("q100") / F.lit(100.0)).alias("quantile"),
+            F.element_at("evs", F.col("qi") + 1).alias("exact_value"),
+            # |rank/n - q| <= 1/acc, held INCLUSIVELY in pure integer
+            # arithmetic (the sketch legitimately sits exactly ON its
+            # bound; a double compare flips on the epsilon overshoot):
+            # |100r - q100*n| * acc <= 100 * n.
+            (
+                F.abs(
+                    100 * rank_col.cast("long")
+                    - F.col("q100") * F.col("n")
+                )
+                * F.col("accuracy")
+                <= 100 * F.col("n")
+            ).alias("rank_error_ok"),
+        )
+        .orderBy("accuracy", "quantile")
+    )
