@@ -42,6 +42,10 @@ def test_entry_under_driver_session(driver_like_spark):
         "stream_left_outer_join_executed",  # r5: real drain + outer state
         "stream_foreachbatch_upsert_executed",  # r5: foreachBatch sink
         "cms_heavy_users_estimates",  # r5: mapInPandas MG + conv()
+        "asof_forward_next_purchase",  # r5: events + descending window
+        "unigram_viterbi_segment",  # r5: map broadcast + aggregate fold
+        "spatial_dbscan_clusters",  # r5: localCheckpoint CC loop
+        "kmv_theta_set_estimates",  # r5: conv() hash + TakeOrdered sketches
     ],
 )
 def test_events_queries_under_driver_session(driver_like_spark, sf_dir, name):
