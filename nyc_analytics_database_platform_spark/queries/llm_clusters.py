@@ -11,11 +11,12 @@ gets an exact cross-engine check.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.functions.text import ws_tokens
 from nyc_analytics_database_platform_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
@@ -364,4 +365,98 @@ def dedup_keep_longest_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_size").cast("long").alias("cluster_size"),
         )
         .orderBy("component")
+    )
+
+
+_CTFIDF_TOP = 5
+
+
+@register(
+    "cluster_topic_terms_ctfidf",
+    oracle=f"""
+        WITH toks AS (
+            SELECT e.label, u.tok
+            FROM documents d
+            JOIN embeddings e ON e.vec_id = d.doc_id,
+            unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS u(tok)
+            WHERE d.text IS NOT NULL AND length(trim(d.text)) > 0
+        ),
+        tf AS (
+            SELECT label, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY 1, 2
+        ),
+        f AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS f FROM tf GROUP BY 1),
+        a AS (
+            SELECT SUM(tf) / CAST(COUNT(DISTINCT label) AS DOUBLE) AS avg_class
+            FROM tf
+        ),
+        scored AS (
+            SELECT t.label, t.tok, t.tf,
+                   round(t.tf * ln(1 + a.avg_class / f.f), 6) AS score
+            FROM tf t JOIN f ON f.tok = t.tok, a
+        ),
+        ranked AS (
+            SELECT label, tok, tf, score,
+                   ROW_NUMBER() OVER (PARTITION BY label
+                                      ORDER BY score DESC, tok) AS rk
+            FROM scored
+        )
+        SELECT label, CAST(rk AS INT) AS rk, tok AS term, tf, score
+        FROM ranked WHERE rk <= {_CTFIDF_TOP}
+        ORDER BY label, rk
+    """,
+    tags=("llm", "clustering", "text"),
+)
+def cluster_topic_terms_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster LABELING via class-based TF-IDF (the BERTopic c-TF-IDF
+    rule): treat each embedding cluster as one meta-document, score term t
+    in class c as tf(t,c) * ln(1 + A / f(t)) with A = average tokens per
+    class and f(t) the corpus-wide term count, and emit the top-5 terms
+    per cluster - the human-readable topic names for the semantic-dedup /
+    IVF cluster artifacts. The one ln is computed on (double-div, ln,
+    round 6dp after the integer tf multiply); ranking is on the ROUNDED
+    score with a term tie-break, so the cut is deterministic cross-engine.
+
+    Scale: tokens aggregate to (label, term) - map-side combinable - and
+    term totals derive FROM that aggregate (never a second corpus pass);
+    the rank is a WindowGroupLimit over the bounded label domain."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    toks = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select("label", F.explode(ws_tokens("text")).alias("tok"))
+    )
+    tf = toks.groupBy("label", "tok").agg(F.count("*").alias("tf"))
+    fdf = tf.groupBy("tok").agg(F.sum("tf").alias("f"))
+    a = tf.agg(
+        (
+            F.sum("tf") / F.countDistinct("label").cast("double")
+        ).alias("avg_class")
+    )
+    scored = (
+        tf.join(fdf, "tok")
+        .crossJoin(F.broadcast(a))
+        .select(
+            "label",
+            "tok",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(1 + F.col("avg_class") / F.col("f")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CTFIDF_TOP)
+        .select(
+            "label",
+            F.col("rk").cast("int").alias("rk"),
+            F.col("tok").alias("term"),
+            "tf",
+            "score",
+        )
+        .orderBy("label", "rk")
     )

@@ -622,3 +622,103 @@ def seasonal_index_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("moy", "n_months", "seasonal_index")
         .orderBy("moy")
     )
+
+
+@register(
+    "theil_sen_revenue_trend",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                       AS mi,
+                   CAST(SUM(o_totalprice) * 100 AS BIGINT) AS cents
+            FROM orders
+            GROUP BY 1
+        ),
+        slopes AS (
+            SELECT (b.cents - a.cents) / CAST(b.mi - a.mi AS DOUBLE) AS s
+            FROM m a JOIN m b ON b.mi > a.mi
+        ),
+        ts AS (
+            SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY s) AS slope
+            FROM slopes
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_months,
+               round(ts.slope / 100, 4) AS slope_per_month,
+               round((SELECT PERCENTILE_DISC(0.5) WITHIN GROUP
+                          (ORDER BY m.cents - ts.slope * m.mi) FROM m) / 100,
+                     4) AS intercept
+        FROM ts
+    """,
+    tags=("stats", "timeseries", "robust"),
+)
+def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly revenue: slope = MEDIAN of all
+    pairwise month-to-month slopes (29% breakdown point - a few wild
+    months cannot drag it, unlike the OLS line in stats_exact_linear_fit,
+    its least-squares twin), intercept = median residual at slope. All
+    inputs integerize (month index, revenue cents) before the one double
+    division per pair, so both engines take medians over identical
+    doubles; both medians are DISCRETE order statistics, so no
+    interpolation arithmetic exists to diverge.
+
+    Scale: facts collapse to the bounded year-month frame FIRST; the
+    pairwise self-join, the global-order windows, and both medians run on
+    O(months^2) ~ thousands of rows however big the fact table -
+    calendar-bounded, not data-bounded (the unpartitioned windows are over
+    this bounded frame only)."""
+    orders = load(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mi")
+    ).agg((F.sum("o_totalprice") * 100).cast("long").alias("cents"))
+    a = m.select(F.col("mi").alias("ami"), F.col("cents").alias("ac"))
+    b = m.select(F.col("mi").alias("bmi"), F.col("cents").alias("bc"))
+    slopes = (
+        a.join(b, F.col("bmi") > F.col("ami"))
+        .select(
+            (
+                (F.col("bc") - F.col("ac"))
+                / (F.col("bmi") - F.col("ami")).cast("double")
+            ).alias("s")
+        )
+    )
+    # DISCRETE medians on purpose (PERCENTILE_DISC = the value at
+    # position ceil(n/2), an actual element of the set): an interpolated
+    # median averages two doubles, and the engines' interpolation differs
+    # in the last ulp - which the month index (~24000) then amplifies
+    # through slope * mi into the residual median. Picking an element
+    # makes both medians bit-identical by construction.
+    wsl = Window.orderBy("s")
+    ts = (
+        slopes.select(
+            "s",
+            F.row_number().over(wsl).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("ns"),
+        )
+        .filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("ns")))
+        .select(F.col("s").alias("slope"))
+    )
+    res = m.crossJoin(F.broadcast(ts)).select(
+        "slope", (F.col("cents") - F.col("slope") * F.col("mi")).alias("r")
+    )
+    wr = Window.orderBy("r")
+    resid = (
+        res.select(
+            "slope",
+            "r",
+            F.row_number().over(wr).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("nr"),
+        )
+        .filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("nr")))
+        .select(F.col("r").alias("med_resid"), "slope")
+    )
+    n = m.agg(F.count("*").cast("long").alias("n_months"))
+    return (
+        n.crossJoin(F.broadcast(resid))
+        .select(
+            "n_months",
+            F.round(F.col("slope") / 100, 4).alias("slope_per_month"),
+            F.round(F.col("med_resid") / 100, 4).alias("intercept"),
+        )
+    )
