@@ -564,3 +564,152 @@ def stream_interval_join_executed(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("clicks_10m"))
         .orderBy("purchase_id")
     )
+
+
+# --- executed stream-static spatial enrichment -------------------------------
+
+_SP_DIST = (
+    "sqrt(power((lat - f.flat) * 111320.0, 2)"
+    " + power((lon - f.flon) * 84288.0, 2))"
+)
+
+
+@register(
+    "stream_spatial_facility_counts",
+    oracle="""
+        WITH p AS (
+            SELECT event_id,
+                   40.5 + ((CAST(('0x' || substr(md5('lat:' || user_id), 1, 6))
+                            AS BIGINT) + 0) / 16777216.0) * 0.4 AS lat,
+                   -74.25 + ((CAST(('0x' || substr(md5('lon:' || user_id), 1, 6))
+                              AS BIGINT) + 0) / 16777216.0) * 0.5 AS lon
+            FROM events WHERE event_type = 'purchase'
+        ),
+        fac AS (
+            SELECT s_suppkey AS fid,
+                   40.5 + ((CAST(('0x' || substr(md5('lat:' || s_suppkey), 1, 6))
+                            AS BIGINT) + 0) / 16777216.0) * 0.4 AS flat,
+                   -74.25 + ((CAST(('0x' || substr(md5('lon:' || s_suppkey), 1, 6))
+                              AS BIGINT) + 0) / 16777216.0) * 0.5 AS flon
+            FROM supplier
+        ),
+        best AS (
+            SELECT p.event_id, f.fid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY sqrt(power((lat - f.flat) * 111320.0, 2)
+                                     + power((lon - f.flon) * 84288.0, 2)),
+                                f.fid) AS rk
+            FROM p, fac f
+        )
+        SELECT fid AS facility_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+        FROM best WHERE rk = 1
+        GROUP BY fid
+        ORDER BY facility_id
+    """,
+    tags=("streaming", "stream-static", "spatial"),
+)
+def stream_spatial_facility_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED streaming spatial enrichment: purchase events stream
+    through the real engine (file source, 2-files-per-trigger drain) and
+    each event is geofence-assigned to its nearest facility INSIDE the
+    stateless projection - the tiny facility dim rides in as ONE broadcast
+    row holding an array of (fid, lat, lon) structs, and the argmin is an
+    array_min over per-facility distance structs (dist, fid struct order =
+    nearest-then-smallest-id, matching the oracle's rank). Per-facility
+    counts aggregate in complete mode across micro-batches. Coordinates
+    and distance follow parity_spatial's md5 + fixed-meters-per-degree
+    convention, so the assignment is bit-identical in both engines.
+
+    Scale: the stream side never shuffles before the bounded-key count
+    (the argmin is projection-local); the static side is k facility rows
+    broadcast once - the geofence-dispatch shape (order -> nearest store)
+    at any stream rate. The truncated 24-bit hash fraction here (vs the
+    48-bit batch variant) keeps the oracle literal readable; resolution
+    ~6e-8 deg is still sub-centimeter."""
+    import shutil
+    import time as _time
+
+    from nyc_analytics_database_platform_spark.queries.parity_spatial import (
+        _LAT0,
+        _LAT_SPAN,
+        _LON0,
+        _LON_SPAN,
+    )
+
+    def point(df: DataFrame, key: str) -> DataFrame:
+        lat = F.lit(_LAT0) + (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("", F.lit("lat:"), F.col(key))), 1, 6
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(16777216.0)
+        ) * F.lit(_LAT_SPAN)
+        lon = F.lit(_LON0) + (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("", F.lit("lon:"), F.col(key))), 1, 6
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(16777216.0)
+        ) * F.lit(_LON_SPAN)
+        return df.withColumn("lat", lat).withColumn("lon", lon)
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    scratch = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stream", tag + "_spatial"
+    )
+    ckpt = os.path.join(scratch, "ckpt")
+    src_dir = os.path.join(scratch, "events_files")
+    events = load(spark, sf_dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    fac_row = (
+        point(
+            load(spark, sf_dir, "supplier").select(
+                F.col("s_suppkey").alias("fid")
+            ),
+            "fid",
+        )
+        .select(F.struct("fid", F.col("lat").alias("flat"),
+                         F.col("lon").alias("flon")).alias("f"))
+        .agg(F.collect_list("f").alias("facs"))
+        .withColumn("k", F.lit(1))
+    )
+
+    source = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    stream = point(
+        source.filter(F.col("event_type") == "purchase"), "user_id"
+    ).withColumn("k", F.lit(1))
+    assigned = stream.join(F.broadcast(fac_row), "k").withColumn(
+        "best",
+        F.expr(
+            f"array_min(transform(facs, f -> named_struct("
+            f"'dist', {_SP_DIST}, 'fid', f.fid)))"
+        ),
+    )
+    counts = assigned.groupBy(
+        F.col("best.fid").alias("facility_id")
+    ).agg(F.count("*").alias("n_purchases"))
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    name = f"spatial_facility_counts_{tag}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, "spatial facility-count stream")
+    return spark.table(name).orderBy("facility_id")
