@@ -895,8 +895,8 @@ _MAD_CUT = 3.0
         )
         SELECT d.segment,
                CAST(COUNT(*) AS BIGINT) AS n,
-               round(MAX(d.med_cents) / 100, 2) AS median_price,
-               round(MAX(x.mad_cents) / 100, 2) AS mad_price,
+               MAX(d.med_cents) AS median_cents,
+               MAX(x.mad_cents) AS mad_cents,
                CAST(SUM(CASE WHEN d.adev > {_MAD_CUT} * {_MAD_SCALE}
                                   * x.mad_cents
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
@@ -913,7 +913,10 @@ def mad_robust_outliers_by_segment(spark: SparkSession, sf_dir: str) -> DataFram
     (50% breakdown point). Outlier = |x - median| > 3 * 1.4826 * MAD (the
     normal-consistency scaling). Exactness: prices integerize to cents, so
     both engines' interpolated medians are identical doubles (halves at
-    worst) and every comparison is over exact values.
+    worst, quarters for the MAD) and every comparison is over exact
+    values; the outputs stay in raw cents - dividing a half-cent median
+    by 100 lands exactly on a .005 and the engines round it in opposite
+    directions.
 
     Scale: two grouped exact percentiles (the documented full-shuffle
     cost - approx_percentile is the 100 TB swap) + one broadcast join of
@@ -938,8 +941,8 @@ def mad_robust_outliers_by_segment(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("segment")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.max("med_cents") / 100, 2).alias("median_price"),
-            F.round(F.max("mad_cents") / 100, 2).alias("mad_price"),
+            F.max("med_cents").alias("median_cents"),
+            F.max("mad_cents").alias("mad_cents"),
             F.sum(
                 F.when(
                     F.col("adev") > _MAD_CUT * _MAD_SCALE * F.col("mad_cents"), 1

@@ -570,7 +570,7 @@ def monthly_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH m AS (
             SELECT date_trunc('month', o_orderdate) AS ym,
                    CAST(month(o_orderdate) AS BIGINT) AS moy,
-                   SUM(o_totalprice) AS rev
+                   SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
             FROM orders
             GROUP BY 1, 2
         ),
@@ -604,7 +604,7 @@ def seasonal_index_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = orders.groupBy(
         F.date_trunc("month", "o_orderdate").alias("ym"),
         F.month("o_orderdate").cast("long").alias("moy"),
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
     tot = m.agg(
         F.sum("rev").alias("grand"), F.count("*").cast("long").alias("n_all")
     )
@@ -630,7 +630,8 @@ def seasonal_index_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH m AS (
             SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
                        AS mi,
-                   CAST(SUM(o_totalprice) * 100 AS BIGINT) AS cents
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100
+                        AS BIGINT) AS cents
             FROM orders
             GROUP BY 1
         ),
@@ -671,7 +672,11 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
         .cast("long")
         .alias("mi")
-    ).agg((F.sum("o_totalprice") * 100).cast("long").alias("cents"))
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,4)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
     a = m.select(F.col("mi").alias("ami"), F.col("cents").alias("ac"))
     b = m.select(F.col("mi").alias("bmi"), F.col("cents").alias("bc"))
     slopes = (
