@@ -220,3 +220,48 @@ def connected_components(
             "multiple 'canonical' docs per real cluster"
         )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def kcore_members(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    a_col: str = "s1",
+    b_col: str = "s2",
+) -> DataFrame:
+    """k-core of an undirected edge list: iteratively peel nodes whose
+    degree within the surviving set is < k; after `rounds` peels, emit the
+    surviving (node, core_degree) rows. `rounds` must reach the fixpoint
+    for the true k-core (callers assert rounds-1 == rounds on their data;
+    each peel removes at least one node until the fixpoint, so
+    rounds >= |nodes| always suffices and real graphs converge in a
+    handful of waves).
+
+    Scale: each round is two node-set semi-joins + one degree aggregate
+    over the CURRENT edge subset, with localCheckpoint truncating lineage
+    exactly like the CC loop. The node set only shrinks, so per-round cost
+    is monotone non-increasing."""
+    und = edges.select(
+        F.col(a_col).alias("node"), F.col(b_col).alias("other")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("node"), F.col(a_col).alias("other"))
+    ).localCheckpoint(eager=True)
+    nodes = und.select("node").distinct()
+    for _ in range(rounds):
+        deg = (
+            und.join(nodes, "node")
+            .join(nodes.select(F.col("node").alias("other")), "other")
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        nodes = (
+            deg.filter(F.col("d") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        und.join(nodes, "node")
+        .join(nodes.select(F.col("node").alias("other")), "other")
+        .groupBy("node")
+        .agg(F.count("*").alias("core_degree"))
+    )

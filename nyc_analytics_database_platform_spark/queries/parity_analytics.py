@@ -1147,3 +1147,103 @@ def revenue_pareto_by_customer_decile(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "item_similarity_top3",
+    oracle="""
+        WITH bi AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+        ),
+        cooc AS (
+            SELECT a.i AS i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS cooc
+            FROM bi a JOIN bi b ON a.o = b.o AND a.i < b.i
+            GROUP BY 1, 2
+        ),
+        und AS (
+            SELECT i, j, cooc FROM cooc
+            UNION ALL
+            SELECT j AS i, i AS j, cooc FROM cooc
+        ),
+        n AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ni FROM bi GROUP BY 1),
+        scored AS (
+            SELECT u.i, u.j, u.cooc,
+                   round(u.cooc / sqrt(ni.ni * CAST(nj.ni AS DOUBLE)), 6)
+                       AS sim
+            FROM und u
+            JOIN n ni ON ni.i = u.i
+            JOIN n nj ON nj.i = u.j
+        ),
+        ranked AS (
+            SELECT i, j, cooc, sim,
+                   ROW_NUMBER() OVER (PARTITION BY i
+                                      ORDER BY sim DESC, j) AS rk
+            FROM scored
+        )
+        SELECT i AS part, CAST(rk AS INT) AS rk, j AS similar_part,
+               cooc, sim
+        FROM ranked WHERE rk <= 3
+        ORDER BY part, rk
+    """,
+    tags=("A-ext", "recommendation", "similarity"),
+)
+def item_similarity_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity: for every part, the 3
+    most co-purchased parts by cosine over basket co-occurrence
+    (cooc / sqrt(n_i * n_j)) - the "customers also bought" primitive, the
+    similarity layer on top of market_basket_part_pairs_top20's raw
+    support counts. Integer co-occurrence counts through one IEEE sqrt
+    keep the score identical cross-engine; ranking is on the 6dp-rounded
+    score with an id tie-break.
+
+    Scale: the basket self-join is bounded by basket size (sum over
+    orders of k^2, never |parts|^2 - the quadratic hazard lives per
+    basket, and hub baskets would be capped as in the projection
+    operators); the top-3 compiles to WindowGroupLimit."""
+    bi = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    a = bi.select("o", F.col("i").alias("ia"))
+    b = bi.select(F.col("o").alias("o2"), F.col("i").alias("ib"))
+    cooc = (
+        a.join(b, (a.o == b.o2) & (F.col("ia") < F.col("ib")))
+        .groupBy(F.col("ia").alias("i"), F.col("ib").alias("j"))
+        .agg(F.count("*").alias("cooc"))
+    )
+    und = cooc.unionByName(
+        cooc.select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cooc"
+        )
+    )
+    n = bi.groupBy("i").agg(F.count("*").alias("ni"))
+    scored = (
+        und.join(n.select(F.col("i"), F.col("ni")), "i")
+        .join(
+            n.select(F.col("i").alias("j"), F.col("ni").alias("nj")), "j"
+        )
+        .select(
+            "i",
+            "j",
+            "cooc",
+            F.round(
+                F.col("cooc")
+                / F.sqrt((F.col("ni") * F.col("nj")).cast("double")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.col("sim").desc(), "j")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("i").alias("part"),
+            F.col("rk").cast("int").alias("rk"),
+            F.col("j").alias("similar_part"),
+            "cooc",
+            "sim",
+        )
+        .orderBy("part", "rk")
+    )

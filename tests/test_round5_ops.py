@@ -451,3 +451,76 @@ def test_kmv_estimates_land_near_exact_counts(spark, sf_dir):
         else:
             assert est == exact
     assert 0.0 <= r["est_intersect"] <= r["est_union"] + 1e-9
+
+
+# --- k-core ------------------------------------------------------------------
+
+
+def test_kcore_peels_tails_and_keeps_clique(spark):
+    """K4 (a genuine 3-core) + a pendant tail + a triangle (2-core only):
+    the 3-core must be exactly the K4, every member at degree 3 - and one
+    extra round must change nothing (fixpoint)."""
+    from nyc_analytics_database_platform_spark.operators.graph import (
+        kcore_members,
+    )
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tail = [(4, 5), (5, 6)]
+    tri = [(7, 8), (8, 9), (7, 9)]
+    edges = spark.createDataFrame(k4 + tail + tri, "s1 long, s2 long")
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore_members(edges, 3, 6).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    again = {
+        r["node"]: r["core_degree"]
+        for r in kcore_members(edges, 3, 7).collect()
+    }
+    assert again == got
+
+
+def test_kcore_registered_fixpoint_at_declared_rounds(spark, sf_dir):
+    """The registered query's _KCORE_ROUNDS unroll must already be at the
+    fixpoint on the driver data - one more Spark round changes nothing."""
+    from nyc_analytics_database_platform_spark.queries.graph_analytics import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        kcore_cosupply_members,
+    )
+    from nyc_analytics_database_platform_spark.operators.graph import (
+        kcore_members,
+    )
+    from nyc_analytics_database_platform_spark.catalog import load
+    from pyspark.sql import functions as F2
+
+    base = {
+        (r["node"], r["core_degree"])
+        for r in kcore_cosupply_members(spark, sf_dir).collect()
+    }
+    # rebuild the same projection with one extra peel round
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F2.col("o_custkey").alias("c"), F2.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = pairs.select("c", F2.col("s").alias("s1"))
+    b = pairs.select(F2.col("c").alias("c2"), F2.col("s").alias("s2"))
+    shared = (
+        a.join(b, (a.c == b.c2) & (F2.col("s1") < F2.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F2.count("*").alias("shared_c"))
+    )
+    thr = shared.agg(F2.percentile("shared_c", 0.99).alias("t"))
+    e = (
+        shared.crossJoin(F2.broadcast(thr))
+        .filter(F2.col("shared_c") >= F2.col("t"))
+        .select("s1", "s2")
+    )
+    more = {
+        (r["node"], r["core_degree"])
+        for r in kcore_members(e, _KCORE_K, _KCORE_ROUNDS + 1).collect()
+    }
+    assert base == more
