@@ -785,3 +785,91 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_types"),
         F.round(num / den, 6).alias("zipf_slope"),
     )
+
+
+_TREND_TOP = 15
+
+
+@register(
+    "trending_terms_log_odds",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id % 2 AS epoch, u.tok
+            FROM documents,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(tok)
+            WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ),
+        tf AS (
+            SELECT tok,
+                   CAST(SUM(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS a,
+                   CAST(SUM(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS b
+            FROM toks GROUP BY 1
+        ),
+        tot AS (
+            SELECT SUM(a) AS ta, SUM(b) AS tb,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM tf
+        ),
+        scored AS (
+            SELECT tok, a, b,
+                   round(ln((b + 1) / CAST(tot.tb + tot.v AS DOUBLE))
+                         - ln((a + 1) / CAST(tot.ta + tot.v AS DOUBLE)), 6)
+                       AS log_odds
+            FROM tf, tot
+        )
+        SELECT tok AS term, a AS n_old, b AS n_new, log_odds
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (ORDER BY log_odds DESC, tok)
+                <= {_TREND_TOP}
+        ORDER BY log_odds DESC, term
+    """,
+    tags=("llm", "text", "drift"),
+)
+def trending_terms_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-terms screen between two corpus epochs (stand-in split:
+    doc parity - in production, crawl snapshots): Laplace-smoothed
+    log-odds ln((b+1)/(totB+V)) - ln((a+1)/(totA+V)) per token, top-15
+    risers - the vocabulary-drift view that tells a pipeline when its
+    tokenizer/filters were tuned on stale text (the corpus-level
+    companion to drift_psi_value_buckets and the KS test). Counts stay
+    integers; the two lns round at 6dp before the rank cut (term
+    tie-break), the repo's pinned-transcendental convention.
+
+    Scale: one (epoch, token) aggregate - map-side combinable - a 1-row
+    totals broadcast, and a TakeOrdered top-15; the corpus never
+    self-joins."""
+    docs = load(spark, sf_dir, "documents", parallel=True).filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("epoch"),
+        F.explode(ws_tokens("text")).alias("tok"),
+    )
+    tf = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("epoch") == 0, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("epoch") == 1, 1).otherwise(0)).cast("long").alias("b"),
+    )
+    tot = tf.agg(
+        F.sum("a").alias("ta"),
+        F.sum("b").alias("tb"),
+        F.count("*").cast("long").alias("v"),
+    )
+    scored = tf.crossJoin(F.broadcast(tot)).select(
+        F.col("tok").alias("term"),
+        F.col("a").alias("n_old"),
+        F.col("b").alias("n_new"),
+        F.round(
+            F.log((F.col("b") + 1) / (F.col("tb") + F.col("v")).cast("double"))
+            - F.log((F.col("a") + 1) / (F.col("ta") + F.col("v")).cast("double")),
+            6,
+        ).alias("log_odds"),
+    )
+    w = Window.orderBy(F.col("log_odds").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TREND_TOP)
+        .drop("rk")
+        .orderBy(F.col("log_odds").desc(), "term")
+    )
