@@ -524,3 +524,56 @@ def test_kcore_registered_fixpoint_at_declared_rounds(spark, sf_dir):
         for r in kcore_members(e, _KCORE_K, _KCORE_ROUNDS + 1).collect()
     }
     assert base == more
+
+
+def test_dbscan_cell_contraction_equals_direct_cc(spark):
+    """The eps/sqrt(2) cell contraction must produce exactly the
+    components of the direct core eps-graph CC - including a chain that
+    crosses many contraction cells and two cores sharing a cell with NO
+    explicit edge row between them (the in-cell-clique guarantee)."""
+    from pyspark.sql import functions as F2
+
+    from nyc_analytics_database_platform_spark.operators.graph import (
+        connected_components,
+    )
+    from nyc_analytics_database_platform_spark.queries.parity_spatial import (
+        _cell_contracted_components,
+        _dist_m,
+        _DB_EPS,
+    )
+
+    # chain of 6 points ~900 m apart (each hop < eps, total span ~4.5 km
+    # = many cells), plus an isolated pair sharing one cell, plus a loner
+    base_lat, base_lon = 40.70, -74.00
+    chain = [(i, base_lat, base_lon + i * 0.0106) for i in range(6)]
+    cellmates = [(10, 40.80, -74.20), (11, 40.8001, -74.2001)]
+    loner = [(20, 40.60, -73.80)]
+    pts = spark.createDataFrame(
+        chain + cellmates + loner, "id long, lat double, lon double"
+    )
+    a = pts.selectExpr("id AS a_id", "lat AS alat", "lon AS alon")
+    b = pts.selectExpr("id AS b_id", "lat AS blat", "lon AS blon")
+    edges = (
+        a.crossJoin(b)
+        .filter("a_id < b_id")
+        .filter(
+            _dist_m(F2.col("alat"), F2.col("alon"), F2.col("blat"), F2.col("blon"))
+            <= _DB_EPS
+        )
+        .select("a_id", "b_id")
+    )
+    core = pts.select("id")  # treat all as cores for the CC comparison
+    got = {
+        (r["node"], r["component"])
+        for r in _cell_contracted_components(pts, core, edges).collect()
+    }
+    direct = connected_components(edges)
+    exp = {(r["node"], r["component"]) for r in direct.collect()}
+    # direct CC covers only nodes WITH edges; contraction covers all cores
+    # (the loner labels itself)
+    assert exp <= got
+    assert (20, 20) in got
+    assert {(n, c) for n, c in got if n in range(6)} == {
+        (i, 0) for i in range(6)
+    }
+    assert {(n, c) for n, c in got if n in (10, 11)} == {(10, 10), (11, 10)}
