@@ -352,3 +352,71 @@ def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
         F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_ts"),
     ).orderBy("event_id")
+
+
+@register(
+    "conversion_latency_stats",
+    oracle="""
+        WITH nxt AS (
+            SELECT c.event_id, c.ts AS cts, MIN(p.ts) AS pts
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            GROUP BY c.event_id, c.ts
+        ),
+        lat AS (
+            SELECT epoch_us(pts) - epoch_us(cts) AS us
+            FROM nxt WHERE pts IS NOT NULL
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nxt) AS n_clicks,
+               CAST(COUNT(*) AS BIGINT) AS n_converted,
+               round(COUNT(*) / CAST((SELECT COUNT(*) FROM nxt) AS DOUBLE), 6)
+                   AS conversion_rate,
+               PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY us)
+                   AS median_latency_us,
+               PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY us)
+                   AS p90_latency_us
+        FROM lat
+    """,
+    tags=("J-ext", "asof", "reporting"),
+)
+def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase conversion report on top of the forward as-of
+    join: conversion rate plus median/p90 time-to-convert - the product
+    metric the asof_forward primitive exists for. Latencies stay integer
+    MICROSECONDS into the percentile: interpolated percentiles over
+    integers below 2^53 are EXACT in IEEE doubles (sums, differences and
+    halving all representable), so cross-engine equality needs no
+    rounding convention here.
+
+    Scale: the as-of join is the one shuffle (operators/joins
+    .asof_join_forward - no row multiplication); the percentile is the
+    documented exact-percentile shuffle with approx_percentile as the
+    100 TB swap."""
+    from nyc_analytics_database_platform_spark.operators.joins import (
+        asof_join_forward,
+    )
+
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    nxt = asof_join_forward(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["ts"],
+    ).select(
+        "event_id",
+        (F.unix_micros("asof_ts") - F.unix_micros("ts")).alias("us"),
+    )
+    return nxt.agg(
+        F.count("*").cast("long").alias("n_clicks"),
+        F.count("us").cast("long").alias("n_converted"),
+        F.round(
+            F.count("us") / F.count("*").cast("double"), 6
+        ).alias("conversion_rate"),
+        F.percentile("us", 0.5).alias("median_latency_us"),
+        F.percentile("us", 0.9).alias("p90_latency_us"),
+    )
