@@ -46,6 +46,9 @@ def test_entry_under_driver_session(driver_like_spark):
         "unigram_viterbi_segment",  # r5: map broadcast + aggregate fold
         "spatial_dbscan_clusters",  # r5: localCheckpoint CC loop
         "kmv_theta_set_estimates",  # r5: conv() hash + TakeOrdered sketches
+        "kcore_cosupply_members",  # r5: localCheckpoint peel loop
+        "conversion_latency_stats",  # r5: events nanos + forward as-of
+        "stream_spatial_facility_counts",  # r5: executed stream + broadcast array
     ],
 )
 def test_events_queries_under_driver_session(driver_like_spark, sf_dir, name):
