@@ -31,6 +31,11 @@ def test_entry_under_driver_session(driver_like_spark):
     assert len(entrymod.entry(driver_like_spark).collect()) > 0
 
 
+# legitimately empty at the sf0.001 test fixture (the sf0.01 driver gate
+# sees rows): the compat check there is runs-clean + stable schema.
+_MAY_BE_EMPTY = {"kcore_cosupply_members"}
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -51,11 +56,6 @@ def test_entry_under_driver_session(driver_like_spark):
         "stream_spatial_facility_counts",  # r5: executed stream + broadcast array
     ],
 )
-# legitimately empty at the sf0.001 test fixture (the sf0.01 driver gate
-# sees rows): the compat check there is runs-clean + stable schema.
-_MAY_BE_EMPTY = {"kcore_cosupply_members"}
-
-
 def test_events_queries_under_driver_session(driver_like_spark, sf_dir, name):
     df = entrymod.queries()[name](driver_like_spark, sf_dir)
     rows = df.collect()
