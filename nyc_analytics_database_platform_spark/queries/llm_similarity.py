@@ -583,3 +583,80 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_DEAD_VAR = 1e-6  # variance (original units) below this = dead dimension
+
+
+@register(
+    "embedding_dim_variance_audit",
+    oracle=f"""
+        WITH q AS (
+            SELECT g.dim,
+                   CAST(ROUND(CAST(embedding[g.dim] AS DOUBLE) * 1000000)
+                        AS BIGINT) AS qv
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS g(dim)
+        ),
+        s AS (
+            SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(qv) AS BIGINT) AS sq,
+                   CAST(SUM(qv * qv) AS BIGINT) AS sq2
+            FROM q GROUP BY dim
+        )
+        SELECT CAST(dim AS INT) AS dim, n,
+               round(sq / CAST(n AS DOUBLE) / 1000000.0, 9) AS mean,
+               round((sq2 / CAST(n AS DOUBLE)
+                      - (sq / CAST(n AS DOUBLE)) * (sq / CAST(n AS DOUBLE)))
+                     / 1000000000000.0, 9) AS variance,
+               round((sq2 / CAST(n AS DOUBLE)
+                      - (sq / CAST(n AS DOUBLE)) * (sq / CAST(n AS DOUBLE)))
+                     / 1000000000000.0, 9) < {_DEAD_VAR} AS is_dead
+        FROM s
+        ORDER BY dim
+    """,
+    tags=("llm", "embedding", "quality"),
+)
+def embedding_dim_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding health audit: mean and variance of every
+    vector dimension, flagging DEAD dimensions (variance < 1e-6) - the
+    collapsed-axis symptom of a broken encoder or an over-aggressive
+    quantizer, and wasted bytes in every downstream index; run after each
+    embedding backfill beside the key-integrity coverage audit. Values
+    quantize to integer micro-units first (Spark round == DuckDB ROUND,
+    half-away) so the moment sums are exact integers; the variance is two
+    IEEE divisions and one multiply over those exact sums - identical
+    doubles cross-engine, rounded 9dp with the flag thresholding the
+    ROUNDED value.
+
+    Scale: posexplode -> one (dim)-keyed map-side-combinable aggregate;
+    output rows = vector width, independent of corpus size."""
+    vecs = load(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("pos", "x")
+    )
+    s = (
+        vecs.select(
+            (F.col("pos") + 1).alias("dim"),
+            # the float->DOUBLE cast is load-bearing: float * int would
+            # multiply in FLOAT on the Spark side while DuckDB promotes to
+            # DOUBLE, quantizing a few boundary values differently.
+            F.round(F.col("x").cast("double") * 1000000).cast("long").alias("qv"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("qv").cast("long").alias("sq"),
+            F.sum(F.col("qv") * F.col("qv")).cast("long").alias("sq2"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    var = (
+        F.col("sq2") / nd - (F.col("sq") / nd) * (F.col("sq") / nd)
+    ) / F.lit(1.0e12)
+    return s.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        F.round(F.col("sq") / nd / F.lit(1.0e6), 9).alias("mean"),
+        F.round(var, 9).alias("variance"),
+        (F.round(var, 9) < _DEAD_VAR).alias("is_dead"),
+    ).orderBy("dim")
