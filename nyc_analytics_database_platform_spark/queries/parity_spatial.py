@@ -397,7 +397,13 @@ def spatial_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id")),
         "id",
     ).select("id", "lat", "lon")
-    pairs = near_pairs_cells(pts, _DB_EPS, _DB_CELL).select("a_id", "b_id")
+    # checkpoint: the eps-pair join feeds FOUR plan branches (degree, core
+    # edges, border scan, final roles) and would re-execute per branch.
+    pairs = (
+        near_pairs_cells(pts, _DB_EPS, _DB_CELL)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=True)
+    )
     und = pairs.unionByName(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
