@@ -28,7 +28,7 @@ the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
@@ -441,4 +441,83 @@ def spatial_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("a_component", "b_component").cast("long").alias("cluster"),
         )
         .orderBy("id")
+    )
+
+
+_KNN_K = 3
+_KNN_RADIUS = 2000.0  # meters; cell grid must cover it
+_KNN_CELL = 0.025  # deg: 2107 m lon / 2783 m lat - both >= radius
+
+
+@register(
+    "spatial_knn_within_radius",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey AS id, {_point_sql("c_custkey")}
+            FROM customer
+        ),
+        d AS (
+            SELECT a.id AS a_id, b.id AS b_id,
+                   {_DIST_SQL} AS dist
+            FROM pts a JOIN pts b ON a.id <> b.id
+            WHERE {_DIST_SQL} <= {_KNN_RADIUS}
+        ),
+        ranked AS (
+            -- rank on the ROUNDED distance (the Spark side carries dist_m
+            -- at 2dp), ties to neighbor id - identical cut both engines
+            SELECT a_id, b_id, dist,
+                   ROW_NUMBER() OVER (PARTITION BY a_id
+                                      ORDER BY round(dist, 2), b_id) AS rk,
+                   CAST(COUNT(*) OVER (PARTITION BY a_id) AS BIGINT)
+                       AS n_in_radius
+            FROM d
+        )
+        SELECT a_id AS id, CAST(rk AS INT) AS rk, b_id AS neighbor_id,
+               round(dist, 2) AS dist_m,
+               n_in_radius >= {_KNN_K} AS k_complete
+        FROM ranked WHERE rk <= {_KNN_K}
+        ORDER BY id, rk
+    """,
+    tags=("spatial", "join", "knn"),
+)
+def spatial_knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point k-nearest-neighbors WITHIN a bounded radius (k=3,
+    R=2 km) - the ranked companion to the radius self-join (site-pairing,
+    nearest-comparables valuation). The radius bound is what keeps kNN
+    honest at scale: unbounded kNN needs data-dependent ring expansion,
+    while the bounded form is ONE cell-join + WindowGroupLimit, and the
+    k_complete flag tells the consumer exactly which points have fewer
+    than k in-radius neighbors (the fallback cohort) instead of silently
+    under-reporting. Distances stay in the fixed-constant planar
+    convention - exact-IEEE parity, ties broken by neighbor id.
+
+    Scale: candidates from the 3x3 cell neighborhood at a 2 km grid (cell
+    edge >= radius, lossless); rank compiles to WindowGroupLimit so only
+    candidate top-k rows survive the shuffle."""
+    pts = with_point(
+        load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id")),
+        "id",
+    ).select("id", "lat", "lon")
+    pairs = near_pairs_cells(pts, _KNN_RADIUS, _KNN_CELL)
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("b_id").alias("a_id"),
+            F.col("a_id").alias("b_id"),
+            "dist_m",
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy("dist_m", "b_id")
+    wc = Window.partitionBy("a_id")
+    return (
+        both.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_in_radius", F.count("*").over(wc).cast("long"))
+        .filter(F.col("rk") <= _KNN_K)
+        .select(
+            F.col("a_id").alias("id"),
+            F.col("rk").cast("int").alias("rk"),
+            F.col("b_id").alias("neighbor_id"),
+            F.col("dist_m"),
+            (F.col("n_in_radius") >= _KNN_K).alias("k_complete"),
+        )
+        .orderBy("id", "rk")
     )
