@@ -1143,3 +1143,76 @@ def approx_percentile_rank_error_sweep(
         )
         .orderBy("accuracy", "quantile")
     )
+
+
+_EQ_QS = ((50, "p50"), (90, "p90"), (99, "p99"))
+
+
+@register(
+    "exact_quantiles_bucketed",
+    oracle="""
+        WITH v AS (
+            SELECT o_totalprice AS val, CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1
+        ),
+        e AS (
+            SELECT val, SUM(c) OVER (ORDER BY val) AS cw,
+                   SUM(c) OVER () AS n
+            FROM v
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               MIN(CASE WHEN 100 * cw >= 50 * n THEN val END) AS p50,
+               MIN(CASE WHEN 100 * cw >= 90 * n THEN val END) AS p90,
+               MIN(CASE WHEN 100 * cw >= 99 * n THEN val END) AS p99
+        FROM e
+    """,
+    tags=("stats", "percentile", "A-ext"),
+)
+def exact_quantiles_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of order value WITHOUT the percentile() plan
+    shape: percentile() shuffles every group value to one aggregation
+    state, while this computes discrete quantiles (value at rank
+    ceil(q*n)) from per-value counts + the two-level bucketed running
+    count - every stage partitioned, the bucket-offset frame bounded by
+    the price DOMAIN. This is the scale path when EXACT percentiles are
+    required and approx_percentile's rank error (see the contract sweep)
+    is not acceptable; all three quantiles come from ONE pass over the
+    distinct-value frame via integer rank predicates (100*cw >= q*n -
+    exactly ceil, no floats).
+
+    The weighted-median query is this machinery with quantity weights;
+    here weight = row count, three thresholds."""
+    orders = load(spark, sf_dir, "orders")
+    v = orders.groupBy(F.col("o_totalprice").alias("val")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    v = v.withColumn("bucket", F.floor(F.col("val") / 1000).cast("long"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        v.groupBy("bucket")
+        .agg(F.sum("c").alias("bc"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("off"),
+        )
+    )
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = v.agg(F.sum("c").cast("long").alias("n"))
+    e = (
+        v.join(F.broadcast(offsets), "bucket")
+        .select("val", (F.sum("c").over(wv) + F.col("off")).alias("cw"))
+        .join(F.broadcast(tot))
+    )
+    return e.agg(
+        F.max("n").cast("long").alias("n"),
+        *[
+            F.min(
+                F.when(100 * F.col("cw") >= q * F.col("n"), F.col("val"))
+            ).alias(name)
+            for q, name in _EQ_QS
+        ],
+    )

@@ -577,3 +577,22 @@ def test_dbscan_cell_contraction_equals_direct_cc(spark):
         (i, 0) for i in range(6)
     }
     assert {(n, c) for n, c in got if n in (10, 11)} == {(10, 10), (11, 10)}
+
+
+def test_exact_quantiles_bucketed_match_sorted_ranks(spark, sf_dir):
+    """The bucketed-scan quantiles must equal the straight sorted-list
+    rank picks (value at ceil(q*n)) - PERCENTILE_DISC semantics."""
+    import math
+
+    from nyc_analytics_database_platform_spark.catalog import load
+    from nyc_analytics_database_platform_spark.registry import all_specs
+
+    row = all_specs()["exact_quantiles_bucketed"].fn(spark, sf_dir).collect()[0]
+    vals = sorted(
+        r["o_totalprice"]
+        for r in load(spark, sf_dir, "orders").select("o_totalprice").collect()
+    )
+    n = len(vals)
+    assert row["n"] == n
+    for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        assert row[name] == vals[math.ceil(q * n) - 1], name
