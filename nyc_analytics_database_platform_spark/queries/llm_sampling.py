@@ -693,3 +693,91 @@ def contamination_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "epoch_shuffle_plan",
+    oracle="""
+        WITH epochs AS (SELECT * FROM (VALUES (0), (1), (2)) AS e(epoch)),
+        placed AS (
+            SELECT e.epoch, d.doc_id,
+                   CAST(('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':' ||
+                                        CAST(d.doc_id AS VARCHAR)), 1, 12))
+                        AS BIGINT) AS h
+            FROM documents d CROSS JOIN epochs e
+        ),
+        positioned AS (
+            SELECT epoch, doc_id, h, h % 8 AS shard,
+                   ROW_NUMBER() OVER (PARTITION BY epoch, h % 8
+                                      ORDER BY h, doc_id) AS pos
+            FROM placed
+        )
+        SELECT epoch, shard,
+               COUNT(*) AS n_docs,
+               SUM(pos * doc_id) AS placement_checksum,
+               MIN(h) AS min_h, MAX(h) AS max_h
+        FROM positioned
+        GROUP BY epoch, shard
+        ORDER BY epoch, shard
+    """,
+    tags=("LLM", "sampling"),
+)
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch shuffle plan: for each training epoch the
+    corpus is re-ordered by a salted hash and split into 8 shards, and each
+    doc gets its within-shard position - the reproducible 'global shuffle
+    per epoch' a trainer's data loader needs, verified here via per-shard
+    counts and an order-sensitive placement checksum (sum of pos * doc_id)
+    rather than by materializing the full permutation.
+
+    Every epoch is a pure function of (epoch, doc_id): re-running, adding
+    executors, or recovering a failed shard reproduces the same order with
+    zero coordination - no RNG state, no driver-side permutation array.
+
+    Scale shape: hash + shard are narrow per-row expressions; the only
+    shuffle is the per-(epoch, shard) window whose partitions are
+    corpus/8-sized by construction (the hash balances shards), and the
+    report aggregate is map-side combinable. At 100 TB positions within a
+    shard would come from the same sharded prefix-sum used by
+    sequence_packing_bins_sharded instead of one window sort per shard."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    placed = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("", F.col("epoch").cast("string"),
+                                  F.lit(":"), F.col("doc_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    positioned = placed.select(
+        "epoch",
+        "doc_id",
+        "h",
+        (F.col("h") % 8).alias("shard"),
+        F.row_number()
+        .over(
+            Window.partitionBy("epoch", F.col("h") % 8).orderBy("h", "doc_id")
+        )
+        .alias("pos"),
+    )
+    return (
+        positioned.groupBy("epoch", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("pos") * F.col("doc_id")).alias("placement_checksum"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+        )
+        .orderBy("epoch", "shard")
+    )

@@ -1,0 +1,434 @@
+"""User-journey / temporal-behavior operators: gaps-and-islands streak
+detection, position-based multi-touch attribution, the Kaplan-Meier survival
+estimator, and ordered CDC log replay with tombstones — the longitudinal
+reads the reference's per-entity history views (server.py:155-167 dynamic
+date predicates, :319-342 trends) imply but never compute.
+
+Cross-engine numerics: attribution shares are computed in pure INTEGER
+arithmetic (micro-cents with explicit integer division and a
+remainder-to-first-touch conservation rule), survival log-space values pin
+``ln`` at the point of first use and accumulate as integer nano-units, and
+every count/ratio divides exact integers — so both engines emit
+bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.registry import register
+
+
+@register(
+    "user_activity_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn
+            FROM events
+        ),
+        grouped AS (
+            SELECT user_id, dn,
+                   dn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dn)
+                       AS anchor
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, COUNT(*) AS len, MIN(dn) AS start_dn
+            FROM grouped GROUP BY user_id, anchor
+        ),
+        ranked AS (
+            SELECT user_id, len, start_dn,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY len DESC, start_dn) AS rn,
+                   SUM(len) OVER (PARTITION BY user_id) AS n_active_days,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_streaks
+            FROM streaks
+        )
+        SELECT user_id, n_active_days, n_streaks,
+               len AS longest_streak,
+               DATE '1970-01-01' + CAST(start_dn AS INTEGER) AS longest_start
+        FROM ranked WHERE rn = 1
+        ORDER BY user_id
+    """,
+    tags=("W", "journey"),
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, consecutive-day activity streaks from the
+    event stream — total active days, number of streaks, and the longest
+    streak (earliest start wins ties). The classic islands detector: group
+    key = day_number - row_number, constant exactly while days are
+    consecutive.
+
+    Scale shape: the raw stream collapses to DISTINCT (user, day) first
+    (map-side combine; bounded by |users| x |days|), then every window
+    partitions by user_id — no global sort, no unpartitioned window. Day
+    numbers are integer day-diffs from a fixed epoch so both engines group
+    on identical integers."""
+    days = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("dn"),
+        )
+        .distinct()
+    )
+    grouped = days.withColumn(
+        "anchor",
+        F.col("dn")
+        - F.row_number().over(Window.partitionBy("user_id").orderBy("dn")),
+    )
+    streaks = grouped.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"), F.min("dn").alias("start_dn")
+    )
+    wu = Window.partitionBy("user_id")
+    ranked = streaks.select(
+        "user_id",
+        "len",
+        "start_dn",
+        F.row_number()
+        .over(wu.orderBy(F.desc("len"), "start_dn"))
+        .alias("rn"),
+        F.sum("len").over(wu).alias("n_active_days"),
+        F.count("*").over(wu).alias("n_streaks"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_active_days",
+            "n_streaks",
+            F.col("len").alias("longest_streak"),
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("start_dn")).alias(
+                "longest_start"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "multitouch_attribution_position",
+    oracle="""
+        WITH purchases AS (
+            SELECT event_id AS p_id, user_id, ts AS p_ts,
+                   CAST(ROUND(value * 100) AS BIGINT) * 1000000 AS micro
+            FROM events WHERE event_type = 'purchase'
+        ),
+        touches AS (
+            SELECT p.p_id, p.micro, e.event_type AS channel,
+                   ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                      ORDER BY e.ts, e.event_id) AS pos,
+                   COUNT(*) OVER (PARTITION BY p.p_id) AS n
+            FROM purchases p
+            JOIN events e
+              ON e.user_id = p.user_id
+             AND e.event_type <> 'purchase'
+             AND e.ts < p.p_ts
+             AND e.ts >= p.p_ts - INTERVAL 7 DAY
+        ),
+        shares AS (
+            SELECT channel, p_id, n, pos, micro,
+                   CASE
+                     WHEN n = 1 THEN micro
+                     WHEN n = 2 AND pos = 2 THEN micro // 2
+                     WHEN n = 2 AND pos = 1 THEN micro - micro // 2
+                     WHEN pos = n THEN (micro * 2) // 5
+                     WHEN pos > 1 THEN (micro // 5) // (n - 2)
+                     ELSE micro - (micro * 2) // 5
+                          - ((micro // 5) // (n - 2)) * (n - 2)
+                   END AS share_micro
+            FROM touches
+        )
+        SELECT channel,
+               COUNT(*) AS n_touches,
+               CAST(SUM(share_micro) AS DOUBLE) / 100000000.0
+                   AS attributed_value
+        FROM shares
+        GROUP BY channel
+        ORDER BY channel
+    """,
+    tags=("J-ext", "journey"),
+)
+def multitouch_attribution_position(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution: each
+    purchase's value splits across the user's non-purchase touches in the
+    prior 7 days — 40% to the first touch, 40% to the last, 20% shared
+    evenly by the middles (single touch takes 100%, a pair splits 50/50).
+    Companion to attribution_last_touch_revenue, which credits one touch.
+
+    Conservation + determinism: shares are INTEGER micro-cents with explicit
+    integer division; the first touch absorbs every division remainder, so
+    per-journey shares sum exactly to the purchase value and both engines
+    compute identical integers (no fractional weights ever touch a double
+    until the final report division).
+
+    Scale shape: the journey join is an interval join keyed on user_id with
+    a 7-day band — shuffles both sides by user once; per-journey windows
+    partition by purchase id (fan-out bounded by a user's 7-day event
+    count). At 100 TB add day-bucket co-partitioning like
+    interval_join_click_counts."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        (F.round(F.col("value") * 100).cast("long") * 1000000).alias("micro"),
+    )
+    touches = (
+        purchases.join(
+            ev.filter(F.col("event_type") != "purchase"),
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("ts") < F.col("p_ts"))
+            & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .select(
+            "p_id",
+            "micro",
+            F.col("event_type").alias("channel"),
+            F.row_number()
+            .over(Window.partitionBy("p_id").orderBy("ts", "event_id"))
+            .alias("pos"),
+            F.count("*").over(Window.partitionBy("p_id")).alias("n"),
+        )
+    )
+    micro, n, pos = F.col("micro"), F.col("n"), F.col("pos")
+    half = F.expr("micro div 2")
+    last40 = F.expr("(micro * 2) div 5")
+    mid_each = F.expr("(micro div 5) div (n - 2)")
+    share = (
+        F.when(n == 1, micro)
+        .when((n == 2) & (pos == 2), half)
+        .when((n == 2) & (pos == 1), micro - half)
+        .when(pos == n, last40)
+        .when(pos > 1, mid_each)
+        .otherwise(micro - last40 - mid_each * (n - 2))
+    )
+    return (
+        touches.withColumn("share_micro", share)
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_touches"),
+            (F.sum("share_micro").cast("double") / 100000000.0).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "kaplan_meier_reorder",
+    oracle="""
+        WITH od AS (
+            SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+            FROM orders
+        ),
+        firsts AS (
+            SELECT o_custkey, MIN(d) AS first_d FROM od GROUP BY o_custkey
+        ),
+        dur AS (
+            SELECT f.o_custkey, f.first_d,
+                   MIN(CASE WHEN od.d > f.first_d THEN od.d END) AS second_d
+            FROM firsts f JOIN od ON od.o_custkey = f.o_custkey
+            GROUP BY f.o_custkey, f.first_d
+        ),
+        horizon AS (
+            SELECT CAST(MAX(o_orderdate) AS DATE) AS max_d FROM orders
+        ),
+        subjects AS (
+            SELECT o_custkey,
+                   CASE WHEN second_d IS NOT NULL THEN 1 ELSE 0 END AS event,
+                   CASE WHEN second_d IS NOT NULL
+                        THEN DATE_DIFF('day', first_d, second_d) // 30
+                        ELSE DATE_DIFF('day', first_d, h.max_d) // 30
+                   END AS t
+            FROM dur CROSS JOIN horizon h
+        ),
+        buckets AS (
+            SELECT t,
+                   SUM(event) AS d_events,
+                   SUM(1 - event) AS c_censored
+            FROM subjects GROUP BY t
+        ),
+        risk AS (
+            SELECT t, d_events, c_censored,
+                   (SELECT COUNT(*) FROM subjects)
+                       - COALESCE(SUM(d_events + c_censored) OVER (
+                             ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                         ), 0) AS n_risk
+            FROM buckets
+        ),
+        hazard AS (
+            SELECT t, n_risk, d_events, c_censored,
+                   CAST(d_events AS DOUBLE) / n_risk AS hazard,
+                   CASE WHEN d_events = n_risk THEN NULL
+                        ELSE CAST(ROUND(
+                            LN(1.0 - CAST(d_events AS DOUBLE) / n_risk) * 1e9
+                        ) AS BIGINT)
+                   END AS l_nano
+            FROM risk
+        )
+        SELECT t AS t_months, n_risk, d_events, c_censored, hazard,
+               SUM(l_nano) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS log_surv_nano
+        FROM hazard
+        ORDER BY t_months
+    """,
+    tags=("A-ext", "stats", "journey"),
+)
+def kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator for time-to-reorder: per customer the
+    duration (30-day buckets) from first order date to the next distinct
+    order date, right-censored at the corpus horizon for one-time buyers.
+    Emits the life table (at-risk, events, censored), the per-bucket hazard
+    d/n, and the KM log-survival curve.
+
+    Numerics: hazards divide exact integers; the survival product is carried
+    in LOG space as integer nano-units — ``ROUND(ln(1 - d/n) * 1e9)`` pins
+    the one transcendental at its first use (repo ln-pinning convention),
+    then the cumulative sum is exact integer arithmetic, avoiding both
+    cross-engine ``exp`` ulp drift and window-sum association-order drift.
+    ``S(t) = exp(log_surv_nano / 1e9)`` for the consumer.
+
+    Scale shape: facts collapse to per-customer (first, second) dates via
+    one partitioned aggregate; the life table is O(duration buckets) rows,
+    so its running-sum window is trivially bounded."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    wc = Window.partitionBy("o_custkey")
+    dur = (
+        orders.distinct()
+        .withColumn("first_d", F.min("d").over(wc))
+        .groupBy("o_custkey")
+        .agg(
+            F.min("d").alias("first_d2"),
+            F.min(F.when(F.col("d") > F.col("first_d"), F.col("d"))).alias(
+                "second_d"
+            ),
+        )
+        .withColumnRenamed("first_d2", "first_d")
+    )
+    horizon = load(spark, sf_dir, "orders").agg(
+        F.max(F.to_date("o_orderdate")).alias("max_d")
+    )
+    subjects = dur.crossJoin(F.broadcast(horizon)).select(
+        F.when(F.col("second_d").isNotNull(), 1).otherwise(0).alias("event"),
+        F.when(
+            F.col("second_d").isNotNull(),
+            F.expr("datediff(second_d, first_d) div 30"),
+        )
+        .otherwise(F.expr("datediff(max_d, first_d) div 30"))
+        .alias("t"),
+    )
+    total = subjects.agg(F.count("*").alias("n_total"))
+    buckets = subjects.groupBy("t").agg(
+        F.sum("event").alias("d_events"),
+        F.sum(1 - F.col("event")).alias("c_censored"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        buckets.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("c_censored")).over(w_prev),
+                F.lit(0),
+            ),
+        )
+        .drop("n_total")
+    )
+    hz = F.col("d_events").cast("double") / F.col("n_risk")
+    l_nano = F.when(F.col("d_events") == F.col("n_risk"), F.lit(None)).otherwise(
+        F.round(F.log(1.0 - hz) * 1e9).cast("long")
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        risk.withColumn("hazard", hz)
+        .withColumn("l_nano", l_nano)
+        .select(
+            F.col("t").alias("t_months"),
+            "n_risk",
+            "d_events",
+            "c_censored",
+            "hazard",
+            F.sum("l_nano").over(w_cum).alias("log_surv_nano"),
+        )
+        .orderBy("t_months")
+    )
+
+
+@register(
+    "cdc_log_replay",
+    oracle="""
+        WITH log AS (
+            SELECT o_custkey AS key, o_orderdate AS ts, o_orderkey AS seq,
+                   CASE WHEN o_orderstatus = 'F' THEN 'delete'
+                        ELSE 'upsert' END AS op,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS val_cents
+            FROM orders
+        ),
+        ranked AS (
+            SELECT key, ts, seq, op, val_cents,
+                   ROW_NUMBER() OVER (PARTITION BY key
+                                      ORDER BY ts DESC, seq DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY key) AS n_ops
+            FROM log
+        )
+        SELECT key, n_ops, ts AS last_ts,
+               CAST(val_cents AS DOUBLE) / 100.0 AS final_value
+        FROM ranked
+        WHERE rn = 1 AND op = 'upsert'
+        ORDER BY key
+    """,
+    tags=("Lifecycle", "journey"),
+)
+def cdc_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered CDC log replay with tombstones: treat orders as a change log
+    per customer key ((o_orderdate, o_orderkey) is the total order;
+    status 'F' is a delete tombstone, anything else an upsert). Replay =
+    last-writer-wins — surviving keys are those whose LAST op is an upsert,
+    carrying that op's value and the key's op count. The log-compaction
+    read behind merge_upsert_orders/scd2, with delete semantics neither
+    covers (a tombstoned key disappears from the final state entirely).
+
+    Scale shape: one window partitioned by key (WindowGroupLimit keeps only
+    the head row per key through the shuffle) — replay never sorts the whole
+    log globally and never joins; out-of-order arrivals are handled by the
+    explicit (ts, seq) ordering rather than arrival order."""
+    log = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderstatus") == "F", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("val_cents"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("ts"), F.desc("seq"))
+    ranked = log.select(
+        "key",
+        "ts",
+        "op",
+        "val_cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("key")).alias("n_ops"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("op") == "upsert"))
+        .select(
+            "key",
+            "n_ops",
+            F.col("ts").alias("last_ts"),
+            (F.col("val_cents").cast("double") / 100.0).alias("final_value"),
+        )
+        .orderBy("key")
+    )

@@ -386,3 +386,120 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_exposed_rows"),
         F.min("l").alias("min_l"),
     )
+
+
+@register(
+    "t_closeness_audit",
+    oracle="""
+        WITH joined AS (
+            SELECT c.c_mktsegment AS segment, c.c_nationkey AS nk,
+                   o.o_orderpriority AS prio
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        total AS (SELECT COUNT(*) AS t FROM joined),
+        gdist AS (
+            SELECT prio, COUNT(*) AS cnt FROM joined GROUP BY prio
+        ),
+        grp AS (
+            SELECT segment, nk, COUNT(*) AS tg FROM joined
+            GROUP BY segment, nk
+        ),
+        grp_prio AS (
+            SELECT segment, nk, prio, COUNT(*) AS cnt_gp FROM joined
+            GROUP BY segment, nk, prio
+        ),
+        diffs AS (
+            SELECT g.segment, g.nk, g.tg,
+                   ABS(COALESCE(gp.cnt_gp, 0) * t.t - gl.cnt * g.tg)
+                       AS num_part
+            FROM grp g
+            CROSS JOIN total t
+            JOIN gdist gl ON TRUE
+            LEFT JOIN grp_prio gp
+              ON gp.segment = g.segment AND gp.nk = g.nk
+             AND gp.prio = gl.prio
+        )
+        SELECT d.segment, d.nk AS nationkey, d.tg AS n_rows,
+               CAST(SUM(d.num_part) AS DOUBLE)
+                   / (2.0 * d.tg * t.t) AS t_value,
+               CASE WHEN CAST(SUM(d.num_part) AS DOUBLE)
+                         / (2.0 * d.tg * t.t) > 0.2
+                    THEN 1 ELSE 0 END AS breach
+        FROM diffs d CROSS JOIN total t
+        GROUP BY d.segment, d.nk, d.tg, t.t
+        ORDER BY d.segment, nationkey
+    """,
+    tags=("F9", "privacy"),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness privacy audit (companion to k_anonymity_audit /
+    l_diversity_audit): for each quasi-identifier group (mktsegment x
+    nation), the total-variation distance between the group's sensitive
+    distribution (order priority) and the global one; groups with
+    t > 0.2 are release breaches.
+
+    Exact rational arithmetic: TVD = sum_p |cnt_gp*T - cnt_p*T_g| /
+    (2*T_g*T) keeps the numerator in BIGINT over the common denominator
+    (products bounded by |rows|^2 < 2^63 at any per-partition scale; the
+    sum accumulates exactly), so the single final division produces
+    bit-identical doubles in both engines.
+
+    Scale: three map-side-combinable aggregates over one joined pass; the
+    global distribution (|priorities| rows) broadcasts onto the group
+    frame, so output is bounded by the QI domain."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    joined = (
+        load(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nk"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+    )
+    total = joined.agg(F.count("*").alias("t"))
+    glob = joined.groupBy("prio").agg(F.count("*").alias("cnt"))
+    grp = joined.groupBy("segment", "nk").agg(F.count("*").alias("tg"))
+    grp_prio = joined.groupBy("segment", "nk", "prio").agg(
+        F.count("*").alias("cnt_gp")
+    )
+    diffs = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(
+            grp_prio,
+            ["segment", "nk", "prio"],
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "segment",
+            "nk",
+            "tg",
+            "t",
+            F.abs(
+                F.coalesce(F.col("cnt_gp"), F.lit(0)) * F.col("t")
+                - F.col("cnt") * F.col("tg")
+            ).alias("num_part"),
+        )
+    )
+    tv = F.sum("num_part").cast("double") / (
+        2.0 * F.first("tg") * F.first("t")
+    )
+    return (
+        diffs.groupBy("segment", "nk")
+        .agg(
+            F.first("tg").alias("n_rows"),
+            tv.alias("t_value"),
+            F.when(tv > 0.2, 1).otherwise(0).alias("breach"),
+        )
+        .select(
+            "segment",
+            F.col("nk").alias("nationkey"),
+            "n_rows",
+            "t_value",
+            "breach",
+        )
+        .orderBy("segment", "nationkey")
+    )

@@ -1,0 +1,433 @@
+"""Retail/portfolio analytics operators: RFM segmentation, period-over-period
+growth, Gini concentration, the 2-D skyline (Pareto frontier), and
+association rules (support/confidence/lift) — the classic merchandising
+analyses the reference's dashboard layer (server.py:140-236 summary views,
+:411-419 top-K rollups) implies but runs one aggregate at a time.
+
+Numeric discipline: every money input converts to integer cents via the repo
+convention ``CAST(ROUND(x * 100) AS BIGINT)`` (Spark ``F.round`` and DuckDB
+``ROUND`` agree on half-up for positive doubles); all sums/products stay in
+integer/decimal space and only the final reported value divides to DOUBLE,
+so both engines emit bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.registry import register
+
+
+def _cents(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                             (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+                       AS recency_days,
+                   COUNT(*) AS frequency,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+                   NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+                   NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_score,
+                   frequency, monetary_cents
+            FROM per_cust
+        )
+        SELECT r_score, f_score, m_score,
+               COUNT(*) AS n_customers,
+               CAST(SUM(monetary_cents) AS DOUBLE) / 100.0 AS monetary_total,
+               CAST(SUM(frequency) AS DOUBLE) / COUNT(*) AS avg_frequency
+        FROM scored
+        GROUP BY r_score, f_score, m_score
+        ORDER BY r_score, f_score, m_score
+    """,
+    tags=("A-ext", "retail"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer Recency/Frequency/Monetary quintile
+    scores (score 1 = best in each dimension), then the segment-level
+    rollup a CRM dashboard reads (counts + totals per RFM cell, <=125 rows).
+
+    Cross-engine determinism: NTILE frames are fully ordered (metric, then
+    o_custkey) so bucket assignment is unique; monetary stays integer cents
+    until the final report division.
+
+    Scale shape: the NTILE windows run over the PER-CUSTOMER aggregate
+    (|customers| rows, map-side combined from the fact), never raw orders.
+    The unpartitioned window is the textbook quintile operator; at extreme
+    |customers| swap to precomputed quintile boundaries (exact order
+    statistics via operators/prefixsum.py's sharded rank scan) joined back
+    broadcast — same output, no single-partition sort."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_dt"),
+        F.count("*").alias("frequency"),
+        F.sum(_cents("o_totalprice")).alias("monetary_cents"),
+    )
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("anchor_dt"))
+    scored = (
+        per_cust.crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff("anchor_dt", "last_dt"))
+        .select(
+            F.ntile(5)
+            .over(Window.orderBy("recency_days", "o_custkey"))
+            .alias("r_score"),
+            F.ntile(5)
+            .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+            .alias("f_score"),
+            F.ntile(5)
+            .over(Window.orderBy(F.desc("monetary_cents"), "o_custkey"))
+            .alias("m_score"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum("monetary_cents").cast("double") / 100.0).alias(
+                "monetary_total"
+            ),
+            (F.sum("frequency").cast("double") / F.count("*")).alias(
+                "avg_frequency"
+            ),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "revenue_mom_yoy",
+    oracle="""
+        WITH monthly AS (
+            SELECT DATE_TRUNC('month', o_orderdate) AS m,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+            FROM orders GROUP BY 1
+        )
+        SELECT STRFTIME(m, '%Y-%m') AS month,
+               CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+               CAST(rev_cents AS DOUBLE)
+                   / CAST(LAG(rev_cents, 1) OVER (ORDER BY m) AS DOUBLE)
+                   AS mom_ratio,
+               CAST(rev_cents - LAG(rev_cents, 1) OVER (ORDER BY m) AS DOUBLE)
+                   / 100.0 AS mom_delta,
+               CAST(rev_cents AS DOUBLE)
+                   / CAST(LAG(rev_cents, 12) OVER (ORDER BY m) AS DOUBLE)
+                   AS yoy_ratio
+        FROM monthly
+        ORDER BY month
+    """,
+    tags=("A-ext", "timeseries", "retail"),
+)
+def revenue_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year growth: monthly revenue with
+    LAG(1)/LAG(12) ratios and absolute deltas — the period-comparison read
+    behind the reference's trends view (server.py:319-342) expressed as one
+    windowed pass instead of two aligned queries.
+
+    Ratios divide two exact integer-cents values, so the doubles are
+    bit-identical across engines with no rounding step. NULL for the months
+    with no prior period (first month / first year) in both engines.
+
+    Scale shape: the window input is the MONTHLY aggregate (bounded by
+    calendar span, ~80 rows here), produced by one map-side-combinable
+    groupBy over the fact — the unpartitioned LAG window is O(months)."""
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.sum(_cents("o_totalprice")).alias("rev_cents"))
+    )
+    w = Window.orderBy("m")
+    return (
+        monthly.select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+            (
+                F.col("rev_cents").cast("double")
+                / F.lag("rev_cents", 1).over(w).cast("double")
+            ).alias("mom_ratio"),
+            (
+                (F.col("rev_cents") - F.lag("rev_cents", 1).over(w)).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("mom_delta"),
+            (
+                F.col("rev_cents").cast("double")
+                / F.lag("rev_cents", 12).over(w).cast("double")
+            ).alias("yoy_ratio"),
+        )
+    ).orderBy("month")
+
+
+@register(
+    "gini_revenue_concentration",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT c.c_nationkey AS nk, rev_cents,
+                   ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+                                      ORDER BY rev_cents, o_custkey) AS i
+            FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+        ),
+        stats AS (
+            SELECT nk, COUNT(*) AS n_customers,
+                   SUM(CAST(i AS DECIMAL(38,0)) * rev_cents) AS iw,
+                   SUM(CAST(rev_cents AS DECIMAL(38,0))) AS tot
+            FROM ranked GROUP BY nk
+        )
+        SELECT n.n_name, s.n_customers,
+               CASE WHEN s.tot = 0 THEN 0.0
+                    ELSE CAST(2 * s.iw - (s.n_customers + 1) * s.tot AS DOUBLE)
+                         / CAST(s.n_customers * s.tot AS DOUBLE)
+               END AS gini
+        FROM stats s JOIN nation n ON s.nk = n.n_nationkey
+        ORDER BY n.n_name
+    """,
+    tags=("A-ext", "stats", "retail"),
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per nation — the inequality
+    measure behind 'how concentrated is our revenue' (companion to
+    revenue_pareto_by_customer_decile, which reads the same question as a
+    decile table). Rank formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+    with x ascending and a deterministic (rev, custkey) rank tie-break.
+
+    Numerics: revenues are integer cents; the rank-weighted sums accumulate
+    as DECIMAL(38,0) (exact, order-independent, overflow-safe at 100 TB where
+    i*x_i can pass 2^63); only the final ratio divides to DOUBLE.
+
+    Scale shape: fact collapses to per-customer cents (map-side combine),
+    the rank window partitions by nation (bounded partitions after the
+    collapse), and the nation dim joins broadcast."""
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("rev_cents"))
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ranked = (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .withColumn(
+            "i",
+            F.row_number().over(
+                Window.partitionBy("c_nationkey").orderBy(
+                    "rev_cents", "o_custkey"
+                )
+            ),
+        )
+    )
+    stats = ranked.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("rev_cents")).alias("iw"),
+        F.sum(F.col("rev_cents").cast("decimal(38,0)")).alias("tot"),
+    )
+    nation = load(spark, sf_dir, "nation")
+    return (
+        stats.join(
+            F.broadcast(nation), stats.nk == nation.n_nationkey
+        )
+        .select(
+            "n_name",
+            "n_customers",
+            F.when(F.col("tot") == 0, F.lit(0.0))
+            .otherwise(
+                (
+                    2 * F.col("iw") - (F.col("n_customers") + 1) * F.col("tot")
+                ).cast("double")
+                / (F.col("n_customers") * F.col("tot")).cast("double")
+            )
+            .alias("gini"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""
+        WITH priced AS (
+            SELECT p_partkey, p_name, p_retailprice, p_size,
+                   CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+            FROM part
+        ),
+        per_price AS (
+            SELECT price_c, MAX(p_size) AS best_size
+            FROM priced GROUP BY price_c
+        ),
+        frontier AS (
+            SELECT price_c, best_size
+            FROM (
+                SELECT price_c, best_size,
+                       MAX(best_size) OVER (
+                           ORDER BY price_c
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS m1
+                FROM per_price
+            )
+            WHERE m1 IS NULL OR best_size > m1
+        )
+        SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+        FROM priced p JOIN frontier f
+          ON p.price_c = f.price_c AND p.p_size = f.best_size
+        ORDER BY p.price_c, p.p_partkey
+    """,
+    tags=("A-ext", "skyline", "retail"),
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (minimize p_retailprice, maximize p_size) — no other part is at most as
+    expensive AND at least as large with strict improvement in one. The
+    skyline operator the reference's comparison views would need for
+    'best value' shortlists; no SQL engine ships it natively.
+
+    Plan (dominance-pruned, never all-pairs): (1) collapse to one row per
+    distinct price with its max size — map-side-combinable groupBy that
+    bounds everything after it by |distinct prices|, not |parts|;
+    (2) one running-max window over the distinct prices (RANGE ... 1
+    PRECEDING gives the strictly-cheaper max, so equal-price rows never
+    shadow each other); (3) broadcast the tiny frontier pair-set back onto
+    the part scan to recover all tied frontier rows. At 100 TB the window
+    input is the distinct-price set (bounded domain); everything wide is a
+    hash aggregate or a broadcast join."""
+    priced = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_retailprice",
+        "p_size",
+        _cents("p_retailprice").alias("price_c"),
+    )
+    per_price = priced.groupBy("price_c").agg(
+        F.max("p_size").alias("best_size")
+    )
+    w = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        per_price.withColumn("m1", F.max("best_size").over(w))
+        .filter(F.col("m1").isNull() | (F.col("best_size") > F.col("m1")))
+        .select("price_c", "best_size")
+    )
+    frontier = frontier.withColumnRenamed("best_size", "p_size")
+    return (
+        priced.join(F.broadcast(frontier), ["price_c", "p_size"])
+        .select("p_partkey", "p_name", "p_retailprice", "p_size", "price_c")
+        .orderBy("price_c", "p_partkey")
+        .drop("price_c")
+    )
+
+
+@register(
+    "assoc_rules_brand_lift",
+    oracle="""
+        WITH baskets AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        totals AS (
+            SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM baskets
+        ),
+        brand_n AS (
+            SELECT p_brand, COUNT(*) AS n FROM baskets GROUP BY p_brand
+        ),
+        pair_n AS (
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   COUNT(*) AS n_ab
+            FROM baskets a JOIN baskets b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY a.p_brand, b.p_brand
+        )
+        SELECT brand_a, brand_b, n_ab,
+               CAST(n_ab AS DOUBLE) / t.n_baskets AS support,
+               CAST(n_ab AS DOUBLE) / na.n AS conf_a_to_b,
+               CAST(n_ab AS DOUBLE) / nb.n AS conf_b_to_a,
+               CAST(n_ab * t.n_baskets AS DOUBLE)
+                   / CAST(na.n * nb.n AS DOUBLE) AS lift
+        FROM pair_n
+        JOIN brand_n na ON pair_n.brand_a = na.p_brand
+        JOIN brand_n nb ON pair_n.brand_b = nb.p_brand
+        CROSS JOIN totals t
+        ORDER BY lift DESC, brand_a, brand_b
+        LIMIT 20
+    """,
+    tags=("A-ext", "retail"),
+)
+def assoc_rules_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets at brand granularity:
+    support / confidence (both directions) / lift for brand pairs, top-20 by
+    lift — the market-basket companion to market_basket_part_pairs_top20,
+    which stops at raw pair counts.
+
+    Metrics are ratios of exact integers (pair count, brand counts, basket
+    total), and lift multiplies integers BEFORE the single double division
+    (n_ab * N / (n_a * n_b)), so every reported double is bit-identical
+    across engines.
+
+    Scale shape: baskets dedupe to (order, brand) — bounded by |orders| x
+    |brands| (25 brands) — then the pair self-join shuffles on l_orderkey
+    once with per-order fan-out <= C(25,2); brand totals are a 25-row
+    broadcast. Never all-pairs over parts or line items."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    totals = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    brand_n = baskets.groupBy("p_brand").agg(F.count("*").alias("n"))
+    a = baskets.select(
+        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b")
+    )
+    pair_n = (
+        a.join(b, "k")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    na = brand_n.select(
+        F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a")
+    )
+    nb = brand_n.select(
+        F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pair_n.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            (F.col("n_ab").cast("double") / F.col("n_baskets")).alias(
+                "support"
+            ),
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("conf_a_to_b"),
+            (F.col("n_ab").cast("double") / F.col("n_b")).alias("conf_b_to_a"),
+            (
+                (F.col("n_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(20)
+    )

@@ -1,0 +1,235 @@
+"""Round-6 additions beyond oracle parity: semantic invariants for the new
+retail/journey operators — skyline dominance vs brute force, attribution
+value conservation, streak reconstruction vs a pure-Python replay, RFM
+quintile balance, Gini bounds, KM life-table bookkeeping, CDC tombstone
+semantics, and epoch-shuffle determinism."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.registry import all_specs
+
+
+def _run(spark, sf_dir, name):
+    return all_specs()[name].fn(spark, sf_dir)
+
+
+# --- pareto frontier ---------------------------------------------------------
+
+
+def test_pareto_frontier_matches_bruteforce(spark, sf_dir):
+    parts = [
+        (r["p_partkey"], round(r["p_retailprice"] * 100), r["p_size"])
+        for r in load(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominated(me):
+        _, p, s = me
+        return any(
+            (q[1] <= p and q[2] >= s and (q[1] < p or q[2] > s))
+            for q in parts
+        )
+
+    expected = sorted(k for (k, p, s) in parts if not dominated((k, p, s)))
+    got = sorted(
+        r["p_partkey"]
+        for r in _run(spark, sf_dir, "pareto_frontier_parts").collect()
+    )
+    assert got == expected and got  # non-empty frontier
+
+
+# --- attribution conservation ------------------------------------------------
+
+
+def test_attribution_conserves_touched_purchase_value(spark, sf_dir):
+    """Sum of attributed value == sum of purchase values that have >=1 touch
+    in the 7-day lookback (integer micro-cent shares are constructed to
+    conserve per journey: first touch absorbs every division remainder)."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touched = (
+        p.join(
+            ev.filter(F.col("event_type") != "purchase"),
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("ts") < F.col("p_ts"))
+            & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+            "left_semi",
+        )
+        .agg(F.sum("cents"))
+        .first()[0]
+    )
+    attributed = (
+        _run(spark, sf_dir, "multitouch_attribution_position")
+        .agg(F.sum("attributed_value"))
+        .first()[0]
+    )
+    assert abs(attributed - touched / 100.0) < 1e-6
+
+
+# --- streaks -----------------------------------------------------------------
+
+
+def test_streaks_match_python_replay(spark, sf_dir):
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("dn"))
+        .distinct()
+        .collect()
+    )
+    days = defaultdict(set)
+    for r in rows:
+        days[r["user_id"]].add(r["dn"])
+    expected = {}
+    for u, ds in days.items():
+        ordered = sorted(ds)
+        streaks = []
+        start = prev = ordered[0]
+        for d in ordered[1:]:
+            if d == prev + 1:
+                prev = d
+            else:
+                streaks.append((prev - start + 1, start))
+                start = prev = d
+        streaks.append((prev - start + 1, start))
+        longest = max(streaks, key=lambda t: (t[0], -t[1]))
+        expected[u] = (len(ds), len(streaks), longest[0])
+    got = {
+        r["user_id"]: (r["n_active_days"], r["n_streaks"], r["longest_streak"])
+        for r in _run(spark, sf_dir, "user_activity_streaks").collect()
+    }
+    assert got == expected
+
+
+# --- RFM ---------------------------------------------------------------------
+
+
+def test_rfm_quintiles_are_balanced(spark, sf_dir):
+    df = _run(spark, sf_dir, "rfm_customer_segments")
+    n_cust = load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    rows = df.collect()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    per_r = defaultdict(int)
+    for r in rows:
+        per_r[r["r_score"]] += r["n_customers"]
+    # NTILE(5) bucket sizes differ by at most 1
+    assert max(per_r.values()) - min(per_r.values()) <= 1
+    assert set(per_r) == {1, 2, 3, 4, 5}
+
+
+# --- Gini --------------------------------------------------------------------
+
+
+def test_gini_within_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "gini_revenue_concentration").collect()
+    assert rows
+    for r in rows:
+        # sample Gini with the rank formula lies in [-1/n, 1)
+        assert -1.0 / r["n_customers"] <= r["gini"] < 1.0
+
+
+# --- Kaplan-Meier ------------------------------------------------------------
+
+
+def test_km_life_table_bookkeeping(spark, sf_dir):
+    rows = sorted(
+        _run(spark, sf_dir, "kaplan_meier_reorder").collect(),
+        key=lambda r: r["t_months"],
+    )
+    total = rows[0]["n_risk"]
+    running = 0
+    log_surv = 0
+    for r in rows:
+        assert r["n_risk"] == total - running
+        running += r["d_events"] + r["c_censored"]
+        if r["log_surv_nano"] is not None:
+            assert r["log_surv_nano"] <= 0
+            assert r["log_surv_nano"] <= log_surv  # survival non-increasing
+            log_surv = r["log_surv_nano"]
+    n_cust = load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert running == n_cust  # every subject leaves the risk set exactly once
+
+
+# --- CDC replay --------------------------------------------------------------
+
+
+def test_cdc_replay_tombstones_remove_keys(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    last = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max_by(
+                "o_orderstatus", F.struct("o_orderdate", "o_orderkey")
+            ).alias("last_status")
+        )
+    )
+    alive_expected = set(
+        r["o_custkey"]
+        for r in last.filter(F.col("last_status") != "F").collect()
+    )
+    got = set(r["key"] for r in _run(spark, sf_dir, "cdc_log_replay").collect())
+    assert got == alive_expected
+
+
+# --- epoch shuffle -----------------------------------------------------------
+
+
+def test_epoch_shuffle_is_deterministic_and_hash_correct(spark, sf_dir):
+    df1 = _run(spark, sf_dir, "epoch_shuffle_plan").collect()
+    df2 = _run(spark, sf_dir, "epoch_shuffle_plan").collect()
+    assert [tuple(r) for r in df1] == [tuple(r) for r in df2]
+    n_docs = load(spark, sf_dir, "documents").count()
+    by_epoch = defaultdict(int)
+    for r in df1:
+        by_epoch[r["epoch"]] += r["n_docs"]
+    assert by_epoch == {0: n_docs, 1: n_docs, 2: n_docs}
+    # spot-check the hash convention against hashlib
+    doc0 = load(spark, sf_dir, "documents").select(F.min("doc_id")).first()[0]
+    h = int(hashlib.md5(f"1:{doc0}".encode()).hexdigest()[:12], 16)
+    assert h >= 0  # fits the BIGINT path in both engines
+    assert h < 2**48
+
+
+# --- t-closeness -------------------------------------------------------------
+
+
+def test_t_closeness_uniform_partition_is_zero(spark):
+    """A QI partition whose groups mirror the global distribution has TVD 0."""
+    from nyc_analytics_database_platform_spark.queries.parity_profile import (
+        t_closeness_audit,
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        # 2 segments x 1 nation, identical priority mix in each
+        rows = []
+        for seg in ("A", "B"):
+            for i, prio in enumerate(["1-URGENT", "5-LOW", "1-URGENT", "5-LOW"]):
+                rows.append((len(rows) + 1, seg, prio))
+        spark.createDataFrame(
+            [(k, k) for k, _, _ in rows], "c_custkey long, o_custkey long"
+        )
+        cust = spark.createDataFrame(
+            [(k, seg, 0) for (k, seg, _) in rows],
+            "c_custkey long, c_mktsegment string, c_nationkey int",
+        )
+        orders = spark.createDataFrame(
+            [(k, prio) for (k, _, prio) in rows],
+            "o_custkey long, o_orderpriority string",
+        )
+        cust.write.parquet(os.path.join(d, "customer.parquet"))
+        orders.write.parquet(os.path.join(d, "orders.parquet"))
+        out = {r["segment"]: r["t_value"] for r in t_closeness_audit(spark, d).collect()}
+        assert out == {"A": 0.0, "B": 0.0}
