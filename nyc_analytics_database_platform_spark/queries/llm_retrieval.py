@@ -247,3 +247,148 @@ def retrieval_mmr_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sel, "sel_rank int, vec_id long, rel double, mmr double"
     ).orderBy("sel_rank")
+
+
+_NDCG_K = 5
+# log2(i + 1) for positions 1..5, written as identical decimal literals in
+# both engines (never computed at runtime - libm log2 could differ by an ulp)
+_NDCG_DISCOUNTS = (
+    "1.0",
+    "1.584962500721156",
+    "2.0",
+    "2.321928094887362",
+    "2.584962500721156",
+)
+_SIGN_BITS_NDCG = 8
+_NDCG_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_SIGN_BITS_NDCG)
+)
+
+
+def _disc_case(rank_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {i + 1} THEN {d}" for i, d in enumerate(_NDCG_DISCOUNTS)
+    )
+    return f"CASE {rank_col} {whens} END"
+
+
+@register(
+    "ann_ndcg_audit",
+    oracle=f"""
+        WITH q AS (
+            SELECT embedding::DOUBLE[] AS qv, {_NDCG_BUCKET_SQL} AS qb
+            FROM embeddings WHERE vec_id = 0
+        ),
+        gt AS (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY s DESC, vec_id) AS gt_rank
+            FROM (SELECT vec_id, {{cos}} AS s FROM embeddings, q)
+            QUALIFY gt_rank <= {_NDCG_K}
+        ),
+        sys AS (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY s DESC, vec_id) AS sys_rank
+            FROM (
+                SELECT vec_id, {{cos}} AS s
+                FROM embeddings, q WHERE {_NDCG_BUCKET_SQL} = qb
+            )
+            QUALIFY sys_rank <= {_NDCG_K}
+        ),
+        dcg AS (
+            SELECT CAST(SUM(CAST(ROUND(
+                       (CASE WHEN g.gt_rank IS NULL THEN 0
+                             ELSE {_NDCG_K} + 1 - g.gt_rank END) * 1e9
+                       / ({_disc_case('s.sys_rank')})) AS BIGINT)) AS BIGINT)
+                       AS dcg_nano,
+                   COUNT(g.gt_rank) AS n_hits,
+                   COUNT(*) AS n_sys
+            FROM sys s LEFT JOIN gt g ON s.vec_id = g.vec_id
+        ),
+        idcg AS (
+            SELECT CAST(SUM(CAST(ROUND(
+                       ({_NDCG_K} + 1 - gt_rank) * 1e9
+                       / ({_disc_case('gt_rank')})) AS BIGINT)) AS BIGINT)
+                       AS idcg_nano
+            FROM gt
+        )
+        SELECT {_NDCG_K} AS k, d.n_sys, d.n_hits, d.dcg_nano, i.idcg_nano,
+               CAST(d.dcg_nano AS DOUBLE) / i.idcg_nano AS ndcg
+        FROM dcg d CROSS JOIN idcg i
+    """.format(cos=_COS_SQL),
+    tags=("llm", "retrieval", "similarity", "audit"),
+)
+def ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the sign-LSH ANN ranking against the exact brute-force
+    ranking — the graded-relevance companion to ivf_recall_audit /
+    dedup_lsh_recall_audit (recall says whether the right items came back;
+    NDCG says whether they came back in the right ORDER). Relevance of the
+    item at exact rank r is (k+1-r); items outside the exact top-5 score 0.
+
+    Numerics: per-position gain/discount terms are pinned to integer nanos
+    (ROUND(rel * 1e9 / discount) with the log2 discounts written as shared
+    decimal literals, never computed), so the DCG sums are exact integer
+    arithmetic and the single final division is deterministic.
+
+    Scale shape: both rankings are TakeOrderedAndProject cuts (the sys side
+    over ~1/2^8 of the corpus via the bucket filter); the audit join is
+    5x5 rows."""
+    from nyc_analytics_database_platform_spark.operators.similarity import (
+        brute_force_topk,
+        signlsh_topk,
+    )
+    from nyc_analytics_database_platform_spark.queries.llm_similarity import (
+        _query_vec,
+    )
+
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
+    qv = _query_vec(spark, sf_dir)
+    disc = F.array(*[F.lit(float(d)) for d in _NDCG_DISCOUNTS])
+
+    w = Window.orderBy(F.desc("score"), "vec_id")
+    gt = (
+        brute_force_topk(emb, qv, k=_NDCG_K)
+        .withColumn("gt_rank", F.row_number().over(w))
+        .select("vec_id", "gt_rank")
+    )
+    sys = (
+        signlsh_topk(emb, qv, k=_NDCG_K, n_bits=_SIGN_BITS_NDCG)
+        .withColumn("sys_rank", F.row_number().over(w))
+        .select("vec_id", "sys_rank")
+    )
+    rel = F.when(
+        F.col("gt_rank").isNotNull(), F.lit(_NDCG_K + 1) - F.col("gt_rank")
+    ).otherwise(F.lit(0))
+    dcg = (
+        sys.join(gt, "vec_id", "left")
+        .select(
+            F.round(
+                rel * F.lit(1e9) / F.element_at(disc, F.col("sys_rank"))
+            )
+            .cast("long")
+            .alias("term"),
+            F.col("gt_rank"),
+        )
+        .agg(
+            F.sum("term").alias("dcg_nano"),
+            F.count("gt_rank").alias("n_hits"),
+            F.count("*").alias("n_sys"),
+        )
+    )
+    idcg = gt.select(
+        F.round(
+            (F.lit(_NDCG_K + 1) - F.col("gt_rank"))
+            * F.lit(1e9)
+            / F.element_at(disc, F.col("gt_rank"))
+        )
+        .cast("long")
+        .alias("term")
+    ).agg(F.sum("term").alias("idcg_nano"))
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        F.lit(_NDCG_K).cast("int").alias("k"),
+        "n_sys",
+        "n_hits",
+        "dcg_nano",
+        "idcg_nano",
+        (F.col("dcg_nano").cast("double") / F.col("idcg_nano")).alias("ndcg"),
+    )

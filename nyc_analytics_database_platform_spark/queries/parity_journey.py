@@ -432,3 +432,110 @@ def cdc_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+@register(
+    "inventory_capped_running_balance",
+    oracle="""
+        WITH moves AS (
+            SELECT l_suppkey AS supp,
+                   CASE WHEN l_returnflag = 'R'
+                        THEN CAST(ROUND(l_quantity) AS BIGINT)
+                        ELSE -CAST(ROUND(l_quantity) AS BIGINT) END AS delta,
+                   l_shipdate, l_orderkey, l_linenumber
+            FROM lineitem
+        ),
+        scans AS (
+            SELECT supp, delta, l_shipdate, l_orderkey, l_linenumber,
+                   SUM(delta) OVER (
+                       PARTITION BY supp
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS prefix
+            FROM moves
+        ),
+        balances AS (
+            SELECT supp, delta,
+                   prefix - LEAST(MIN(prefix) OVER (
+                       PARTITION BY supp
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 0) AS bal
+            FROM scans
+        )
+        SELECT supp AS s_suppkey,
+               COUNT(*) AS n_moves,
+               MAX(bal) AS max_balance,
+               CAST(SUM(CASE WHEN bal = 0 AND delta < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS floor_hits,
+               CAST(SUM(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zero_moves
+        FROM balances
+        GROUP BY supp
+        ORDER BY s_suppkey
+    """,
+    tags=("W", "timeseries", "journey"),
+)
+def inventory_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running inventory balance per supplier: returns add
+    stock, shipments draw it down, and the balance never goes below zero —
+    the non-associative recurrence b_t = max(b_{t-1} + delta_t, 0) that
+    naive implementations push into a per-key Python loop.
+
+    ASSOCIATIVE-SCAN REWRITE: the clamped recurrence has the closed form
+        b_t = prefix_t - min(0, min_{s<=t} prefix_s)
+    (the running minimum of the raw prefix sum is exactly the total clamp
+    shift applied so far), so the whole operator is two cumulative windows
+    over the same time-ordered (key, time) frame — fully partition-parallel,
+    no UDF, no sequential state, and the identical plan shape at 100 TB
+    (both scans share one shuffle + sort on the supplier key). A floor hit
+    is any move that lands on 0 with a negative delta.
+
+    All arithmetic is integer (quantities round to BIGINT units), so both
+    engines agree bit-exactly. Pinned by a pure-Python sequential replay in
+    tests/test_round6_ops.py."""
+    qty = F.round(F.col("l_quantity")).cast("long")
+    moves = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("supp"),
+        F.when(F.col("l_returnflag") == "R", qty).otherwise(-qty).alias(
+            "delta"
+        ),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = (
+        Window.partitionBy("supp")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    balances = (
+        moves.withColumn("prefix", F.sum("delta").over(w))
+        .withColumn(
+            "bal",
+            F.col("prefix")
+            - F.least(F.min("prefix").over(w), F.lit(0)),
+        )
+        .select("supp", "delta", "bal")
+    )
+    return (
+        balances.groupBy("supp")
+        .agg(
+            F.count("*").alias("n_moves"),
+            F.max("bal").alias("max_balance"),
+            F.sum(
+                F.when((F.col("bal") == 0) & (F.col("delta") < 0), 1).otherwise(0)
+            ).alias("floor_hits"),
+            F.sum(F.when(F.col("bal") == 0, 1).otherwise(0)).alias(
+                "zero_moves"
+            ),
+        )
+        .select(
+            F.col("supp").alias("s_suppkey"),
+            "n_moves",
+            "max_balance",
+            "floor_hits",
+            "zero_moves",
+        )
+        .orderBy("s_suppkey")
+    )

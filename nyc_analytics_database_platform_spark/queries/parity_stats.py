@@ -1216,3 +1216,100 @@ def exact_quantiles_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q, name in _EQ_QS
         ],
     )
+
+
+_WILSON_Z = "1.96"  # 95% two-sided normal quantile, identical literal in both engines
+
+
+@register(
+    "conversion_wilson_ci_by_channel",
+    oracle=f"""
+        WITH first_touch AS (
+            SELECT event_type AS channel, user_id, MIN(ts) AS first_ts
+            FROM events WHERE event_type <> 'purchase'
+            GROUP BY event_type, user_id
+        ),
+        last_purchase AS (
+            SELECT user_id, MAX(ts) AS last_p FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        flags AS (
+            SELECT f.channel, f.user_id,
+                   CASE WHEN p.last_p > f.first_ts THEN 1 ELSE 0 END AS conv
+            FROM first_touch f LEFT JOIN last_purchase p
+              ON f.user_id = p.user_id
+        ),
+        counts AS (
+            SELECT channel, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS k
+            FROM flags GROUP BY channel
+        )
+        SELECT channel, n AS n_users, k AS n_converted,
+               (CAST(k AS DOUBLE) / n) AS conv_rate,
+               ((CAST(k AS DOUBLE) / n) + ({_WILSON_Z} * {_WILSON_Z}) / (2.0 * n))
+                   / (1.0 + ({_WILSON_Z} * {_WILSON_Z}) / n)
+                 - ({_WILSON_Z} * sqrt(
+                       ((CAST(k AS DOUBLE) / n) * (1.0 - (CAST(k AS DOUBLE) / n))) / n
+                       + ({_WILSON_Z} * {_WILSON_Z}) / (4.0 * n * n)))
+                   / (1.0 + ({_WILSON_Z} * {_WILSON_Z}) / n) AS wilson_low,
+               ((CAST(k AS DOUBLE) / n) + ({_WILSON_Z} * {_WILSON_Z}) / (2.0 * n))
+                   / (1.0 + ({_WILSON_Z} * {_WILSON_Z}) / n)
+                 + ({_WILSON_Z} * sqrt(
+                       ((CAST(k AS DOUBLE) / n) * (1.0 - (CAST(k AS DOUBLE) / n))) / n
+                       + ({_WILSON_Z} * {_WILSON_Z}) / (4.0 * n * n)))
+                   / (1.0 + ({_WILSON_Z} * {_WILSON_Z}) / n) AS wilson_high
+        FROM counts
+        ORDER BY channel
+    """,
+    tags=("A-ext", "stats"),
+)
+def conversion_wilson_ci_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel conversion rate with a Wilson 95% score interval: a user
+    'converts' from a channel if any purchase follows their first event of
+    that type. Wilson bounds are the release-gating form (valid at small n
+    and extreme p, unlike the Wald interval the z-test family uses).
+
+    Determinism: k and n are exact integers; the Wilson formula is spelled
+    with the IDENTICAL literal z, parenthesization, and operation order in
+    both engines — every intermediate double is bit-identical because
+    +,*,/,sqrt are all correctly rounded IEEE ops on identical operands
+    (no transcendental appears anywhere).
+
+    Scale shape: two map-side-combinable aggregates (first touch per
+    (channel, user), last purchase per user) joined on user_id, then a
+    |channels|-row report."""
+    ev = load(spark, sf_dir, "events")
+    first_touch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy(F.col("event_type").alias("channel"), "user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    last_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("last_p"))
+    )
+    flags = first_touch.join(last_purchase, "user_id", "left").select(
+        "channel",
+        F.when(F.col("last_p") > F.col("first_ts"), 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    counts = flags.groupBy("channel").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("k")
+    )
+    z = F.lit(1.96)
+    n, k = F.col("n"), F.col("k")
+    p = k.cast("double") / n
+    center = (p + (z * z) / (2.0 * n)) / (F.lit(1.0) + (z * z) / n)
+    half = (
+        z
+        * F.sqrt((p * (F.lit(1.0) - p)) / n + (z * z) / (4.0 * n * n))
+    ) / (F.lit(1.0) + (z * z) / n)
+    return counts.select(
+        "channel",
+        n.alias("n_users"),
+        k.alias("n_converted"),
+        p.alias("conv_rate"),
+        (center - half).alias("wilson_low"),
+        (center + half).alias("wilson_high"),
+    ).orderBy("channel")
