@@ -325,3 +325,42 @@ def test_dup_ngram_profile_monotone_in_n(spark, sf_dir):
     # longer windows mean strictly fewer windows overall
     for a, b in zip(rows, rows[1:]):
         assert a["total_ngrams"] >= b["total_ngrams"]
+
+
+# --- PCA ---------------------------------------------------------------------
+
+
+def test_pca_matches_numpy_power_iteration(spark, sf_dir):
+    """The quantized power iteration tracks numpy's replay of the SAME
+    recurrence (micro-unit quantization, pinned term rounding, L-inf loop
+    normalization) to float tolerance, and the loading is unit-L2."""
+    import numpy as np
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xq = np.round(X * 1e6)
+    mu = Xq.sum(axis=0) / len(Xq) / 1e6
+    C = Xq / 1e6 - mu
+    v = np.full(64, 0.125)
+    for _ in range(3):
+        s = np.round(C * v * 1e12).sum(axis=1) / 1e12
+        w = np.round(C * s[:, None] * 1e9).sum(axis=0) / 1e9
+        mx = np.abs(w).max()
+        v = w / mx
+    nrm = np.sqrt(np.round(v * v * 1e12).sum() / 1e12)
+    expected = v / nrm
+
+    got = sorted(
+        _run(spark, sf_dir, "embedding_pca_top_component").collect(),
+        key=lambda r: r["dim"],
+    )
+    loadings = np.array([r["loading"] for r in got])
+    assert abs(np.linalg.norm(loadings) - 1.0) < 1e-9
+    # numpy sums in a different order than the decimal aggregates, but the
+    # pinned-term construction keeps every sum exactly equal
+    assert np.allclose(loadings, expected, atol=1e-9)
+    assert got[0]["eigenvalue_proxy"] > 0
