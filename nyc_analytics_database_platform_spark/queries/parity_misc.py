@@ -374,3 +374,51 @@ def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+@register(
+    "set_ops_all_multiset",
+    oracle="""
+        WITH a AS (SELECT o_orderpriority AS p FROM orders
+                   WHERE o_orderstatus = 'O'),
+        b AS (SELECT o_orderpriority AS p FROM orders
+              WHERE o_orderstatus = 'P')
+        SELECT
+            (SELECT COUNT(*) FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
+                AS union_all_cnt,
+            (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b))
+                AS intersect_all_cnt,
+            (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+                AS except_all_a_cnt,
+            (SELECT COUNT(*) FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a))
+                AS except_all_b_cnt
+    """,
+    tags=("SET-ext",),
+)
+def set_ops_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations (the ALL variants set_ops_customer_
+    segments' distinct forms don't exercise): order-priority multisets of
+    the open vs in-progress order populations, compared with UNION ALL /
+    INTERSECT ALL / EXCEPT ALL multiplicity arithmetic — intersect keeps
+    min(count_a, count_b) copies per value, except keeps the positive
+    surplus.
+
+    Scale shape: Spark plans INTERSECT ALL / EXCEPT ALL as one hash
+    aggregate per side plus a generate step on the min/surplus counts (no
+    row-by-row matching); all four counts reduce in one job each."""
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("p")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_orderpriority").alias("p")
+    )
+    u = a.unionAll(b).count()
+    i = a.intersectAll(b).count()
+    ea = a.exceptAll(b).count()
+    eb = b.exceptAll(a).count()
+    return spark.createDataFrame(
+        [(u, i, ea, eb)],
+        "union_all_cnt bigint, intersect_all_cnt bigint, "
+        "except_all_a_cnt bigint, except_all_b_cnt bigint",
+    )

@@ -1313,3 +1313,217 @@ def conversion_wilson_ci_by_channel(spark: SparkSession, sf_dir: str) -> DataFra
         (center - half).alias("wilson_low"),
         (center + half).alias("wilson_high"),
     ).orderBy("channel")
+
+
+@register(
+    "spearman_price_size_corr",
+    oracle="""
+        WITH ranked AS (
+            SELECT p_brand,
+                   ROW_NUMBER() OVER (PARTITION BY p_brand
+                       ORDER BY p_retailprice, p_partkey) AS rp,
+                   ROW_NUMBER() OVER (PARTITION BY p_brand
+                       ORDER BY p_size, p_partkey) AS rs
+            FROM part
+        ),
+        stats AS (
+            SELECT p_brand, COUNT(*) AS n,
+                   SUM(CAST((rp - rs) * (rp - rs) AS DECIMAL(38,0))) AS d2
+            FROM ranked GROUP BY p_brand
+        )
+        SELECT p_brand, n AS n_parts,
+               1.0 - CAST(6 * d2 AS DOUBLE)
+                   / CAST(CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0))
+                          * n - 1) AS DOUBLE) AS spearman_rho
+        FROM stats WHERE n > 1
+        ORDER BY p_brand
+    """,
+    tags=("A-ext", "stats"),
+)
+def spearman_price_size_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between retail price and size per brand —
+    the monotone-association screen (robust to outliers/nonlinearity, the
+    rank companion to stats_exact_linear_fit's Pearson machinery). Ranks
+    are ROW_NUMBER with the deterministic (value, p_partkey) tie-break, so
+    rho = 1 - 6*sum(d^2) / (n(n^2-1)) is EXACT integer arithmetic up to
+    one final double division (both engines bit-identical). The tie-broken
+    rank convention is documented in lieu of the tie-averaged variant,
+    whose fractional average ranks would reintroduce float sums.
+
+    Scale shape: two per-brand rank windows over the part dim (partitioned,
+    bounded by brand group size), one map-side-combinable aggregate;
+    d^2 sums accumulate as DECIMAL(38,0) (n(n^2-1) passes 2^63 at ~2M rows
+    per group)."""
+    w_price = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    w_size = Window.partitionBy("p_brand").orderBy("p_size", "p_partkey")
+    ranked = load(spark, sf_dir, "part").select(
+        "p_brand",
+        F.row_number().over(w_price).alias("rp"),
+        F.row_number().over(w_size).alias("rs"),
+    )
+    d = F.col("rp") - F.col("rs")
+    stats = ranked.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum((d * d).cast("decimal(38,0)")).alias("d2"),
+    )
+    n_dec = F.col("n").cast("decimal(38,0)")
+    return (
+        stats.filter(F.col("n") > 1)
+        .select(
+            "p_brand",
+            F.col("n").alias("n_parts"),
+            (
+                F.lit(1.0)
+                - (6 * F.col("d2")).cast("double")
+                / (n_dec * (n_dec * F.col("n") - 1)).cast("double")
+            ).alias("spearman_rho"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_CUPED_SPLIT = "2024-01-16"
+
+
+@register(
+    "cuped_adjusted_conversion",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7')
+                        THEN 'A' ELSE 'B' END AS variant,
+                   SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                            THEN CAST(ROUND(value * 100) AS BIGINT)
+                            ELSE 0 END) AS x,
+                   SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                            THEN CAST(ROUND(value * 100) AS BIGINT)
+                            ELSE 0 END) AS y
+            FROM events GROUP BY user_id
+        ),
+        pooled AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                   SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                   SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+                   SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+            FROM per_user
+        ),
+        theta AS (
+            SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS th,
+                   CAST(sx AS DOUBLE) / n AS xbar_pool
+            FROM pooled
+        ),
+        per_variant AS (
+            SELECT variant, COUNT(*) AS n_users,
+                   SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                   SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                   SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+                   SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+                   SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+            FROM per_user GROUP BY variant
+        )
+        SELECT variant, n_users,
+               (CAST(sy AS DOUBLE) / n_users) / 100.0 AS mean_raw,
+               ((CAST(sy AS DOUBLE) / n_users)
+                - t.th * ((CAST(sx AS DOUBLE) / n_users) - t.xbar_pool))
+                   / 100.0 AS mean_cuped,
+               1.0 - (
+                   (CAST(n_users * syy - sy * sy AS DOUBLE)
+                    - 2.0 * t.th * CAST(n_users * sxy - sx * sy AS DOUBLE)
+                    + t.th * t.th * CAST(n_users * sxx - sx * sx AS DOUBLE))
+                   / CAST(n_users * syy - sy * sy AS DOUBLE)
+               ) AS variance_reduction
+        FROM per_variant CROSS JOIN theta t
+        ORDER BY variant
+    """,
+    tags=("A-ext", "stats", "experiment"),
+)
+def cuped_adjusted_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B readout: per-user pre-period
+    spend (before 2024-01-16) is the covariate, post-period spend the metric;
+    theta = cov(x,y)/var(x) is fitted on the pooled population and each
+    variant reports its raw mean, CUPED-adjusted mean, and the achieved
+    variance reduction. Variant assignment is the repo's deterministic
+    md5-hex-band split (first hex digit 0-7 -> A, else B).
+
+    Numerics: x and y are integer cents; every moment (sums, cross/self
+    products) accumulates as DECIMAL(38,0) — exact and order-independent,
+    with n*sxy-level products passing 2^63 well below cluster scale — and
+    theta / the means / the variance identity evaluate in doubles with the
+    IDENTICAL expression tree in both engines.
+
+    Scale shape: one map-side-combinable per-user aggregate over the fact,
+    one 1-row pooled moment frame broadcast onto a |variants|-row report."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, cents).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= split, cents).otherwise(0)).alias("y"),
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "x",
+        "y",
+    )
+    d38 = "decimal(38,0)"
+    pooled = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+    )
+    theta = pooled.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("th"),
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar_pool"),
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+    )
+    n_u = F.col("n_users")
+    var_y = (n_u * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cov_v = (n_u * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    var_x = (n_u * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    th = F.col("th")
+    return (
+        per_variant.crossJoin(F.broadcast(theta))
+        .select(
+            "variant",
+            "n_users",
+            ((F.col("sy").cast("double") / n_u) / 100.0).alias("mean_raw"),
+            (
+                (
+                    (F.col("sy").cast("double") / n_u)
+                    - th
+                    * ((F.col("sx").cast("double") / n_u) - F.col("xbar_pool"))
+                )
+                / 100.0
+            ).alias("mean_cuped"),
+            (
+                F.lit(1.0)
+                - (var_y - 2.0 * th * cov_v + th * th * var_x) / var_y
+            ).alias("variance_reduction"),
+        )
+        .orderBy("variant")
+    )
