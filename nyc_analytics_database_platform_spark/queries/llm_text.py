@@ -873,3 +873,91 @@ def trending_terms_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
         .orderBy(F.col("log_odds").desc(), "term")
     )
+
+
+@register(
+    "vocab_growth_heaps_curve",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        firsts AS (
+            SELECT w, MIN(doc_id) AS first_doc FROM toks GROUP BY w
+        ),
+        bounds AS (SELECT MAX(doc_id) AS mx FROM toks),
+        checkpoints AS (
+            SELECT k, (SELECT mx FROM bounds) * k // 10 AS cutoff
+            FROM unnest(generate_series(1, 10)) AS s(k)
+        )
+        SELECT c.k AS decile, c.cutoff AS doc_cutoff,
+               (SELECT COUNT(*) FROM toks t WHERE t.doc_id <= c.cutoff)
+                   AS tokens_seen,
+               (SELECT COUNT(*) FROM firsts f WHERE f.first_doc <= c.cutoff)
+                   AS vocab_size
+        FROM checkpoints c
+        ORDER BY decile
+    """,
+    tags=("llm", "text"),
+)
+def vocab_growth_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: distinct-vocabulary size and total
+    tokens seen at ten corpus checkpoints (docs processed in doc_id order)
+    — the measurement behind the SCALE.md claim that |vocab| grows
+    sublinearly with corpus size (which is what bounds the BPE training
+    loop's per-round cost at 100 TB). Companion to vocab_zipf_slope (the
+    frequency-axis law; this is the growth-axis law).
+
+    Cumulative distinct counts without any windowed COUNT DISTINCT: each
+    word collapses to its FIRST-occurrence doc (one map-side-combinable
+    aggregate - the same first-occurrence idiom as corpus_span_dedup), and
+    vocab-at-cutoff is then a plain count over that collapsed frame per
+    checkpoint. Checkpoint cutoffs are integer arithmetic (max_doc * k // 10).
+
+    Scale shape: one token explode -> one (word) aggregate; the 10
+    checkpoint probes run over the |vocab|-sized collapse, and the token
+    counts over a (doc_id) pre-aggregate - never 10 corpus passes."""
+    docs = load(spark, sf_dir, "documents", parallel=True).filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w"),
+    )
+    firsts = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    bounds = toks.agg(F.max("doc_id").alias("mx"))
+    checkpoints = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("int").alias("k"))
+        .crossJoin(F.broadcast(bounds))
+        .select("k", F.expr("mx * k div 10").alias("cutoff"))
+    )
+    tokens_seen = (
+        checkpoints.join(
+            per_doc, per_doc.doc_id <= checkpoints.cutoff, "left"
+        )
+        .groupBy("k", "cutoff")
+        .agg(F.coalesce(F.sum("n_toks"), F.lit(0)).alias("tokens_seen"))
+    )
+    vocab = (
+        checkpoints.join(
+            firsts, firsts.first_doc <= checkpoints.cutoff, "left"
+        )
+        .groupBy("k", "cutoff")
+        .agg(F.count("first_doc").alias("vocab_size"))
+    )
+    return (
+        tokens_seen.join(vocab, ["k", "cutoff"])
+        .select(
+            F.col("k").alias("decile"),
+            F.col("cutoff").alias("doc_cutoff"),
+            "tokens_seen",
+            "vocab_size",
+        )
+        .orderBy("decile")
+    )

@@ -727,3 +727,88 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("med_resid") / 100, 4).alias("intercept"),
         )
     )
+
+
+@register(
+    "monthly_revenue_max_drawdown",
+    oracle="""
+        WITH monthly AS (
+            SELECT DATE_TRUNC('month', o_orderdate) AS m,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+            FROM orders GROUP BY 1
+        ),
+        curve AS (
+            SELECT m,
+                   SUM(rev_cents) OVER (ORDER BY m
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_cents
+            FROM monthly
+        ),
+        peaks AS (
+            SELECT m, cum_cents,
+                   MAX(cum_cents) OVER (ORDER BY m
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS peak_cents
+            FROM curve
+        )
+        SELECT STRFTIME(m, '%Y-%m') AS month,
+               CAST(cum_cents AS DOUBLE) / 100.0 AS cumulative_revenue,
+               CAST(peak_cents AS DOUBLE) / 100.0 AS running_peak,
+               CAST(peak_cents - cum_cents AS DOUBLE) / 100.0 AS drawdown,
+               CASE WHEN peak_cents - cum_cents =
+                        MAX(peak_cents - cum_cents) OVER ()
+                    THEN 1 ELSE 0 END AS is_max_drawdown
+        FROM peaks
+        ORDER BY month
+    """,
+    tags=("W", "timeseries"),
+)
+def monthly_revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-drawdown scan over the cumulative monthly revenue curve —
+    running peak, per-month drawdown from that peak, and a flag on the
+    deepest trough (the classic risk metric; another recurrence that looks
+    sequential but is two associative cumulative windows, the same rewrite
+    family as inventory_capped_running_balance).
+
+    All values are exact integer cents through every window; only the
+    report columns divide to DOUBLE. The is_max_drawdown flag compares
+    integers, so ties (several equally-deep troughs) flag identically in
+    both engines.
+
+    Scale shape: windows run over the MONTHLY aggregate (bounded by
+    calendar span) produced by one map-side-combinable pass over the
+    fact."""
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w_cum = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    peaks = (
+        monthly.withColumn("cum_cents", F.sum("rev_cents").over(w_cum))
+        .withColumn("peak_cents", F.max("cum_cents").over(w_cum))
+        .withColumn("dd_cents", F.col("peak_cents") - F.col("cum_cents"))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        peaks.select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            (F.col("cum_cents").cast("double") / 100.0).alias(
+                "cumulative_revenue"
+            ),
+            (F.col("peak_cents").cast("double") / 100.0).alias("running_peak"),
+            (F.col("dd_cents").cast("double") / 100.0).alias("drawdown"),
+            F.when(
+                F.col("dd_cents") == F.max("dd_cents").over(w_all), 1
+            )
+            .otherwise(0)
+            .alias("is_max_drawdown"),
+        )
+        .orderBy("month")
+    )
