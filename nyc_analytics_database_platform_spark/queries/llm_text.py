@@ -961,3 +961,45 @@ def vocab_growth_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "lang_id_confusion_matrix",
+    oracle=f"""
+        WITH {_TOKS_CTE},
+        scored AS (
+            SELECT lang AS labeled_lang,
+                   {lang_guess_oracle_sql("text", "t")} AS guessed_lang
+            FROM toks
+        )
+        SELECT labeled_lang, guessed_lang, COUNT(*) AS n
+        FROM scored
+        GROUP BY labeled_lang, guessed_lang
+        ORDER BY labeled_lang, guessed_lang
+    """,
+    tags=("llm", "text", "audit"),
+)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix between the labeled `lang` column and the
+    deterministic lang-ID heuristic (text_lang_id's scorer) — the
+    evaluation rollup a classifier audit reads (per-pair counts; row sums
+    give label support, the diagonal the agreement). The corpus labels are
+    synthetic and uncorrelated with the text, so this documents the
+    heuristic's behavior on the driver corpus rather than asserting
+    accuracy — the MATRIX mechanics (bounded-domain pair rollup) are what
+    the operator contributes.
+
+    Scale shape: the scorer is a narrow per-row expression; the rollup is
+    one map-side-combinable aggregate over a |langs|^2-bounded domain."""
+    docs = load(spark, sf_dir, "documents", parallel=True).withColumn(
+        "toks", ws_tokens()
+    )
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            lang_guess("text", "toks").alias("guessed_lang"),
+        )
+        .groupBy("labeled_lang", "guessed_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("labeled_lang", "guessed_lang")
+    )

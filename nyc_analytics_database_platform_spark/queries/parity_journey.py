@@ -539,3 +539,97 @@ def inventory_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "session_top_paths",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   ROW_NUMBER() OVER w AS rn,
+                   CASE WHEN DATE_DIFF('second',
+                            LAG(ts) OVER w, ts) >= 14400
+                          OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        tagged AS (
+            SELECT user_id, event_type, rn,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+            FROM ordered
+        ),
+        paths AS (
+            SELECT user_id, session_seq, event_type AS s1,
+                   LEAD(event_type, 1) OVER ws AS s2,
+                   LEAD(event_type, 2) OVER ws AS s3
+            FROM tagged
+            WINDOW ws AS (PARTITION BY user_id, session_seq ORDER BY rn)
+        )
+        SELECT s1 || '>' || s2 || '>' || s3 AS path, COUNT(*) AS n
+        FROM paths WHERE s3 IS NOT NULL
+        GROUP BY 1
+        ORDER BY n DESC, path
+        LIMIT 10
+    """,
+    tags=("W", "journey"),
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step event paths WITHIN sessions (4-hour idle gap —
+    this synthetic stream averages ~2 events/user/day, so the 5-minute
+    convention of sessionize_event_stats yields single-event sessions and
+    zero trigrams) — the Sankey/flow read behind
+    'what do users actually do', sharper than the one-step
+    event_transition_matrix because it keeps order inside a session
+    boundary.
+
+    Scale shape: session tagging is the standard two-window pass per user
+    (lag-gap flag, running sum); trigram extraction is two LEADs over the
+    session partition — no self-joins, no explode; the path rollup is
+    map-side combinable over a |event_types|^3-bounded domain, and top-10
+    is TakeOrderedAndProject."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+                >= 14400 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    tagged = ordered.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(
+            Window.partitionBy("user_id")
+            .orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy("rn")
+    paths = tagged.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(ws).alias("s2"),
+        F.lead("event_type", 2).over(ws).alias("s3"),
+    )
+    return (
+        paths.filter(F.col("s3").isNotNull())
+        .select(
+            F.concat_ws(">", "s1", "s2", "s3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
