@@ -54,6 +54,14 @@ _MAY_BE_EMPTY = {"kcore_cosupply_members"}
         "kcore_cosupply_members",  # r5: localCheckpoint peel loop
         "conversion_latency_stats",  # r5: events nanos + forward as-of
         "stream_spatial_facility_counts",  # r5: executed stream + broadcast array
+        "user_activity_streaks",  # r6: events nanos + date arithmetic
+        "multitouch_attribution_position",  # r6: events interval join + div
+        "kaplan_meier_reorder",  # r6: date buckets + ln pinning
+        "session_top_paths",  # r6: events unix_micros gap + leads
+        "epoch_shuffle_plan",  # r6: md5 conv() hash + windows
+        "embedding_pca_top_component",  # r6: localCheckpoint + decimal pins
+        "revenue_mom_yoy",  # r6: date_trunc + date_format rendering
+        "inventory_capped_running_balance",  # r6: scan-rewrite windows
     ],
 )
 def test_events_queries_under_driver_session(driver_like_spark, sf_dir, name):
