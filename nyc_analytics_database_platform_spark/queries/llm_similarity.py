@@ -660,3 +660,101 @@ def embedding_dim_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 9).alias("variance"),
         (F.round(var, 9) < _DEAD_VAR).alias("is_dead"),
     ).orderBy("dim")
+
+
+# --- binary quantization + Hamming rerank ------------------------------------
+
+_BQ_CAND = 50  # Hamming candidate depth before the exact rerank
+_BQ_K = 5
+
+
+def _bq_word_sql(expr: str, lo: int, base: int = 1) -> str:
+    """32 sign bits of embedding dims [lo+1, lo+32] packed into a BIGINT.
+    base=1 for DuckDB (1-based array indexing), base=0 for Spark SQL
+    (0-based `arr[i]`; `element_at` is the 1-based accessor)."""
+    return " + ".join(
+        f"(CASE WHEN {expr}[{lo + i + base}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+
+
+@register(
+    "ann_binary_hamming_rerank",
+    oracle=f"""
+        WITH coded AS (
+            SELECT vec_id, embedding,
+                   {_bq_word_sql("embedding", 0)} AS c0,
+                   {_bq_word_sql("embedding", 32)} AS c1
+            FROM embeddings
+        ),
+        q AS (
+            SELECT embedding::DOUBLE[] AS qv, c0 AS q0, c1 AS q1
+            FROM coded WHERE vec_id = 0
+        ),
+        cand AS (
+            SELECT vec_id, embedding,
+                   bit_count(xor(c0, q0)) + bit_count(xor(c1, q1))
+                       AS hamming
+            FROM coded, q
+            ORDER BY hamming, vec_id
+            LIMIT {_BQ_CAND}
+        )
+        SELECT vec_id, hamming, {_COS_SQL} AS score
+        FROM cand, q
+        ORDER BY score DESC, vec_id
+        LIMIT {_BQ_K}
+    """,
+    tags=("llm", "similarity", "scale-path"),
+)
+def ann_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary-quantization ANN (the Lucene/Vespa BQ pattern):
+    every vector compresses to 64 sign bits in two 32-bit words (16 bytes,
+    a 16x scan-size cut vs float32), stage 1 takes the top-50 by
+    Hamming distance to the query's code — pure integer xor/popcount in
+    whole-stage codegen, TakeOrderedAndProject cut — and stage 2 exactly
+    reranks only those candidates by cosine. Complements sign-LSH
+    (ann_signlsh_top5): LSH prunes by bucket identity and can miss
+    near-boundary vectors; BQ scans everything but at 1/16 the bytes and
+    ranks by full-code distance.
+
+    Determinism: Hamming is exact integer arithmetic; the rerank reuses
+    the repo's 6dp-rounded cosine with id tie-breaks at both cuts.
+
+    Scale shape: at 100 TB the 16-byte codes live beside the vectors
+    (column pruning keeps stage 1 reading codes only); both stages are
+    TakeOrderedAndProject — no shuffle wider than the candidate depth."""
+    emb = load(spark, sf_dir, "embeddings", parallel=True)
+    coded = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.expr(_bq_word_sql("embedding", 0, base=0)).alias("c0"),
+        F.expr(_bq_word_sql("embedding", 32, base=0)).alias("c1"),
+    )
+    q = coded.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"),
+        F.col("c0").alias("q0"),
+        F.col("c1").alias("q1"),
+    )
+    cand = (
+        coded.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            "qv",
+            (
+                F.bit_count(F.col("c0").bitwiseXOR(F.col("q0")))
+                + F.bit_count(F.col("c1").bitwiseXOR(F.col("q1")))
+            ).alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(_BQ_CAND)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "hamming",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(_BQ_K)
+    )
