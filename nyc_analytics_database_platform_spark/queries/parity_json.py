@@ -106,3 +106,59 @@ def xml_roundtrip_order_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.status").alias("status"),
         F.col("p.price").cast("double").alias("price"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "events_variant_extract_stats",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                             AND json_valid(props)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_k,
+               CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
+                                  % 2 = 0
+                             THEN CAST(json_extract(props, '$.k') AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS sum_even_k,
+               COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT) // 10)
+                   AS distinct_k_buckets
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("json", "variant", "spark4"),
+)
+def events_variant_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: `parse_json` props
+    into a VariantType column, read fields with `variant_get` typed paths,
+    and roll up per event type — the schema-on-read twin of
+    events_json_extract_stats (which pins a from_json struct). VARIANT is
+    the right call when the payload schema drifts: the binary-encoded
+    variant parses once and every `variant_get` is a cheap path read, no
+    re-parse per field and no declared struct to migrate.
+
+    DuckDB has no VARIANT; the oracle reads the same paths with
+    json_extract — identical integer semantics, which is exactly the
+    point (VARIANT changes the storage/access shape, not the answers).
+
+    Scale shape: parse_json + variant_get are native Catalyst expressions
+    in whole-stage codegen; one scan, one bounded-cardinality aggregate.
+    At 100 TB the parsed variant column is what you'd persist (shredded
+    parquet), making every later path read column-pruned."""
+    ev = load(spark, sf_dir, "events")
+    var = F.parse_json("props")
+    k = F.variant_get(var, "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_valid_k"),
+            F.coalesce(
+                F.sum(F.when(F.col("k") % 2 == 0, F.col("k")).otherwise(0)),
+                F.lit(0),
+            ).alias("sum_even_k"),
+            F.countDistinct(F.expr("k div 10")).alias("distinct_k_buckets"),
+        )
+        .orderBy("event_type")
+    )
