@@ -364,3 +364,33 @@ def test_pca_matches_numpy_power_iteration(spark, sf_dir):
     # pinned-term construction keeps every sum exactly equal
     assert np.allclose(loadings, expected, atol=1e-9)
     assert got[0]["eigenvalue_proxy"] > 0
+
+
+# --- clamp-rewrite identity (pure math, no Spark) -----------------------------
+
+
+def test_clamp_rewrite_identity_property():
+    """The closed form b_t = prefix_t - min(0, running-min prefix) equals the
+    sequential recurrence b_t = max(b_{t-1} + d_t, 0) for EVERY delta
+    sequence — the identity inventory_capped_running_balance rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.integers(min_value=-1000, max_value=1000), max_size=60))
+    def check(deltas):
+        bal = 0
+        seq = []
+        for d in deltas:
+            bal = max(bal + d, 0)
+            seq.append(bal)
+        prefix = 0
+        runmin = 0
+        closed = []
+        for d in deltas:
+            prefix += d
+            runmin = min(runmin, prefix)
+            closed.append(prefix - min(0, runmin))
+        assert closed == seq
+
+    check()
