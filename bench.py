@@ -68,6 +68,12 @@ _CROSSOVER = (
     "ann_bruteforce_top10",
     "month_spine_zero_fill",
     "bookmarks_summary_batch",
+    # round-6 heavy additions: the memorization explode family and the
+    # iterative decimal-pinned PCA — measured here so the new families
+    # carry their own scale curve instead of inheriting the old ones'.
+    "corpus_dup_ngram_profile",
+    "embedding_pca_top_component",
+    "boilerplate_ngrams_by_source",
 )
 
 
@@ -86,7 +92,11 @@ def _scale_crossover(spark, specs) -> dict | None:
             os.path.join(repo, ".scaledata", "sf0.5"),
             factor=5,
         )
-        sel = {n: specs[n] for n in _CROSSOVER if n in specs}
+        # Resolve from the FULL registry: crossover members need not be in
+        # the bench=True headline set (round-6 additions are measured here
+        # for their scale curve without perturbing headline comparability).
+        full = registry.all_specs()
+        sel = {n: full[n] for n in _CROSSOVER if n in full}
         # Same methodology as the main block (run twice, report min, clear
         # cache between queries): run 1 pays codegen + populates operator-
         # internal cached intermediates (durable artifacts at production

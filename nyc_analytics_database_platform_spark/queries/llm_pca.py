@@ -12,8 +12,12 @@ their fixes, found the hard way (sf0.001 passed, sf0.01 flipped ~5 terms):
    two sit on opposite sides of the scale-12 midpoint for ~1e-5 of
    arbitrary terms. Fix: every accumulated term is first pinned to an
    INTEGER-VALUED double (``ROUND(term * 10^k)``, identical away-from-zero
-   halves in both engines, exact valueOf repr), then summed as
-   DECIMAL(38,0) — exact, order-independent, overflow-free.
+   halves in both engines, exact valueOf repr), then summed as BIGINT —
+   exact and order-independent for integer values, ~10x faster than
+   DECIMAL accumulators (no BigDecimal boxing), and ANSI mode turns any
+   overflow into a loud error rather than a wrong answer (bounds: |term|
+   <= ~2.6e11, so ~3e7 rows per aggregate before DECIMAL partials are
+   needed — the documented swap at extreme scale).
 2. An L2 norm would need one more risky sum-of-squares per iteration; the
    loop instead normalizes by L-INFINITY (max |w|) — MAX is exact with no
    summation — and only the FINAL reported loadings get an L2 normalization
@@ -35,7 +39,7 @@ from nyc_analytics_database_platform_spark.registry import register
 _DIM = 64
 _ITERS = 3
 _V0 = "0.125"  # 1/sqrt(64): the exact-binary uniform unit start vector
-_D38 = "DECIMAL(38,0)"
+_D38 = "BIGINT"
 
 
 def _pca_oracle() -> str:
@@ -122,7 +126,7 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     Wall cost is 3 x two hash aggregates over |rows| x d — the same budget
     as kmeans_train_centroids per round, with zero driver involvement and
     no collect of anything data-sized."""
-    d38 = "decimal(38,0)"
+    d38 = "long"
     xq = (
         load(spark, sf_dir, "embeddings", parallel=True)
         .select(
