@@ -431,3 +431,154 @@ def assoc_rules_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+@register(
+    "retail_kpi_report",
+    oracle="""
+        WITH monthly AS (
+            SELECT DATE_TRUNC('month', o_orderdate) AS m,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+            FROM orders GROUP BY 1
+        ),
+        cum AS (
+            SELECT m, rev_cents,
+                   SUM(rev_cents) OVER w AS cum_cents,
+                   LAG(rev_cents, 12) OVER (ORDER BY m) AS yoy_prev
+            FROM monthly
+            WINDOW w AS (ORDER BY m
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        curve AS (
+            SELECT m, rev_cents, cum_cents, yoy_prev,
+                   MAX(cum_cents) OVER (ORDER BY m
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS peak_cents
+            FROM cum
+        ),
+        latest AS (
+            SELECT STRFTIME(m, '%Y-%m') AS latest_month,
+                   CAST(rev_cents AS DOUBLE) / CAST(yoy_prev AS DOUBLE)
+                       AS yoy_latest
+            FROM curve ORDER BY m DESC LIMIT 1
+        ),
+        dd AS (
+            SELECT CAST(MAX(peak_cents - cum_cents) AS DOUBLE) / 100.0
+                       AS max_drawdown
+            FROM curve
+        ),
+        per_cust AS (
+            SELECT o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rc
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT rc, ROW_NUMBER() OVER (ORDER BY rc, o_custkey) AS i
+            FROM per_cust
+        ),
+        gini AS (
+            SELECT CAST(2 * SUM(CAST(i AS DECIMAL(38,0)) * rc)
+                        - (COUNT(*) + 1) * SUM(CAST(rc AS DECIMAL(38,0)))
+                        AS DOUBLE)
+                   / CAST(COUNT(*) * SUM(CAST(rc AS DECIMAL(38,0)))
+                          AS DOUBLE) AS gini_overall
+            FROM ranked
+        ),
+        totals AS (
+            SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS total_revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+        ),
+        months AS (SELECT COUNT(*) AS n_months FROM monthly)
+        SELECT t.total_revenue, t.n_orders, mo.n_months,
+               l.latest_month, l.yoy_latest,
+               d.max_drawdown, g.gini_overall
+        FROM totals t
+        CROSS JOIN months mo CROSS JOIN latest l
+        CROSS JOIN dd d CROSS JOIN gini g
+    """,
+    tags=("C-ext", "retail", "composite"),
+)
+def retail_kpi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row retail KPI capstone composing the round-6 operators the way
+    the reference's dashboard issues N separate queries (server.py:140-236):
+    exact total revenue and order count, calendar depth, the latest month's
+    YoY ratio, the max drawdown of the cumulative revenue curve, and the
+    overall customer-revenue Gini — one composed plan instead of five
+    round-trips, every number from an already-attested operator family
+    (revenue_mom_yoy, monthly_revenue_max_drawdown,
+    gini_revenue_concentration).
+
+    Scale shape: two map-side-combinable passes over orders (monthly
+    aggregate; per-customer aggregate), calendar-bounded windows, one
+    |customers|-ranked window, and 1-row cross joins for assembly. All
+    money stays integer cents; Gini sums are DECIMAL(38,0)."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(_cents("o_totalprice")).alias("rev_cents"))
+    w_cum = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        monthly.withColumn("cum_cents", F.sum("rev_cents").over(w_cum))
+        .withColumn("peak_cents", F.max("cum_cents").over(w_cum))
+        .withColumn("yoy_prev", F.lag("rev_cents", 12).over(Window.orderBy("m")))
+    )
+    latest = (
+        curve.orderBy(F.desc("m"))
+        .limit(1)
+        .select(
+            F.date_format("m", "yyyy-MM").alias("latest_month"),
+            (
+                F.col("rev_cents").cast("double")
+                / F.col("yoy_prev").cast("double")
+            ).alias("yoy_latest"),
+        )
+    )
+    dd = curve.agg(
+        (
+            F.max(F.col("peak_cents") - F.col("cum_cents")).cast("double")
+            / 100.0
+        ).alias("max_drawdown")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("rc")
+    )
+    ranked = per_cust.select(
+        "rc",
+        F.row_number().over(Window.orderBy("rc", "o_custkey")).alias("i"),
+    )
+    gini = ranked.agg(
+        (
+            (
+                2 * F.sum(F.col("i").cast("decimal(38,0)") * F.col("rc"))
+                - (F.count("*") + 1)
+                * F.sum(F.col("rc").cast("decimal(38,0)"))
+            ).cast("double")
+            / (
+                F.count("*") * F.sum(F.col("rc").cast("decimal(38,0)"))
+            ).cast("double")
+        ).alias("gini_overall")
+    )
+    totals = orders.agg(
+        (F.sum(_cents("o_totalprice")).cast("double") / 100.0).alias(
+            "total_revenue"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+    months = monthly.agg(F.count("*").alias("n_months"))
+    return (
+        totals.crossJoin(F.broadcast(months))
+        .crossJoin(F.broadcast(latest))
+        .crossJoin(F.broadcast(dd))
+        .crossJoin(F.broadcast(gini))
+        .select(
+            "total_revenue",
+            "n_orders",
+            "n_months",
+            "latest_month",
+            "yoy_latest",
+            "max_drawdown",
+            "gini_overall",
+        )
+    )
