@@ -582,3 +582,89 @@ def retail_kpi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini_overall",
         )
     )
+
+
+_MIGRATION_SPLIT = "1998-05-01"
+
+
+@register(
+    "customer_segment_migration",
+    oracle=f"""
+        WITH h1 AS (
+            SELECT o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders WHERE o_orderdate < TIMESTAMP '{_MIGRATION_SPLIT}'
+            GROUP BY o_custkey
+        ),
+        h2 AS (
+            SELECT o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders WHERE o_orderdate >= TIMESTAMP '{_MIGRATION_SPLIT}'
+            GROUP BY o_custkey
+        ),
+        both_active AS (
+            SELECT h1.o_custkey, h1.cents AS c1, h2.cents AS c2
+            FROM h1 JOIN h2 ON h1.o_custkey = h2.o_custkey
+        ),
+        scored AS (
+            SELECT NTILE(5) OVER (ORDER BY c1 DESC, o_custkey) AS h1_score,
+                   NTILE(5) OVER (ORDER BY c2 DESC, o_custkey) AS h2_score,
+                   c1, c2
+            FROM both_active
+        )
+        SELECT h1_score, h2_score,
+               COUNT(*) AS n_customers,
+               CAST(SUM(c2 - c1) AS DOUBLE) / 100.0 AS net_spend_change
+        FROM scored
+        GROUP BY h1_score, h2_score
+        ORDER BY h1_score, h2_score
+    """,
+    tags=("A-ext", "retail"),
+)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment migration matrix: monetary quintile in the first half of the
+    history vs the second half (customers active in both), with net spend
+    change per cell — the churn/upgrade flow view a static RFM snapshot
+    (rfm_customer_segments) cannot show. Quintiles are scored WITHIN each
+    period over the both-active population, so the matrix diagonal is
+    'kept their tier' by construction.
+
+    Determinism: period spends are integer cents, NTILE frames fully
+    ordered with the o_custkey tie-break, net change sums integers.
+
+    Scale shape: two filtered map-side-combinable aggregates over the fact
+    (predicate pushdown splits the scan), one join on the customer key,
+    two NTILE windows over the both-active collapse, <=25-row rollup."""
+    orders = load(spark, sf_dir, "orders")
+    split = F.lit(_MIGRATION_SPLIT).cast("timestamp")
+    h1 = (
+        orders.filter(F.col("o_orderdate") < split)
+        .groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("c1"))
+    )
+    h2 = (
+        orders.filter(F.col("o_orderdate") >= split)
+        .groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("c2"))
+    )
+    both = h1.join(h2, "o_custkey")
+    scored = both.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("c1"), "o_custkey"))
+        .alias("h1_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("c2"), "o_custkey"))
+        .alias("h2_score"),
+        "c1",
+        "c2",
+    )
+    return (
+        scored.groupBy("h1_score", "h2_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (
+                F.sum(F.col("c2") - F.col("c1")).cast("double") / 100.0
+            ).alias("net_spend_change"),
+        )
+        .orderBy("h1_score", "h2_score")
+    )
