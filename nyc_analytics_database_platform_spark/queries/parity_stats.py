@@ -1527,3 +1527,114 @@ def cuped_adjusted_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@register(
+    "anova_f_value_by_priority",
+    oracle="""
+        WITH vals AS (
+            SELECT o_orderpriority AS g,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        per_group AS (
+            SELECT g, COUNT(*) AS n, SUM(cents) AS s,
+                   SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS q,
+                   CAST(ROUND((CAST(SUM(cents) AS DOUBLE) * SUM(cents)
+                               / COUNT(*)) / 1e9) AS BIGINT) AS t_pin
+            FROM vals GROUP BY g
+        ),
+        totals AS (
+            SELECT COUNT(*) AS k,
+                   CAST(SUM(n) AS BIGINT) AS n_total,
+                   SUM(s) AS s_total,
+                   SUM(q) AS q_total,
+                   CAST(SUM(t_pin) AS BIGINT) AS t_sum
+            FROM per_group
+        ),
+        parts AS (
+            SELECT k, n_total,
+                   (CAST(t_sum - CAST(ROUND((CAST(s_total AS DOUBLE) * s_total
+                                             / n_total) / 1e9) AS BIGINT)
+                         AS DOUBLE) * 1e9) / 10000.0 AS ssb,
+                   (CAST(q_total AS DOUBLE)
+                    - CAST(t_sum AS DOUBLE) * 1e9) / 10000.0 AS ssw
+            FROM totals
+        )
+        SELECT k AS k_groups, n_total,
+               ssb, ssw,
+               (ssb / (k - 1)) / (ssw / (n_total - k)) AS f_stat,
+               ssb / (ssb + ssw) AS eta_squared
+        FROM parts
+    """,
+    tags=("A-ext", "stats"),
+)
+def anova_f_value_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across the five order priorities —
+    between/within sums of squares, the F statistic, and eta-squared
+    (completes the classical-test family beside chi2 (categorical), the
+    z-test (proportions), and KS (distributional)). Sums of squares report
+    in currency^2 units (cents^2 / 1e4).
+
+    Numerics: per-group moments are exact (BIGINT sums; DECIMAL(38,0) for
+    the squared sums, which pass 2^63); each group's S_g^2/n_g term — the
+    one unavoidable rational — is computed as an identical double
+    expression then PINNED to a 1e9-unit integer grid before the
+    cross-group summation, so the 5-term reduction is exact integer
+    arithmetic (grid keeps ~12 significant digits of terms bounded by
+    ~3e21; the pinned sum stays below 2^53 through sf1.0 bench scale).
+
+    Scale shape: one map-side-combinable aggregate over the fact to 5
+    group rows, then scalar arithmetic."""
+    vals = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per_group = vals.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "q"
+        ),
+    ).withColumn(
+        "t_pin",
+        F.round(
+            (F.col("s").cast("double") * F.col("s") / F.col("n")) / 1e9
+        ).cast("long"),
+    )
+    totals = per_group.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum("s").alias("s_total"),
+        F.sum("q").alias("q_total"),
+        F.sum("t_pin").alias("t_sum"),
+    )
+    grand_pin = F.round(
+        (F.col("s_total").cast("double") * F.col("s_total") / F.col("n_total"))
+        / 1e9
+    ).cast("long")
+    parts = totals.select(
+        "k",
+        "n_total",
+        (
+            (F.col("t_sum") - grand_pin).cast("double") * 1e9 / 10000.0
+        ).alias("ssb"),
+        (
+            (
+                F.col("q_total").cast("double")
+                - F.col("t_sum").cast("double") * 1e9
+            )
+            / 10000.0
+        ).alias("ssw"),
+    )
+    return parts.select(
+        F.col("k").alias("k_groups"),
+        "n_total",
+        "ssb",
+        "ssw",
+        (
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_total") - F.col("k")))
+        ).alias("f_stat"),
+        (F.col("ssb") / (F.col("ssb") + F.col("ssw"))).alias("eta_squared"),
+    )
