@@ -30,7 +30,7 @@ rounded on identical operands, so the loadings match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
@@ -209,3 +209,122 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+def _pca_projection_oracle() -> str:
+    """The PCA chain (same CTEs as _pca_oracle) extended with the pinned
+    projection and the two rank cuts."""
+    base = _pca_oracle()
+    # reuse everything up to the final SELECT; rebuild the tail as CTEs
+    with_body = base[: base.rindex("SELECT v.j AS dim")].rstrip()
+    return f"""{with_body},
+        loadings AS (
+            SELECT v.j AS dim, mu.m AS mean, v.v / l2.nrm AS loading
+            FROM v{_ITERS} v
+            JOIN mu ON v.j = mu.j
+            CROSS JOIN l2
+        ),
+        proj AS (
+            SELECT x.vec_id,
+                   CAST(SUM(CAST(ROUND((x.valq / 1e6 - l.mean) * l.loading
+                                       * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+                       AS projection
+            FROM xq x JOIN loadings l ON x.j = l.dim
+            GROUP BY x.vec_id
+        ),
+        tops AS (
+            SELECT 'top' AS tail_end, vec_id, projection,
+                   ROW_NUMBER() OVER (ORDER BY projection DESC, vec_id) AS rk
+            FROM proj QUALIFY rk <= 5
+        ),
+        bottoms AS (
+            SELECT 'bottom' AS tail_end, vec_id, projection,
+                   ROW_NUMBER() OVER (ORDER BY projection, vec_id) AS rk
+            FROM proj QUALIFY rk <= 5
+        )
+        SELECT tail_end, rk, vec_id, projection FROM tops
+        UNION ALL
+        SELECT tail_end, rk, vec_id, projection FROM bottoms
+        ORDER BY tail_end, rk
+    """
+
+
+@register(
+    "embedding_pca_projection_extremes",
+    oracle=_pca_projection_oracle(),
+    tags=("llm", "similarity", "embedding"),
+)
+def embedding_pca_projection_extremes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Extreme points along the first principal component: every embedding
+    projects onto the PCA loadings (the centered dot product) and the
+    top-5 / bottom-5 by projection come back — the 'what lives at the ends
+    of the dominant axis' exploration read, composed directly on
+    embedding_pca_top_component's attested loadings.
+
+    Determinism: per-vector projections sum pinned integer terms
+    (ROUND((x - mean) * loading * 1e9), 64 per vector) exactly; the two
+    rank cuts order by (projection, vec_id).
+
+    Scale shape: the PCA runs once (its own documented budget); the
+    projection is one more scan with a per-vector 64-term reduction, and
+    both extremes are TakeOrderedAndProject cuts."""
+    loadings = embedding_pca_top_component(spark, sf_dir).select(
+        "dim", "mean", "loading"
+    )
+    xq = (
+        load(spark, sf_dir, "embeddings", parallel=True)
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "j0", "val"
+            ),
+        )
+        .select(
+            "vec_id",
+            (F.col("j0") + 1).alias("dim"),
+            F.round(F.col("val") * 1e6).alias("valq"),
+        )
+    )
+    proj = (
+        xq.join(F.broadcast(loadings), "dim")
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        (F.col("valq") / 1e6 - F.col("mean"))
+                        * F.col("loading")
+                        * 1e9
+                    ).cast("long")
+                ).cast("double")
+                / 1e9
+            ).alias("projection")
+        )
+    )
+    tops = (
+        proj.orderBy(F.desc("projection"), "vec_id")
+        .limit(5)
+        .select(
+            F.lit("top").alias("tail_end"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("projection"), "vec_id"))
+            .alias("rk"),
+            "vec_id",
+            "projection",
+        )
+    )
+    bottoms = (
+        proj.orderBy("projection", "vec_id")
+        .limit(5)
+        .select(
+            F.lit("bottom").alias("tail_end"),
+            F.row_number()
+            .over(Window.orderBy("projection", "vec_id"))
+            .alias("rk"),
+            "vec_id",
+            "projection",
+        )
+    )
+    return tops.unionByName(bottoms).orderBy("tail_end", "rk")
