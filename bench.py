@@ -74,7 +74,31 @@ _CROSSOVER = (
     "corpus_dup_ngram_profile",
     "embedding_pca_top_component",
     "boilerplate_ngrams_by_source",
+    # round-7 (VERDICT r6 #6): the round-6 headline additions that had no
+    # >=sf0.5 timing — each now carries at least one crossover point.
+    "embedding_pca_projection_extremes",
+    "ann_binary_hamming_rerank",
+    "session_top_paths",
+    "kaplan_meier_reorder",
+    "rfm_customer_segments",
 )
+
+
+def _clear_state(spark) -> None:
+    """Drop EVERYTHING the block manager holds between timed queries:
+    `catalog.clearCache()` only drops SQL-cache entries, but the engine's
+    iterative operators (PCA, graph CC, survivor frames) use
+    `localCheckpoint`, whose blocks persist at the RDD layer until the
+    driver GC gets around to them. Left alone they accumulate across a
+    long bench run and the LAST measured group (the sf1.0/sf2.0 crossover)
+    pays for every earlier query's resident blocks - measured 2-4x
+    inflation on the closing trio in round 7 before this existed."""
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        try:
+            rdd.unpersist()
+        except Exception:  # noqa: BLE001 - cleanup is best-effort
+            pass
 
 
 def _scale_crossover(spark, specs) -> dict | None:
@@ -111,7 +135,7 @@ def _scale_crossover(spark, specs) -> dict | None:
                 spec.fn(spark, big_dir).collect()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 4)
-            spark.catalog.clearCache()
+            _clear_state(spark)
         duck = _duckdb_timings(sel, big_dir, runs=2)
         vs = {
             n: round(timings[n] / duck[n], 2)
@@ -136,13 +160,19 @@ def _scale_crossover(spark, specs) -> dict | None:
             factor=10,
         )
         sel1 = {
-            n: specs[n]
+            n: full[n]
             for n in (
                 "dedup_jaccard_prefix_filter",
                 "corpus_span_dedup",
                 "tpch_q21_waiting_suppliers",
+                # round-7 additions (VERDICT r6 #1/#2): the wide-plan PCA
+                # and the reworked memorization audits record their
+                # sf1.0/sf2.0 convergence in the canonical artifact.
+                "embedding_pca_top_component",
+                "corpus_dup_ngram_profile",
+                "boilerplate_ngrams_by_source",
             )
-            if n in specs
+            if n in full
         }
         # Min of 5 (was 2) for the trio: each spec.fn call builds a FRESH
         # plan, so no AQE shuffle-stage reuse leaks between runs - every
@@ -158,7 +188,7 @@ def _scale_crossover(spark, specs) -> dict | None:
                 spec.fn(spark, big1).collect()
                 best = min(best, time.perf_counter() - t0)
             t1[name] = round(best, 4)
-            spark.catalog.clearCache()
+            _clear_state(spark)
         duck1 = _duckdb_timings(sel1, big1, runs=5)
         out["sf1.0"] = {
             "queries": t1,
@@ -187,7 +217,7 @@ def _scale_crossover(spark, specs) -> dict | None:
                 spec.fn(spark, big2).collect()
                 best = min(best, time.perf_counter() - t0)
             t2[name] = round(best, 4)
-            spark.catalog.clearCache()
+            _clear_state(spark)
         duck2 = _duckdb_timings(sel1, big2, runs=5)
         out["sf2.0"] = {
             "queries": t2,
@@ -235,7 +265,7 @@ def main() -> None:
     # sf runs - they only add block-manager pressure that inflates every
     # subsequent measurement (measured ~2-4x on the later queries of the
     # alphabet as resident blocks accumulate).
-    spark.catalog.clearCache()
+    _clear_state(spark)
 
     # Each query runs twice; the reported time is the min (steady state).
     # Run 1 pays one-time whole-stage-codegen (Janino) compilation of the
@@ -255,7 +285,7 @@ def main() -> None:
         # operator-internal cache, run 2 measured the cache-warm steady
         # state; dropping the blocks afterwards keeps query N's resident
         # cache from inflating query N+1's time.
-        spark.catalog.clearCache()
+        _clear_state(spark)
 
     total = round(sum(timings.values()), 4)
     duck = _duckdb_timings(specs, sf_dir)

@@ -35,16 +35,30 @@ _PROFILE_NS = (8, 16, 32)  # duplicated-n-gram profile window sizes
 _SPAN_N = 8  # cross-source matrix span width (matches corpus_span_dedup)
 
 
-def _ngram_expr(n: int) -> F.Column:
-    """(pos, hash) pairs for every n-token window of `toks` (1-based pos).
+def _ngram_expr(n: int, arr: str = "toks") -> F.Column:
+    """(pos, hash) pairs for every n-token window of `arr` (1-based pos).
     Guarded: Spark's sequence(1, k) DESCENDS for k < 1, so short documents
-    take the typed-empty-array branch instead."""
+    take the typed-empty-array branch instead. When `arr` is a
+    pre-hashed array<bigint> (``_TH``), the window hash is xxhash64 over
+    the LONG slice — no per-position string join/allocation; hashing
+    8-byte tokens instead of rebuilding n-token strings measured ~15-20%
+    off the whole-query time at sf0.5."""
+    key = f"slice({arr}, i, {n})" if arr != "toks" else (
+        f"array_join(slice({arr}, i, {n}), ' ')"
+    )
     return F.expr(
-        f"CASE WHEN size(toks) >= {n} THEN "
-        f"transform(sequence(1, size(toks) - {n} + 1), "
-        f"i -> struct(i AS pos, xxhash64(array_join(slice(toks, i, {n}), ' ')) AS h)) "
+        f"CASE WHEN size({arr}) >= {n} THEN "
+        f"transform(sequence(1, size({arr}) - {n} + 1), "
+        f"i -> struct(i AS pos, xxhash64({key}) AS h)) "
         f"ELSE CAST(array() AS array<struct<pos:int,h:bigint>>) END"
     )
+
+
+# per-token xxhash64 longs: every window key downstream hashes slices of
+# this array (8 bytes/token) instead of re-joined strings; a window
+# collision needs a token-hash collision first, and the string-grouped
+# DuckDB oracles remain the collision check either way.
+_TH = "transform(toks, t -> xxhash64(t))"
 
 
 @register(
@@ -87,28 +101,31 @@ def boilerplate_ngrams_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers.
 
     Scale shape: the wide path is DISTINCT (source, doc_id, hash) then a
-    count per (source, hash) — 8-byte keys, map-side combinable, never the
-    n-gram text. Only the boilerplate SURVIVORS (a tiny set by
-    construction) reattach their text, by re-slicing the representative
-    document at the recorded position — a broadcast join against the doc
-    scan, not a second corpus shuffle."""
-    docs = with_tokens(
-        load(spark, sf_dir, "documents", parallel=True).filter(
-            F.col("text").isNotNull() & (F.trim("text") != "")
-        )
-    ).select("doc_id", "source", "toks")
-    grams = docs.select(
-        "source",
-        "doc_id",
-        F.explode(_ngram_expr(_BP_N)).alias("g"),
-    ).select("source", "doc_id", "g.pos", "g.h")
+    count per (source, hash) — 8-byte token-hash-slice keys, map-side
+    combinable, never the n-gram text. The survivor set (tiny by
+    construction) localCheckpoints so its two downstream uses never
+    recompute the corpus pipeline, the per-source doc counts come from a
+    token-free scan of the raw table, and only the representative
+    documents re-tokenize for text reattachment (a broadcast-semi-joined
+    scan) — one full tokenize+explode pass total, vs three in the round-6
+    shape (2.68x DuckDB then; 1.64x at sf1.0 now, see SCALE.md)."""
+    base = load(spark, sf_dir, "documents", parallel=True).filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    grams = (
+        with_tokens(base)
+        .selectExpr("source", "doc_id", f"{_TH} as th")
+        .select("source", "doc_id", F.explode(_ngram_expr(_BP_N, "th")).alias("g"))
+        .select("source", "doc_id", "g.pos", "g.h")
+    )
     # distinct (source, doc, h) keeps one row per document containing the
     # gram; min(pos) + min(doc_id) give a deterministic representative to
     # reattach text from.
     per_doc = grams.groupBy("source", "h", "doc_id").agg(
         F.min("pos").alias("pos")
     )
-    src_docs = docs.groupBy("source").agg(
+    # n_docs needs no tokens - count the same non-empty filter on the raw scan
+    src_docs = base.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
     df = per_doc.groupBy("source", "h").agg(
@@ -128,13 +145,19 @@ def boilerplate_ngrams_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_freq",
             "n_docs",
         )
+        # bounded by construction (>=10% doc-frequency grams per source);
+        # checkpointing stops the corpus pipeline running once per use below
+        .localCheckpoint(eager=False)
     )
-    # reattach the n-gram text from the representative document
-    rep_docs = docs.select(F.col("doc_id").alias("rep_doc"), "toks")
+    # reattach the n-gram text by re-slicing ONLY the representative docs
+    rep_toks = with_tokens(
+        base.join(
+            F.broadcast(flagged.select("rep_doc").distinct()),
+            base["doc_id"] == F.col("rep_doc"),
+        )
+    ).select(F.col("doc_id").alias("rep_doc"), "toks")
     return (
-        flagged.join(F.broadcast(rep_docs.join(
-            flagged.select("rep_doc").distinct(), "rep_doc"
-        )), "rep_doc")
+        flagged.join(F.broadcast(rep_toks), "rep_doc")
         .select(
             "source",
             F.array_join(
@@ -189,45 +212,74 @@ def corpus_dup_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence for choosing a span-dedup granularity (cf. corpus_span_dedup's
     fixed n=8).
 
-    Scale shape: per n, one explode to xxhash64 longs + one count — the
-    corpus text never shuffles, and the three branches share the cached
-    token table. dup_fraction divides two exact integer sums. At 100 TB
-    the explode output is ~|tokens| rows of 8-byte keys per branch, the
-    same budget as corpus_span_dedup."""
-    docs = with_tokens(
-        load(spark, sf_dir, "documents", parallel=True).filter(
-            F.col("text").isNotNull() & (F.trim("text") != "")
-        )
-    ).select("toks")
-    branches = []
-    for n in _PROFILE_NS:
-        counts = (
-            docs.select(F.explode(_ngram_expr(n)).alias("g"))
-            .groupBy(F.col("g.h"))
-            .agg(F.count("*").alias("cnt"))
-        )
-        branches.append(
-            counts.agg(
-                F.lit(n).cast("int").alias("n"),
-                F.sum("cnt").alias("total_ngrams"),
-                F.count("*").alias("distinct_ngrams"),
-                F.coalesce(
-                    F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
-                ).alias("dup_occurrences"),
-                F.count(F.when(F.col("cnt") > 1, 1)).alias("dup_distinct"),
-                (
-                    F.coalesce(
-                        F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))),
-                        F.lit(0),
-                    ).cast("double")
-                    / F.sum("cnt")
-                ).alias("dup_fraction"),
+    Scale shape: ONE tokenize+explode pass for all three window sizes
+    (round 6 ran the corpus scan per n), with hierarchical window hashes:
+    h8 hashes the 8-long token-hash slice, then h16[i] = xxhash64(h8[i],
+    h8[i+8]) and h32[i] = xxhash64(h16[i], h16[i+16]) — 2 longs hashed
+    per wider window instead of 16/32 tokens. The explode emits (n, h)
+    8-byte pairs, one map-side-combinable groupBy(n, h), one 3-row
+    rollup; the corpus text never shuffles. A wider-window collision
+    requires an 8-window collision first, and the string-grouped oracle
+    stays the collision check. dup_fraction divides two exact integer
+    sums. 1.32s vs round 6's 1.86s at sf0.5; 1.5x DuckDB at sf1.0."""
+    n8, n16, n32 = _PROFILE_NS
+    # the hierarchical construction requires the doubling ladder
+    assert n16 == 2 * n8 and n32 == 2 * n16, _PROFILE_NS
+    gr = (
+        with_tokens(
+            load(spark, sf_dir, "documents", parallel=True).filter(
+                F.col("text").isNotNull() & (F.trim("text") != "")
             )
         )
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out.orderBy("n")
+        .selectExpr(f"{_TH} as th")
+        .selectExpr(
+            f"CASE WHEN size(th) >= {n8} THEN "
+            f"transform(sequence(1, size(th) - {n8} + 1), "
+            f"i -> xxhash64(slice(th, i, {n8}))) "
+            "ELSE CAST(array() AS array<bigint>) END as h8"
+        )
+        .selectExpr(
+            "h8",
+            f"CASE WHEN size(h8) >= {n8 + 1} THEN "
+            f"transform(sequence(1, size(h8) - {n8}), "
+            f"i -> xxhash64(element_at(h8, i), element_at(h8, i + {n8}))) "
+            "ELSE CAST(array() AS array<bigint>) END as h16",
+        )
+        .selectExpr(
+            "h8",
+            "h16",
+            f"CASE WHEN size(h16) >= {n16 + 1} THEN "
+            f"transform(sequence(1, size(h16) - {n16}), "
+            f"i -> xxhash64(element_at(h16, i), element_at(h16, i + {n16}))) "
+            "ELSE CAST(array() AS array<bigint>) END as h32",
+        )
+        .selectExpr(
+            "explode(concat("
+            f"transform(h8, h -> struct({n8} as n, h)), "
+            f"transform(h16, h -> struct({n16} as n, h)), "
+            f"transform(h32, h -> struct({n32} as n, h)))) as g"
+        )
+    )
+    counts = gr.groupBy("g.n", "g.h").agg(F.count("*").alias("cnt"))
+    return (
+        counts.groupBy("n")
+        .agg(
+            F.sum("cnt").alias("total_ngrams"),
+            F.count("*").alias("distinct_ngrams"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
+            ).alias("dup_occurrences"),
+            F.count(F.when(F.col("cnt") > 1, 1)).alias("dup_distinct"),
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))),
+                    F.lit(0),
+                ).cast("double")
+                / F.sum("cnt")
+            ).alias("dup_fraction"),
+        )
+        .orderBy("n")
+    )
 
 
 @register(
@@ -273,7 +325,8 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("text").isNotNull() & (F.trim("text") != "")
             )
         )
-        .select("source", "doc_id", F.explode(_ngram_expr(_SPAN_N)).alias("g"))
+        .selectExpr("source", "doc_id", f"{_TH} as th")
+        .select("source", "doc_id", F.explode(_ngram_expr(_SPAN_N, "th")).alias("g"))
         .groupBy("source", F.col("g.h").alias("h"))
         .agg(F.countDistinct("doc_id").alias("nd"))
     )

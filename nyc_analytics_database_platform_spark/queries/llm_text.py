@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
 from nyc_analytics_database_platform_spark.operators.dedup import with_tokens
+from nyc_analytics_database_platform_spark.operators.prefixsum import (
+    ranked_by_range,
+)
 from nyc_analytics_database_platform_spark.functions.text import (
     BPE_ISH_PATTERN,
     EMAIL_PATTERN,
@@ -744,10 +747,11 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a final ulp difference in ln() cannot move a 1e-6 rounding except on
     a knife-edge, and the 6dp-rounded slope absorbs even that); moments
     are exact DECIMAL sums multiplied in DECIMAL, so the fit is
-    cross-engine exact. The rank window runs over the VOCAB frame -
-    sublinear in corpus size (Heaps' law); at 100 TB ranks would come
-    from the two-level bucketed prefix-sum (operators/prefixsum.py)
-    instead of one window."""
+    cross-engine exact. Ranks run over the VOCAB frame (sublinear in
+    corpus size, Heaps' law) via the SHARDED rank scan
+    (operators/prefixsum.ranked_by_range) - range shuffle + parallel
+    within-shard window, no single-partition sort even at 100 TB vocab
+    sizes."""
     docs = load(spark, sf_dir, "documents", parallel=True).filter(
         F.col("text").isNotNull()
     )
@@ -761,9 +765,11 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
-    w = Window.orderBy(F.col("freq").desc(), "word")
-    pts = words.select(
-        F.round(F.log(F.row_number().over(w).cast("double")) * 1000000)
+    ranked, _n = ranked_by_range(
+        words, [F.desc("freq"), F.asc("word")], "rk"
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rk").cast("double")) * 1000000)
         .cast("long")
         .alias("x"),
         F.round(F.log(F.col("freq").cast("double")) * 1000000)

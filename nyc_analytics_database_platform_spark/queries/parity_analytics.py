@@ -9,6 +9,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.operators.prefixsum import (
+    ntile_from_rank,
+    ranked_by_range,
+)
 from nyc_analytics_database_platform_spark.registry import register
 
 
@@ -248,13 +252,21 @@ def ntile_decile_price_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution. Deterministic tiebreak on o_orderkey so both engines cut
     identical buckets.
 
-    Scale note: a global NTILE is a single-partition sort - correct but
-    serial; at 100 TB the same report comes from approx_percentile bounds.
-    This query attests the exact semantics at oracle scale."""
-    orders = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    Scale shape: EXACT deciles with no single-partition sort - the global
+    rank comes from operators/prefixsum.ranked_by_range (range shuffle +
+    parallel within-shard window + broadcast shard offsets) and the decile
+    is the closed-form NTILE arithmetic on that rank, bit-identical to the
+    window NTILE the oracle runs."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked, n = ranked_by_range(
+        orders, [F.asc("o_totalprice"), F.asc("o_orderkey")], "rk"
+    )
     return (
-        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        ranked.select(
+            "o_totalprice", ntile_from_rank("rk", n, 10).alias("decile")
+        )
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),
@@ -1111,19 +1123,21 @@ def revenue_pareto_by_customer_decile(spark: SparkSession, sf_dir: str) -> DataF
     """Revenue concentration (the Pareto / 80-20 report): customers ranked
     by total spend, split into deciles, with each decile's revenue share
     and the cumulative share curve. Spend totals are DECIMAL-exact; the
-    ntile runs over the customer-spend frame (the per-key pre-aggregate,
-    not the order fact - and the bucketed prefix-sum is the documented
-    at-scale substitute for the rank, as in vocab_zipf_slope); the final
-    cumulative window touches 10 rows. Deterministic ntile ties via
-    (rev DESC, custkey)."""
+    decile comes from the SHARDED rank scan over the customer-spend frame
+    (operators/prefixsum.ranked_by_range + closed-form NTILE - no
+    single-partition sort; the per-key pre-aggregate, never the order
+    fact); the final cumulative window touches 10 rows. Deterministic
+    ntile ties via (rev DESC, custkey)."""
     spend = (
         load(spark, sf_dir, "orders", parallel=True)
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
     )
-    w = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    ranked, n_cust = ranked_by_range(
+        spend, [F.desc("rev"), F.asc("o_custkey")], "rk"
+    )
     per = (
-        spend.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn("decile", ntile_from_rank("rk", n_cust, 10))
         .groupBy("decile")
         .agg(F.count("*").alias("n_customers"), F.sum("rev").alias("d_rev"))
     )

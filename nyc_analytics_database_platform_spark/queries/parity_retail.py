@@ -13,10 +13,18 @@ so both engines emit bit-identical values.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.operators.prefixsum import (
+    ntile_from_rank as _ntile_from_rank,
+)
+from nyc_analytics_database_platform_spark.operators.prefixsum import (
+    ranked_by_range,
+)
 from nyc_analytics_database_platform_spark.registry import register
 
 
@@ -63,12 +71,16 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_custkey) so bucket assignment is unique; monetary stays integer cents
     until the final report division.
 
-    Scale shape: the NTILE windows run over the PER-CUSTOMER aggregate
+    Scale shape: both quintile paths run over the PER-CUSTOMER aggregate
     (|customers| rows, map-side combined from the fact), never raw orders.
-    The unpartitioned window is the textbook quintile operator; at extreme
-    |customers| swap to precomputed quintile boundaries (exact order
-    statistics via operators/prefixsum.py's sharded rank scan) joined back
-    broadcast — same output, no single-partition sort."""
+    Default ('prefixsum', the 100 TB shape): per metric, an exact global
+    rank via operators/prefixsum.ranked_by_range — a range shuffle +
+    PARALLEL within-shard window + broadcast offset join, no
+    single-partition sort anywhere — then the closed-form NTILE
+    arithmetic (_ntile_from_rank) on the rank. SPARK_GRAFT_RFM_QUINTILE=
+    window selects the textbook unpartitioned-NTILE twin (3 global
+    windows over one pass); tests/test_round7_ops.py locks the two paths
+    bit-identical at sf0.001+sf0.01."""
     orders = load(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_dt"),
@@ -76,10 +88,13 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_cents("o_totalprice")).alias("monetary_cents"),
     )
     anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("anchor_dt"))
-    scored = (
+    base = (
         per_cust.crossJoin(F.broadcast(anchor))
         .withColumn("recency_days", F.datediff("anchor_dt", "last_dt"))
-        .select(
+    )
+    mode = os.environ.get("SPARK_GRAFT_RFM_QUINTILE", "prefixsum").lower()
+    if mode == "window":
+        scored = base.select(
             F.ntile(5)
             .over(Window.orderBy("recency_days", "o_custkey"))
             .alias("r_score"),
@@ -92,7 +107,23 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_cents",
         )
-    )
+    else:
+        ranked, n = ranked_by_range(
+            base, [F.asc("recency_days"), F.asc("o_custkey")], "r_rk"
+        )
+        ranked, _ = ranked_by_range(
+            ranked, [F.desc("frequency"), F.asc("o_custkey")], "f_rk"
+        )
+        ranked, _ = ranked_by_range(
+            ranked, [F.desc("monetary_cents"), F.asc("o_custkey")], "m_rk"
+        )
+        scored = ranked.select(
+            _ntile_from_rank("r_rk", n).alias("r_score"),
+            _ntile_from_rank("f_rk", n).alias("f_score"),
+            _ntile_from_rank("m_rk", n).alias("m_score"),
+            "frequency",
+            "monetary_cents",
+        )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
@@ -634,7 +665,10 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two filtered map-side-combinable aggregates over the fact
     (predicate pushdown splits the scan), one join on the customer key,
-    two NTILE windows over the both-active collapse, <=25-row rollup."""
+    then two SHARDED rank scans over the both-active collapse
+    (operators/prefixsum.ranked_by_range - range shuffle + parallel
+    within-shard window, no single-partition NTILE sort) feeding the
+    closed-form quintile arithmetic, <=25-row rollup."""
     orders = load(spark, sf_dir, "orders")
     split = F.lit(_MIGRATION_SPLIT).cast("timestamp")
     h1 = (
@@ -648,13 +682,15 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_cents("o_totalprice")).alias("c2"))
     )
     both = h1.join(h2, "o_custkey")
-    scored = both.select(
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("c1"), "o_custkey"))
-        .alias("h1_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("c2"), "o_custkey"))
-        .alias("h2_score"),
+    ranked, n = ranked_by_range(
+        both, [F.desc("c1"), F.asc("o_custkey")], "rk1"
+    )
+    ranked, _ = ranked_by_range(
+        ranked, [F.desc("c2"), F.asc("o_custkey")], "rk2"
+    )
+    scored = ranked.select(
+        _ntile_from_rank("rk1", n).alias("h1_score"),
+        _ntile_from_rank("rk2", n).alias("h2_score"),
         "c1",
         "c2",
     )

@@ -16,6 +16,15 @@ Per query (built at sf0.001; plans are scale-invariant in shape):
   - PY-ROW-UDF: BatchEvalPython = row-at-a-time Python in the plan (the
     engine bans it; Arrow surfaces show as ArrowEvalPython / MapInPandas /
     FlatMapGroupsInPandas and are fine)
+  - GLOBAL-WINDOW: a Window node with an EMPTY partition spec that is NOT
+    rank-limited — a single-partition sort of its whole input, the
+    scale-killer WindowExec itself warns about. Two labeled-ok forms:
+    window(limit) = every global Window in the plan is fed by a
+    WindowGroupLimit (Spark's rank-filter pushdown caps rows per map task,
+    so the single partition sees <= k * n_partitions rows, not the data);
+    window(ok) = the query is in WINDOW_OK, the audited list of global
+    windows over BOUNDED/metadata intermediates (month spines, histogram
+    buckets, <=125-row reports) with a file:line justification.
 
 Streaming queries execute real drains in fn() and are skipped (their plans
 are audited by the streaming tests).
@@ -51,6 +60,148 @@ CARTESIAN_OK = {
 }
 
 
+# Queries whose UNGUARDED global windows are over bounded/metadata
+# intermediates - audited by hand, justification beside each. (Rank-filter
+# windows that compile to WindowGroupLimit/TakeOrderedAndProject are
+# auto-labeled window(limit) and never need listing.) Populated by the
+# round-7 sweep; a NEW query with an unlisted unguarded global window
+# fails tests/test_plan_invariants.py. Real-cardinality global windows
+# found by that sweep were FIXED instead of listed (ntile_decile_price_
+# bounds, revenue_pareto deciles, segment-migration quintiles, zipf ranks,
+# rfm quintiles - all on operators/prefixsum.ranked_by_range now).
+WINDOW_OK: dict[str, str] = {
+    # month-spine family: window input is the month series of the order
+    # history - <=~100 rows regardless of corpus size
+    "cumulative_orders": "cumsum over the monthly aggregate (<=84 rows)",
+    "rolling_3m_avg_orders": "3-month frame over the monthly aggregate",
+    "revenue_mom_yoy": "LAG(1)/LAG(12) over the monthly aggregate",
+    "month_spine_interpolated_revenue": (
+        "gap-fill LAG/LEAD chains over the generated month spine"
+    ),
+    "monthly_revenue_autocorr": "lag-k pairs over the monthly series",
+    "monthly_revenue_cusum": "mean-centered cumsum over the monthly series",
+    "monthly_revenue_max_drawdown": (
+        "running-peak scan over the monthly series"
+    ),
+    "theil_sen_revenue_trend": (
+        "pairwise-slope median over the monthly series (bnl over the same)"
+    ),
+    "retail_kpi_report": "composite of the monthly-series KPIs above",
+    "kaplan_meier_reorder": (
+        "life-table product over gap-month buckets (parity_journey.py:336,"
+        " bounded by the observation window in months)"
+    ),
+    # bucket/metadata frames: window input is a fixed bucket census
+    "exact_quantiles_bucketed": (
+        "bucket-offset window over 256 value-bucket totals"
+        " (operators/prefixsum.py two-level scan)"
+    ),
+    "ks_two_sample_price_drift": (
+        "ECDF offset window over the bounded value-bucket census"
+    ),
+    "join_key_skew_report": (
+        "histogram window over the size-value census (parity_profile.py:256"
+        " - rows = distinct per-key counts, a bounded size domain)"
+    ),
+    "sequence_packing_bins": (
+        "bin assembly over the bounded shard/bucket metadata of the sharded"
+        " prefix-sum (llm_sampling.py)"
+    ),
+    "top5_other_rollup": (
+        "rank over the per-group totals (group domain: order statuses x"
+        " months, bounded)"
+    ),
+    "pareto_frontier_parts": (
+        "running-max over DISTINCT part prices (parity_retail.py:363 -"
+        " bounded price domain, collapsed before the window)"
+    ),
+    "revenue_pareto_by_customer_decile": (
+        "cum-share window over the 10 decile rows (the customer-rank window"
+        " itself is the sharded scan now)"
+    ),
+}
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Split a physical-plan node's argument text into its top-level
+    [...] groups (bracket-depth parser - window exprs nest brackets)."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start >= 0:
+                groups.append(s[start + 1 : i])
+                start = -1
+    return groups
+
+
+_NODE_RE = re.compile(
+    r"^(?P<deco>[\s:+|*-]*(?:\(\d+\)\s*)?)(?P<name>[A-Za-z]\w*)(?P<rest>.*)$"
+)
+
+# Nodes that cap the rows reaching a downstream Window: Spark compiles a
+# rank-filter over a GLOBAL window to LimitPushDownThroughWindow
+# (TakeOrderedAndProject / Global+LocalLimit below the Window) and a
+# partitioned one to WindowGroupLimit - either way the single-partition
+# sort sees <= k rows, not the data.
+_WINDOW_GUARDS = frozenset(
+    {"WindowGroupLimit", "TakeOrderedAndProject", "GlobalLimit", "LocalLimit"}
+)
+# Pure pass-throughs between a Window and whatever bounds/feeds it.
+_WINDOW_PASSTHROUGH = frozenset({"Sort", "Exchange", "ShuffleQueryStage",
+                                 "InputAdapter", "WholeStageCodegen",
+                                 "AQEShuffleRead", "Project", "Filter"})
+
+
+def window_census(plan: str) -> tuple[int, int, int]:
+    """(global_windows, partitioned_windows, guarded_global_windows) for a
+    physical-plan string. A Window node renders as
+    `Window [exprs], [partitionSpec], [orderSpec]` with the partition group
+    OMITTED when empty (two top-level bracket groups instead of three). A
+    global Window counts as guarded when a limit-type node
+    (_WINDOW_GUARDS) sits directly beneath it, across pass-through
+    sort/exchange/projection nodes."""
+    nodes: list[tuple[int, str, str]] = []
+    for line in plan.splitlines():
+        m = _NODE_RE.match(line)
+        if m:
+            nodes.append(
+                (len(m.group("deco")), m.group("name"), m.group("rest"))
+            )
+    n_global = n_part = n_guarded = 0
+    for i, (indent, name, rest) in enumerate(nodes):
+        if name != "Window":
+            continue
+        groups = _top_level_groups(rest)
+        if len(groups) >= 3:
+            n_part += 1
+            continue
+        # two groups is ambiguous: [exprs], [partitionSpec] (partitioned,
+        # unordered - fine) vs [exprs], [orderSpec] (GLOBAL ordered - the
+        # single-partition sort). Sort specs always render ASC/DESC.
+        if len(groups) == 2 and not re.search(
+            r"\b(ASC|DESC)\b", groups[1]
+        ):
+            n_part += 1
+            continue
+        n_global += 1
+        j = i + 1
+        while j < len(nodes) and nodes[j][0] > indent:
+            child = nodes[j][1]
+            if child in _WINDOW_GUARDS:
+                n_guarded += 1
+                break
+            if child in _WINDOW_PASSTHROUGH:
+                j += 1
+                continue
+            break  # a data-sized child: unguarded
+    return n_global, n_part, n_guarded
+
+
 def main() -> None:
     spark = get_spark("plan-audit")
     specs = registry.all_specs()
@@ -79,6 +230,14 @@ def main() -> None:
             )
         if "BatchEvalPython" in plan:
             flags.append("PY-ROW-UDF")
+        n_global, _n_part, n_gl = window_census(plan)
+        if n_global:
+            if n_global <= n_gl:
+                flags.append(f"window(limit x{n_global})")
+            elif name in WINDOW_OK:
+                flags.append(f"window(ok x{n_global})")
+            else:
+                flags.append(f"GLOBAL-WINDOW({n_global - n_gl})")
         rows.append((name, shuffles, bcasts, flags))
         spark.catalog.clearCache()
 
@@ -91,8 +250,12 @@ def main() -> None:
         "",
         f"**Unexplained anti-patterns: {len(bad)}** "
         "(CARTESIAN = unlabeled quadratic join; PY-ROW-UDF = row-at-a-time "
-        "Python). `cartesian(ok)` marks the documented calibration baselines "
-        "and broadcast-of-tiny-band patterns.",
+        "Python; GLOBAL-WINDOW = unpartitioned non-rank-limited window over "
+        "unaudited cardinality). `cartesian(ok)` marks the documented "
+        "calibration baselines and broadcast-of-tiny-band patterns; "
+        "`window(limit)` marks global windows capped by WindowGroupLimit "
+        "rank pushdown; `window(ok)` marks audited bounded/metadata global "
+        "windows (justifications in scripts/plan_audit.py WINDOW_OK).",
         "",
         "| query | shuffles | broadcasts | flags |",
         "|---|---|---|---|",

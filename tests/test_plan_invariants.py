@@ -174,3 +174,70 @@ def test_unigram_vocab_broadcasts(spark, sf_dir):
     (vocab + one-row totals) - the token fact must not shuffle for either."""
     p = plan_text(spark, sf_dir, "corpus_unigram_logprob")
     assert p.count("BroadcastExchange") >= 2
+
+
+def test_global_window_detector_flags_unlabeled(spark, sf_dir):
+    """The plan-audit window census must (a) flag a real unpartitioned
+    full-cardinality window, (b) not flag partitioned windows, and
+    (c) auto-label rank-limited global windows (WindowGroupLimit)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from plan_audit import window_census
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from nyc_analytics_database_platform_spark.catalog import load
+
+    orders = load(spark, sf_dir, "orders")
+    # (a) unguarded global window: running total over everything
+    bad = orders.withColumn(
+        "rt",
+        F.sum("o_totalprice").over(
+            Window.orderBy("o_orderkey").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    g, p, gl = window_census(bad._jdf.queryExecution().executedPlan().toString())
+    assert (g, p, gl) == (1, 0, 0), (g, p, gl)
+    # (b) partitioned window: not global
+    ok = orders.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        ),
+    )
+    g, p, gl = window_census(ok._jdf.queryExecution().executedPlan().toString())
+    assert (g, p, gl) == (0, 1, 0), (g, p, gl)
+    # (c) global rank-filter: Spark caps the window input with
+    # TakeOrderedAndProject/GlobalLimit (LimitPushDownThroughWindow) -
+    # the census must see the guard and count the window as bounded
+    lim = (
+        orders.withColumn(
+            "rk", F.row_number().over(Window.orderBy("o_orderkey"))
+        ).filter(F.col("rk") <= 5)
+    )
+    g, p, gl = window_census(lim._jdf.queryExecution().executedPlan().toString())
+    assert g == 1 and gl >= 1, (g, p, gl)
+
+
+def test_registry_has_no_unlabeled_global_windows(spark, sf_dir):
+    """Every registered batch query's executed plan must have zero
+    unguarded, un-audited global windows — the enforcement the round-6
+    verdict asked for (new queries must either compile their global
+    window to WindowGroupLimit or be listed in WINDOW_OK with a
+    justification)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from plan_audit import WINDOW_OK, window_census
+
+    offenders = []
+    for name, spec in sorted(registry.all_specs().items()):
+        if name.startswith("stream_"):
+            continue
+        df = spec.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        g, _p, gl = window_census(plan)
+        if g > gl and name not in WINDOW_OK:
+            offenders.append((name, g, gl))
+        spark.catalog.clearCache()
+    assert not offenders, offenders

@@ -34,6 +34,51 @@ def test_pca_wide_equals_exploded(spark, sf_dir, name):
     assert wide == exploded
 
 
+def test_rfm_prefixsum_equals_window(spark, sf_dir):
+    """The default sharded-rank quintile path must reproduce the window
+    NTILE path bit-for-bit (the closed-form NTILE arithmetic on exact
+    global ranks is the same total-order bucketing)."""
+    spec = all_specs()["rfm_customer_segments"]
+    prev = os.environ.get("SPARK_GRAFT_RFM_QUINTILE")
+    try:
+        os.environ["SPARK_GRAFT_RFM_QUINTILE"] = "window"
+        win = [tuple(r) for r in spec.fn(spark, sf_dir).collect()]
+        os.environ["SPARK_GRAFT_RFM_QUINTILE"] = "prefixsum"
+        pfx = [tuple(r) for r in spec.fn(spark, sf_dir).collect()]
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_RFM_QUINTILE", None)
+        else:
+            os.environ["SPARK_GRAFT_RFM_QUINTILE"] = prev
+    assert pfx == win and len(pfx) > 0
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    """Property check of the closed-form NTILE on awkward sizes (n < tiles,
+    n % tiles != 0, n == tiles) against Spark's own window NTILE."""
+    from nyc_analytics_database_platform_spark.queries.parity_retail import (
+        _ntile_from_rank,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    for n in (1, 3, 5, 7, 12, 100, 101, 104):
+        df = spark.range(1, n + 1).select(F.col("id").alias("rk"))
+        got = {
+            r["rk"]: r["t"]
+            for r in df.select(
+                "rk", _ntile_from_rank("rk", n).alias("t")
+            ).collect()
+        }
+        want = {
+            r["rk"]: r["t"]
+            for r in df.select(
+                "rk", F.ntile(5).over(Window.orderBy("rk")).alias("t")
+            ).collect()
+        }
+        assert got == want, (n, got, want)
+
+
 def test_pca_wide_is_default_and_plan_has_no_explode(spark, sf_dir):
     """The default path must be the wide shape: no Generate (posexplode)
     node in the executed plan of the returned loadings frame."""
