@@ -119,6 +119,12 @@ WINDOW_OK: dict[str, str] = {
         "cum-share window over the 10 decile rows (the customer-rank window"
         " itself is the sharded scan now)"
     ),
+    "rfm_customer_segments": (
+        "NTILE windows over |customers| BELOW the row-count switch only"
+        " (parity_retail._RFM_PREFIXSUM_MIN_ORDERS); above it the sharded"
+        " rank scan runs - both paths locked bit-identical by"
+        " tests/test_round7_ops.py"
+    ),
 }
 
 
