@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from nyc_analytics_database_platform_spark.catalog import load
 from nyc_analytics_database_platform_spark.operators.dedup import (
     banded_buckets,
+    distinct_hashed_shingles,
     prefix_filter_containment_pairs,
     prefix_filter_jaccard_pairs,
     exact_dedup_groups,
@@ -24,6 +25,7 @@ from nyc_analytics_database_platform_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_near_pairs,
     simhash_near_pairs_bucketed,
+    with_tokens,
 )
 from nyc_analytics_database_platform_spark.registry import register
 
@@ -590,4 +592,136 @@ def dedup_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / F.count("*")).alias("recall"),
         )
         .orderBy("threshold")
+    )
+
+
+def _estimate_error_oracle(num_perm: int = 12, rows_per_band: int = 2) -> str:
+    sig_cols = ", ".join(
+        f"MIN(md5('{p}:' || s)) AS m{p}" for p in range(num_perm)
+    )
+    num_bands = num_perm // rows_per_band
+    cases = " ".join(
+        "WHEN {b} THEN md5({cat})".format(
+            b=b,
+            cat=" || ".join(
+                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(num_bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.m{p} = sb.m{p} THEN 1 ELSE 0 END"
+        for p in range(num_perm)
+    )
+    return f"""
+        WITH {_shingle_cte(5)},
+        sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, bnd, CASE bnd {cases} END AS bucket
+            FROM sig, (SELECT unnest(generate_series(0, {num_bands - 1})) AS bnd) g
+        ),
+        pairs AS (
+            SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+            FROM bands x
+            JOIN bands y ON x.bnd = y.bnd AND x.bucket = y.bucket
+                        AND x.doc_id < y.doc_id
+        ),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT p.a_id, p.b_id, CAST(COUNT(*) AS BIGINT) AS i
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.a_id
+            JOIN sh b ON b.doc_id = p.b_id AND b.s = a.s
+            GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT p.a_id, p.b_id, CAST({matches} AS BIGINT) AS match_cnt
+            FROM pairs p
+            JOIN sig sa ON sa.doc_id = p.a_id
+            JOIN sig sb ON sb.doc_id = p.b_id
+        )
+        SELECT e.a_id, e.b_id, e.match_cnt,
+               CAST(e.match_cnt AS DOUBLE) / {num_perm}.0 AS est_jaccard,
+               CAST(COALESCE(i.i, 0) AS DOUBLE)
+                   / (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard,
+               ABS(CAST(e.match_cnt AS DOUBLE) / {num_perm}.0
+                   - CAST(COALESCE(i.i, 0) AS DOUBLE)
+                     / (sa.n + sb.n - COALESCE(i.i, 0))) AS abs_err
+        FROM est e
+        LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+        JOIN sizes sa ON sa.doc_id = e.a_id
+        JOIN sizes sb ON sb.doc_id = e.b_id
+        ORDER BY e.a_id, e.b_id
+    """
+
+
+@register(
+    "dedup_minhash_estimate_error",
+    oracle=_estimate_error_oracle(),
+    tags=("llm", "dedup", "audit"),
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the production MinHash: for every LSH
+    candidate pair, the signature-agreement estimate (matching components /
+    num_perm) next to the EXACT 5-gram Jaccard and the absolute error —
+    the dedup counterpart of pq_recall_audit/sq8_recall_audit (every
+    approximate structure in this engine ships with a measured-error read,
+    because a 12-perm sketch's +-1/sqrt(12) noise decides where the dedup
+    threshold can safely sit).
+
+    Determinism: match counts and set sizes are exact integers; the two
+    ratios and their difference are single correctly-rounded IEEE ops, so
+    both engines emit identical doubles.
+
+    Scale shape: signatures are per-doc narrow expressions; the exact
+    Jaccard is computed ONLY for candidate pairs (pair-restricted shingle
+    intersection — at 100 TB candidates are the near-dup fraction, never
+    all-pairs), and the shingle frames join on 8-byte hashes with the
+    string-keyed oracle as the collision check."""
+    docs = load(spark, sf_dir, "documents")
+    num_perm = 12
+    sigs = minhash_signatures(docs, num_perm=num_perm, k=5)
+    pairs = lsh_candidate_pairs(sigs, num_perm=num_perm, rows_per_band=2)
+    sa = sigs.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"m{p}").alias(f"a{p}") for p in range(num_perm)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"m{p}").alias(f"b{p}") for p in range(num_perm)],
+    )
+    match_cnt = sum(
+        F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+        for p in range(num_perm)
+    ).cast("long")
+    est = (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", match_cnt.alias("match_cnt"))
+    )
+    sh = distinct_hashed_shingles(with_tokens(docs), "doc_id", 5)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("a_id"), "hs"), "a_id")
+        .join(sh.select(F.col("doc_id").alias("b_id"), "hs"), ["b_id", "hs"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("i"))
+    )
+    est_j = F.col("match_cnt").cast("double") / float(num_perm)
+    exact_j = F.coalesce(F.col("i"), F.lit(0)).cast("double") / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))
+    )
+    return (
+        est.join(inter, ["a_id", "b_id"], "left")
+        .join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "match_cnt",
+            est_j.alias("est_jaccard"),
+            exact_j.alias("jaccard"),
+            F.abs(est_j - exact_j).alias("abs_err"),
+        )
+        .orderBy("a_id", "b_id")
     )

@@ -557,3 +557,55 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ivf_cell_balance_audit",
+    oracle="""
+        WITH cells AS (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM embeddings GROUP BY label
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               MIN(n) AS min_cell,
+               MAX(n) AS max_cell,
+               CAST(SUM(n) AS BIGINT) AS n_vectors,
+               round(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 6)
+                   AS imbalance_factor,
+               round(CAST(SUM(n * n) AS DOUBLE) * COUNT(*)
+                     / (SUM(n) * SUM(n)), 6) AS probe_blowup
+        FROM cells
+    """,
+    tags=("llm", "similarity", "audit"),
+)
+def ivf_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit: cell-size balance of the label partitioning
+    the IVF family probes. imbalance_factor = max/mean cell size (how much
+    worse the worst probe is than the average); probe_blowup =
+    E[size of the cell a random vector lands in] / mean = C * sum(n^2) /
+    (sum n)^2 (the expected probe-cost multiplier under skew, =1 iff
+    perfectly balanced). The measurement that decides when cells need
+    re-clustering (kmeans_train_centroids) or splitting before the probe
+    path (ivf_probe_top5) degrades to a scan of one hot cell.
+
+    Determinism/scale: one map-side-combinable count per label, one 1-row
+    reduction over |labels| cells; all sums exact BIGINTs, the two ratios
+    rounded at 6dp."""
+    cells = (
+        load(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+    )
+    c, n, mx = F.count("*"), F.col("n"), F.max("n")
+    return cells.agg(
+        c.alias("n_cells"),
+        F.min("n").alias("min_cell"),
+        mx.alias("max_cell"),
+        F.sum("n").alias("n_vectors"),
+        F.round(mx.cast("double") * c / F.sum("n"), 6).alias(
+            "imbalance_factor"
+        ),
+        F.round(
+            F.sum(n * n).cast("double") * c / (F.sum("n") * F.sum("n")), 6
+        ).alias("probe_blowup"),
+    )

@@ -11,13 +11,14 @@ the declared semantic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_analytics_database_platform_spark.catalog import load
 from nyc_analytics_database_platform_spark.operators.dedup import with_tokens
 from nyc_analytics_database_platform_spark.operators.sampling import (
     deterministic_sample,
+    hash_draw,
     hex_threshold,
     pack_sequences,
     pack_sequences_sharded,
@@ -781,3 +782,77 @@ def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard")
     )
+
+
+_ES_K = 20  # weighted-sample size
+
+
+@register(
+    "weighted_sample_es_topk",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   ROUND(-ln((('0x' || {_DRAW})::BIGINT + 1) / 4294967296.0)
+                         / n_chars * 1e9) AS k
+            FROM documents
+            WHERE n_chars > 0
+        )
+        SELECT ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rk,
+               doc_id, source, n_chars,
+               CAST(k AS BIGINT) AS es_key
+        FROM keyed
+        ORDER BY k, doc_id
+        LIMIT {_ES_K}
+    """,
+    tags=("llm", "sampling"),
+)
+def weighted_sample_es_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spiridakis
+    A-ES: each doc draws u from its deterministic hash and competes with
+    key -ln(u)/w (w = n_chars, so longer documents are proportionally more
+    likely); the k smallest keys ARE a weighted sample without
+    replacement - the distributed-sampling primitive behind
+    length-weighted corpus subsets (one-pass, mergeable: the union of
+    per-partition top-k candidates contains the global top-k).
+
+    Determinism: u is the md5 hash draw (+1 over 2^32 - never 0); the
+    transcendental ln() is PINNED to an integer-valued double
+    (ROUND(x * 1e9), the zipf convention: a last-ulp libm difference
+    cannot move a 1e-9 rounding except on a knife-edge) and ties break on
+    doc_id.
+
+    Scale shape: a narrow per-row key expression straight off the scan,
+    then TakeOrderedAndProject(k) - no shuffle wider than k rows per
+    partition; the rank window runs over the k survivors only."""
+    keyed = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(
+                -F.log(
+                    (
+                        F.conv(hash_draw(F.col("doc_id")), 16, 10).cast(
+                            "long"
+                        )
+                        + 1
+                    )
+                    / 4294967296.0
+                )
+                / F.col("n_chars")
+                * 1e9
+            ).alias("k"),
+        )
+    )
+    top = keyed.orderBy("k", "doc_id").limit(_ES_K)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy("k", "doc_id"))
+        .alias("rk"),
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("k").cast("long").alias("es_key"),
+    ).orderBy("rk")
