@@ -87,3 +87,40 @@ def test_pca_wide_is_default_and_plan_has_no_explode(spark, sf_dir):
     df = spec.fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan, plan
+
+
+def test_ranked_by_range_properties(spark):
+    """Sharded rank scan invariants: ranks are a bijection 1..n in the
+    requested total order, under skewed keys, descending order, odd shard
+    counts, and an empty input."""
+    from pyspark.sql import functions as F
+
+    from nyc_analytics_database_platform_spark.operators.prefixsum import (
+        ranked_by_range,
+    )
+
+    # skewed: 90% of rows share one key; tiebreaker completes the order
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, 7).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("tb"),
+    )
+    out, n = ranked_by_range(df, [F.asc("k"), F.asc("tb")], "rk", num_shards=5)
+    rows = out.orderBy("rk").collect()
+    assert n == 1000 and [r["rk"] for r in rows] == list(range(1, 1001))
+    ordered = [(r["k"], r["tb"]) for r in rows]
+    assert ordered == sorted(ordered)
+
+    # descending metric
+    out2, n2 = ranked_by_range(
+        df, [F.desc("k"), F.asc("tb")], "rk", num_shards=3
+    )
+    rows2 = out2.orderBy("rk").collect()
+    assert n2 == 1000
+    key2 = [(-r["k"], r["tb"]) for r in rows2]
+    assert key2 == sorted(key2)
+
+    # empty input
+    out3, n3 = ranked_by_range(
+        df.filter(F.col("k") < -1), [F.asc("k")], "rk"
+    )
+    assert n3 == 0 and out3.count() == 0
