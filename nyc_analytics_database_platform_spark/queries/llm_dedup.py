@@ -699,7 +699,12 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "b_id")
         .select("a_id", "b_id", match_cnt.alias("match_cnt"))
     )
-    sh = distinct_hashed_shingles(with_tokens(docs), "doc_id", 5)
+    # cached with a count() barrier, the ngram_jaccard_pairs convention:
+    # three consumers (sizes + both intersection sides) read sh, and the
+    # CacheManager dedupes by canonicalized plan so repeat invocations
+    # reuse one entry
+    sh = distinct_hashed_shingles(with_tokens(docs), "doc_id", 5).cache()
+    sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         pairs.join(sh.select(F.col("doc_id").alias("a_id"), "hs"), "a_id")
