@@ -1,0 +1,254 @@
+"""Differential query fuzzing: random filter/group-by/aggregate ASTs are
+rendered BOTH as a Spark DataFrame plan and as DuckDB SQL and the results
+compared bit-for-bit — the randomized extension of the fixed per-query
+oracles (SURVEY.md §5), covering operator COMBINATIONS no hand-written
+query pins down.
+
+Determinism rules baked into the generator (the repo's cross-engine
+conventions — the fuzzer explores plan space, not known-divergence space):
+- double SUM/AVG only through integer cents (`CAST(ROUND(x*100) AS
+  BIGINT)`); raw-double MIN/MAX is safe (no accumulation);
+- every aggregate aliased identically on both sides;
+- result comparison sorts by all columns and canonicalizes floats by repr.
+
+Seeded RNG: the same 40 cases every run (a failing case number is
+reproducible by seed); bump _SEED deliberately to explore new space.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import random
+from collections import Counter
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import TABLES, load, table_path
+
+_SEED = 20260815
+_N_CASES = 40
+
+# (column, kind) of the orders table the generator may touch.
+_ORDERS_COLS = {
+    "o_orderkey": "int",
+    "o_custkey": "int",
+    "o_orderstatus": "str",
+    "o_totalprice": "money",
+    "o_orderdate": "ts",
+    "o_orderpriority": "str",
+}
+_GROUPABLE = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+
+
+def _domain(con):
+    """Pull small value domains from the data so predicates actually select."""
+    dom = {}
+    dom["o_orderstatus"] = [
+        r[0] for r in con.execute(
+            "SELECT DISTINCT o_orderstatus FROM orders ORDER BY 1"
+        ).fetchall()
+    ]
+    dom["o_orderpriority"] = [
+        r[0] for r in con.execute(
+            "SELECT DISTINCT o_orderpriority FROM orders ORDER BY 1"
+        ).fetchall()
+    ]
+    lo, hi = con.execute(
+        "SELECT MIN(o_orderkey), MAX(o_orderkey) FROM orders"
+    ).fetchone()
+    dom["o_orderkey"] = (lo, hi)
+    lo, hi = con.execute(
+        "SELECT MIN(o_custkey), MAX(o_custkey) FROM orders"
+    ).fetchone()
+    dom["o_custkey"] = (lo, hi)
+    lo, hi = con.execute(
+        "SELECT MIN(o_totalprice), MAX(o_totalprice) FROM orders"
+    ).fetchone()
+    dom["o_totalprice"] = (lo, hi)
+    d0, d1 = con.execute(
+        "SELECT MIN(CAST(o_orderdate AS DATE)), MAX(CAST(o_orderdate AS DATE))"
+        " FROM orders"
+    ).fetchone()
+    dom["o_orderdate"] = (d0, d1)
+    return dom
+
+
+def _gen_predicate(rng: random.Random, dom) -> tuple[object, str]:
+    """One random predicate as (spark Column, sql text)."""
+    kind = rng.choice(["status_eq", "prio_in", "key_range", "price_cmp",
+                       "date_cmp", "and", "or", "not"])
+    if kind == "and" or kind == "or":
+        (ca, sa) = _gen_predicate(rng, dom)
+        (cb, sb) = _gen_predicate(rng, dom)
+        if kind == "and":
+            return ca & cb, f"(({sa}) AND ({sb}))"
+        return ca | cb, f"(({sa}) OR ({sb}))"
+    if kind == "not":
+        (ca, sa) = _gen_predicate(rng, dom)
+        return ~ca, f"(NOT ({sa}))"
+    if kind == "status_eq":
+        v = rng.choice(dom["o_orderstatus"])
+        return F.col("o_orderstatus") == v, f"o_orderstatus = '{v}'"
+    if kind == "prio_in":
+        vs = rng.sample(dom["o_orderpriority"],
+                        k=min(2, len(dom["o_orderpriority"])))
+        lst = ", ".join(f"'{v}'" for v in vs)
+        return F.col("o_orderpriority").isin(vs), f"o_orderpriority IN ({lst})"
+    if kind == "key_range":
+        lo, hi = dom["o_orderkey"]
+        a = rng.randint(lo, hi)
+        b = rng.randint(lo, hi)
+        a, b = min(a, b), max(a, b)
+        return (
+            (F.col("o_orderkey") >= a) & (F.col("o_orderkey") <= b),
+            f"(o_orderkey >= {a} AND o_orderkey <= {b})",
+        )
+    if kind == "price_cmp":
+        lo, hi = dom["o_totalprice"]
+        # integer-valued threshold: exact in both engines
+        t = rng.randint(int(lo), int(hi))
+        op = rng.choice(["<", ">="])
+        col = F.col("o_totalprice")
+        return (col < t) if op == "<" else (col >= t), f"o_totalprice {op} {t}"
+    # date_cmp
+    d0, d1 = dom["o_orderdate"]
+    span = (d1 - d0).days or 1
+    cut = d0 + datetime.timedelta(days=rng.randint(0, span))
+    op = rng.choice(["<", ">="])
+    col = F.to_date("o_orderdate")
+    sql = f"CAST(o_orderdate AS DATE) {op} DATE '{cut.isoformat()}'"
+    return (col < F.lit(cut.isoformat()).cast("date")) if op == "<" else (
+        col >= F.lit(cut.isoformat()).cast("date")
+    ), sql
+
+
+_AGGS = [
+    # (name, spark builder, sql text) - money through integer cents only
+    ("cnt", lambda: F.count("*").alias("cnt"), "COUNT(*) AS cnt"),
+    (
+        "sum_cents",
+        lambda: F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_cents",
+    ),
+    (
+        "min_price",
+        lambda: F.min("o_totalprice").alias("min_price"),
+        "MIN(o_totalprice) AS min_price",
+    ),
+    (
+        "max_key",
+        lambda: F.max("o_orderkey").alias("max_key"),
+        "MAX(o_orderkey) AS max_key",
+    ),
+    (
+        "n_cust",
+        lambda: F.countDistinct("o_custkey").alias("n_cust"),
+        "COUNT(DISTINCT o_custkey) AS n_cust",
+    ),
+    (
+        "last_date",
+        lambda: F.max(F.to_date("o_orderdate")).alias("last_date"),
+        "MAX(CAST(o_orderdate AS DATE)) AS last_date",
+    ),
+]
+
+
+def _canon(v):
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
+def _cases():
+    rng = random.Random(_SEED)
+    return [(i, random.Random(rng.randrange(2**63))) for i in range(_N_CASES)]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(sf_dir, t)}')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("case_id,rng", _cases())
+def test_differential_random_query(spark, sf_dir, duck, case_id, rng):
+    dom = _domain(duck)
+    pred_col, pred_sql = _gen_predicate(rng, dom)
+    n_group = rng.choice([0, 1, 2])
+    groups = rng.sample(_GROUPABLE, k=n_group)
+    aggs = rng.sample(_AGGS, k=rng.randint(1, 3))
+
+    orders = load(spark, sf_dir, "orders").filter(pred_col)
+    if groups:
+        sdf = orders.groupBy(*groups).agg(*[mk() for _, mk, _ in aggs])
+    else:
+        sdf = orders.agg(*[mk() for _, mk, _ in aggs])
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r[c]) for c in cols) for r in sdf.collect())
+
+    sel = ", ".join(
+        ([", ".join(groups)] if groups else [])
+        + [sql for _, _, sql in aggs]
+    )
+    sql = f"SELECT {sel} FROM orders WHERE {pred_sql}"
+    if groups:
+        sql += f" GROUP BY {', '.join(groups)}"
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+
+    assert sorted(ocols) == cols, (case_id, sql, cols, ocols)
+    assert got == want, (case_id, sql)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:20])
+def test_differential_random_join_having(spark, sf_dir, duck, case_id, rng):
+    """Join + group + HAVING combinations: orders x customer on the
+    customer key, grouped by nation, with a random HAVING cut."""
+    dom = _domain(duck)
+    pred_col, pred_sql = _gen_predicate(rng, dom)
+    aggs = rng.sample(_AGGS, k=rng.randint(1, 2))
+    min_cnt = rng.randint(1, 5)
+
+    orders = load(spark, sf_dir, "orders").filter(pred_col)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sdf = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("grp_n"), *[mk() for _, mk, _ in aggs])
+        .filter(F.col("grp_n") >= min_cnt)
+    )
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r[c]) for c in cols) for r in sdf.collect())
+
+    agg_sql = ", ".join(sql for _, _, sql in aggs)
+    sql = (
+        "SELECT c_nationkey, COUNT(*) AS grp_n, "
+        + agg_sql
+        + " FROM orders JOIN customer ON o_custkey = c_custkey"
+        + f" WHERE {pred_sql} GROUP BY c_nationkey"
+        + f" HAVING COUNT(*) >= {min_cnt}"
+    )
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+
+    assert sorted(ocols) == cols, (case_id, sql, cols, ocols)
+    assert got == want, (case_id, sql)
