@@ -252,3 +252,103 @@ def test_differential_random_join_having(spark, sf_dir, duck, case_id, rng):
 
     assert sorted(ocols) == cols, (case_id, sql, cols, ocols)
     assert got == want, (case_id, sql)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:20])
+def test_differential_random_window(spark, sf_dir, duck, case_id, rng):
+    """Window-function combinations: ranking / lag over random partitions
+    and deterministic orders, with a rank cut (exercises the
+    WindowGroupLimit path the plan audit certifies)."""
+    from pyspark.sql import Window
+
+    dom = _domain(duck)
+    pred_col, pred_sql = _gen_predicate(rng, dom)
+    part = rng.choice(["o_orderstatus", "o_orderpriority", "o_custkey"])
+    func = rng.choice(["row_number", "rank", "lag"])
+    k = rng.randint(1, 4)
+
+    orders = load(spark, sf_dir, "orders").filter(pred_col)
+    if func == "lag":
+        w = Window.partitionBy(part).orderBy("o_orderdate", "o_orderkey")
+        sdf = orders.select(
+            "o_orderkey",
+            F.lag(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .over(w)
+            .alias("prev_cents"),
+        )
+        sql = (
+            "SELECT o_orderkey, LAG(CAST(ROUND(o_totalprice * 100) AS"
+            f" BIGINT)) OVER (PARTITION BY {part} ORDER BY o_orderdate,"
+            " o_orderkey) AS prev_cents FROM orders WHERE "
+            + pred_sql
+        )
+    else:
+        if func == "row_number":
+            # unique total order => deterministic row numbers
+            order_cols = [F.col("o_orderkey")]
+            order_sql = "o_orderkey"
+            fn = F.row_number()
+        else:
+            # rank tolerates ties; order by a tie-prone column
+            order_cols = [F.col("o_totalprice")]
+            order_sql = "o_totalprice"
+            fn = F.rank()
+        w = Window.partitionBy(part).orderBy(*order_cols)
+        sdf = (
+            orders.select("o_orderkey", part, fn.over(w).alias("rk"))
+            .filter(F.col("rk") <= k)
+        )
+        sql = (
+            f"SELECT o_orderkey, {part}, rk FROM ("
+            f"SELECT o_orderkey, {part}, {func.upper()}() OVER ("
+            f"PARTITION BY {part} ORDER BY {order_sql}) AS rk"
+            f" FROM orders WHERE {pred_sql}) WHERE rk <= {k}"
+        )
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r[c]) for c in cols) for r in sdf.collect())
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+    assert sorted(ocols) == cols and got == want, (case_id, sql)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:20])
+def test_differential_random_setops(spark, sf_dir, duck, case_id, rng):
+    """Set operations between two random filtered projections of orders:
+    UNION / INTERSECT / EXCEPT and their ALL multiset twins."""
+    dom = _domain(duck)
+    pa_col, pa_sql = _gen_predicate(rng, dom)
+    pb_col, pb_sql = _gen_predicate(rng, dom)
+    op = rng.choice(
+        ["union", "union_all", "intersect", "intersect_all",
+         "except", "except_all"]
+    )
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(pa_col).select("o_orderkey", "o_orderstatus")
+    b = orders.filter(pb_col).select("o_orderkey", "o_orderstatus")
+    sdf = {
+        "union": lambda: a.union(b).distinct(),
+        "union_all": lambda: a.unionAll(b),
+        "intersect": lambda: a.intersect(b),
+        "intersect_all": lambda: a.intersectAll(b),
+        "except": lambda: a.exceptAll(b).distinct() if False else a.subtract(b),
+        "except_all": lambda: a.exceptAll(b),
+    }[op]()
+    sql_op = {
+        "union": "UNION", "union_all": "UNION ALL",
+        "intersect": "INTERSECT", "intersect_all": "INTERSECT ALL",
+        "except": "EXCEPT", "except_all": "EXCEPT ALL",
+    }[op]
+    sql = (
+        f"SELECT o_orderkey, o_orderstatus FROM orders WHERE {pa_sql}"
+        f" {sql_op} "
+        f"SELECT o_orderkey, o_orderstatus FROM orders WHERE {pb_sql}"
+    )
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r[c]) for c in cols) for r in sdf.collect())
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+    assert sorted(ocols) == cols and got == want, (case_id, sql)
