@@ -332,7 +332,7 @@ def test_differential_random_setops(spark, sf_dir, duck, case_id, rng):
         "union_all": lambda: a.unionAll(b),
         "intersect": lambda: a.intersect(b),
         "intersect_all": lambda: a.intersectAll(b),
-        "except": lambda: a.exceptAll(b).distinct() if False else a.subtract(b),
+        "except": lambda: a.subtract(b),
         "except_all": lambda: a.exceptAll(b),
     }[op]()
     sql_op = {
