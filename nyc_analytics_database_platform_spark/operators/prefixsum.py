@@ -94,7 +94,14 @@ def ranked_by_range(
     equal keys may straddle a range boundary, and only a total order makes
     the straddling rank-exact. Returns (frame + out_col, total row count)
     — the count is free from the shard totals, so NTILE-style consumers
-    need no second pass."""
+    need no second pass.
+
+    Plan note: the within-shard window adds one balanced hash exchange on
+    `_shard` (Catalyst cannot consume the checkpointed range layout as a
+    distribution guarantee), so the frame moves twice — still strictly
+    better than the single-partition global sort this replaces; callers
+    feed either a pre-aggregated key frame (|customers|, |vocab|) or a
+    column-pruned projection of the fact (ntile_decile: 2 columns)."""
     spark = df.sparkSession
     shards = num_shards or spark.sparkContext.defaultParallelism
     # localCheckpoint PINS the shard layout: the counts job and the window

@@ -352,3 +352,95 @@ def test_differential_random_setops(spark, sf_dir, duck, case_id, rng):
     idx = [ocols.index(c) for c in sorted(ocols)]
     want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
     assert sorted(ocols) == cols and got == want, (case_id, sql)
+
+
+def _gen_lineitem_predicate(rng: random.Random) -> tuple[object, str]:
+    kind = rng.choice(["flag", "status", "qty", "disc", "ship", "and", "or"])
+    if kind in ("and", "or"):
+        ca, sa = _gen_lineitem_predicate(rng)
+        cb, sb = _gen_lineitem_predicate(rng)
+        j = "AND" if kind == "and" else "OR"
+        return (ca & cb) if kind == "and" else (ca | cb), f"(({sa}) {j} ({sb}))"
+    if kind == "flag":
+        v = rng.choice(["A", "N", "R"])
+        return F.col("l_returnflag") == v, f"l_returnflag = '{v}'"
+    if kind == "status":
+        v = rng.choice(["O", "F"])
+        return F.col("l_linestatus") == v, f"l_linestatus = '{v}'"
+    if kind == "qty":
+        t = rng.randint(1, 50)
+        op = rng.choice(["<=", ">"])
+        c = F.col("l_quantity")
+        return (c <= t) if op == "<=" else (c > t), f"l_quantity {op} {t}"
+    if kind == "disc":
+        # discounts are 0.00-0.10 two-decimal doubles; integer-percent cuts
+        # are exact in both engines
+        t = rng.randint(0, 10)
+        return (
+            F.round(F.col("l_discount") * 100).cast("long") >= t,
+            f"CAST(ROUND(l_discount * 100) AS BIGINT) >= {t}",
+        )
+    # ship date cut
+    y = rng.randint(1992, 1998)
+    m = rng.randint(1, 12)
+    cut = f"{y:04d}-{m:02d}-01"
+    op = rng.choice(["<", ">="])
+    col = F.to_date("l_shipdate")
+    sql = f"CAST(l_shipdate AS DATE) {op} DATE '{cut}'"
+    return (col < F.lit(cut).cast("date")) if op == "<" else (
+        col >= F.lit(cut).cast("date")
+    ), sql
+
+
+_LI_AGGS = [
+    ("n", lambda: F.count("*").alias("n"), "COUNT(*) AS n"),
+    (
+        "rev_cents",
+        lambda: F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_cents"),
+        "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_cents",
+    ),
+    (
+        "qty_sum",
+        lambda: F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+        "SUM(CAST(l_quantity AS BIGINT)) AS qty_sum",
+    ),
+    (
+        "n_parts",
+        lambda: F.countDistinct("l_partkey").alias("n_parts"),
+        "COUNT(DISTINCT l_partkey) AS n_parts",
+    ),
+]
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:20])
+def test_differential_random_lineitem(spark, sf_dir, duck, case_id, rng):
+    """The widest fact table: random predicates over flags/quantities/
+    discounts/ship dates with disjunctions, grouped by the TPC-H q1 keys
+    - revenue stays in integer cents x integer basis points (exact)."""
+    pred_col, pred_sql = _gen_lineitem_predicate(rng)
+    groups = rng.choice(
+        [[], ["l_returnflag"], ["l_returnflag", "l_linestatus"]]
+    )
+    aggs = rng.sample(_LI_AGGS, k=rng.randint(1, 3))
+    li = load(spark, sf_dir, "lineitem").filter(pred_col)
+    if groups:
+        sdf = li.groupBy(*groups).agg(*[mk() for _, mk, _ in aggs])
+    else:
+        sdf = li.agg(*[mk() for _, mk, _ in aggs])
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r[c]) for c in cols) for r in sdf.collect())
+    sel = ", ".join(
+        ([", ".join(groups)] if groups else []) + [s for _, _, s in aggs]
+    )
+    sql = f"SELECT {sel} FROM lineitem WHERE {pred_sql}"
+    if groups:
+        sql += f" GROUP BY {', '.join(groups)}"
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+    assert sorted(ocols) == cols and got == want, (case_id, sql)
