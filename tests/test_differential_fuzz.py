@@ -444,3 +444,83 @@ def test_differential_random_lineitem(spark, sf_dir, duck, case_id, rng):
     idx = [ocols.index(c) for c in sorted(ocols)]
     want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
     assert sorted(ocols) == cols and got == want, (case_id, sql)
+
+
+def _gen_docs_predicate(rng: random.Random, langs, sources) -> tuple[object, str]:
+    kind = rng.choice(["lang", "source_in", "len", "word", "and", "or"])
+    if kind in ("and", "or"):
+        ca, sa = _gen_docs_predicate(rng, langs, sources)
+        cb, sb = _gen_docs_predicate(rng, langs, sources)
+        j = "AND" if kind == "and" else "OR"
+        return (ca & cb) if kind == "and" else (ca | cb), f"(({sa}) {j} ({sb}))"
+    if kind == "lang":
+        v = rng.choice(langs)
+        return F.col("lang") == v, f"lang = '{v}'"
+    if kind == "source_in":
+        vs = rng.sample(sources, k=min(3, len(sources)))
+        lst = ", ".join(f"'{v}'" for v in vs)
+        return F.col("source").isin(vs), f"source IN ({lst})"
+    if kind == "len":
+        t = rng.randint(10, 2000)
+        op = rng.choice(["<", ">="])
+        c = F.col("n_chars")
+        return (c < t) if op == "<" else (c >= t), f"n_chars {op} {t}"
+    # word: substring containment in the lowered text
+    w = rng.choice(["the", "data", "city", "a", "zz"])
+    return (
+        F.lower(F.col("text")).contains(w),
+        f"contains(lower(text), '{w}')",
+    )
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:20])
+def test_differential_random_documents(spark, sf_dir, duck, case_id, rng):
+    """String-layer combinations over the corpus table: language/source/
+    length/substring predicates with token-count aggregates through the
+    repo's shared split convention (split(lower(trim(text)), '\\s+') ==
+    DuckDB string_split_regex)."""
+    langs = [r[0] for r in duck.execute(
+        "SELECT DISTINCT lang FROM documents ORDER BY 1").fetchall()]
+    sources = [r[0] for r in duck.execute(
+        "SELECT DISTINCT source FROM documents ORDER BY 1").fetchall()]
+    pred_col, pred_sql = _gen_docs_predicate(rng, langs, sources)
+    group = rng.choice([None, "lang", "source"])
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .filter(pred_col)
+    )
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("tokens"),
+        F.countDistinct("doc_id").alias("n_ids"),
+    ]
+    sdf = docs.groupBy(group).agg(*aggs) if group else docs.agg(*aggs)
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r[c]) for c in cols) for r in sdf.collect())
+
+    sel = (
+        ([group] if group else [])
+        + [
+            "COUNT(*) AS n_docs",
+            "SUM(n_chars) AS chars",
+            "SUM(len(string_split_regex(lower(trim(text)), '\\s+')))"
+            " AS tokens",
+            "COUNT(DISTINCT doc_id) AS n_ids",
+        ]
+    )
+    sql = (
+        f"SELECT {', '.join(sel)} FROM documents "
+        f"WHERE text IS NOT NULL AND trim(text) <> '' AND ({pred_sql})"
+    )
+    if group:
+        sql += f" GROUP BY {group}"
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+    assert sorted(ocols) == cols and got == want, (case_id, sql)
