@@ -524,3 +524,51 @@ def test_differential_random_documents(spark, sf_dir, duck, case_id, rng):
     idx = [ocols.index(c) for c in sorted(ocols)]
     want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
     assert sorted(ocols) == cols and got == want, (case_id, sql)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:15])
+def test_differential_random_embeddings(spark, sf_dir, duck, case_id, rng):
+    """Vector-layer combinations: array-element access and pinned-integer
+    element aggregates over the embeddings table (the repo's micro-unit
+    quantization convention), grouped by label or global."""
+    j = rng.randint(0, 63)  # 0-based element
+    t = rng.randint(1, 500)
+    group = rng.choice([None, "label"])
+    op = rng.choice(["<", ">="])
+
+    emb = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "label", "cast(embedding as array<double>) as e"
+    )
+    pred = (
+        F.col("vec_id") % 1000 < t if op == "<" else F.col("vec_id") % 1000 >= t
+    )
+    pred_sql = f"vec_id % 1000 {op} {t}"
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("e")[j] * 1e6).cast("long")).alias("elem_q"),
+        F.min(F.col("e")[j]).alias("elem_min"),
+        F.max(F.col("e")[j]).alias("elem_max"),
+    ]
+    base = emb.filter(pred)
+    sdf = base.groupBy(group).agg(*aggs) if group else base.agg(*aggs)
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r[c]) for c in cols) for r in sdf.collect())
+
+    sel = (
+        ([group] if group else [])
+        + [
+            "COUNT(*) AS n",
+            f"SUM(CAST(ROUND(embedding[{j + 1}]::DOUBLE * 1e6) AS BIGINT))"
+            " AS elem_q",
+            f"MIN(embedding[{j + 1}]::DOUBLE) AS elem_min",
+            f"MAX(embedding[{j + 1}]::DOUBLE) AS elem_max",
+        ]
+    )
+    sql = f"SELECT {', '.join(sel)} FROM embeddings WHERE {pred_sql}"
+    if group:
+        sql += f" GROUP BY {group}"
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+    assert sorted(ocols) == cols and got == want, (case_id, sql)
