@@ -713,3 +713,112 @@ def stream_spatial_facility_counts(spark: SparkSession, sf_dir: str) -> DataFram
     )
     drain_or_raise(q, "spatial facility-count stream")
     return spark.table(name).orderBy("facility_id")
+
+
+@register(
+    "stream_weighted_reservoir",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id, source,
+                   ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                             / 4294967296.0) / n_chars * 1e9) AS k
+            FROM documents
+            WHERE n_chars > 0
+        ),
+        ranked AS (
+            SELECT source, doc_id, CAST(k AS BIGINT) AS es_key,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY k, doc_id) AS rk
+            FROM keyed
+        )
+        SELECT source, CAST(rk AS INT) AS rk, doc_id, es_key
+        FROM ranked WHERE rk <= 5
+        ORDER BY source, rk
+    """,
+    tags=("streaming", "stateful", "sampling", "U"),
+)
+def stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming weighted sampling without replacement: the per-source
+    Efraimidis-Spiridakis reservoir (k = 5 smallest -ln(u)/w keys)
+    maintained across micro-batches by applyInPandasWithState, executed
+    through the real streaming engine (availableNow drain of a staged
+    4-file document source, 2 files per trigger so state genuinely
+    crosses batch boundaries).
+
+    Why this stateful op has an EXACT SQL oracle (most have rows-only
+    checks): top-k selection over a multiset is associative and
+    commutative, so the final reservoir equals the batch A-ES sample
+    regardless of how the stream was chopped - the oracle is the plain
+    windowed rank cut. The transcendental key is computed JVM-SIDE in the
+    streaming select (identical expression to weighted_sample_es_topk,
+    pinned at 1e-9), so the state machine compares only integers.
+
+    Scale shape: state is k longs per source key, partitioned across
+    executors; each micro-batch touches only sources present in it."""
+    from nyc_analytics_database_platform_spark.streaming.stateful import (
+        weighted_reservoir,
+    )
+
+    tag = hashlib.md5((sf_dir + "wres").encode()).hexdigest()[:8]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_stream", tag)
+    ckpt = os.path.join(scratch, "wres_ckpt")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    src_dir = os.path.join(scratch, "docs_files")
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+    source = (
+        spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    keyed = source.filter(F.col("n_chars") > 0).select(
+        "source",
+        "doc_id",
+        F.round(
+            -F.log(
+                (
+                    F.conv(
+                        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                        16,
+                        10,
+                    ).cast("long")
+                    + 1
+                )
+                / 4294967296.0
+            )
+            / F.col("n_chars")
+            * 1e9
+        )
+        .cast("long")
+        .alias("es_key"),
+    )
+    res = weighted_reservoir(keyed)
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    name = f"weighted_reservoir_{tag}"
+    q = (
+        res.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, "weighted reservoir stream")
+    emitted = spark.table(name)
+    # final state per source = the emission with the max (monotone) n_seen;
+    # a partitioned max-window instead of a sink self-join (the memory
+    # sink's View cannot appear on both sides of a join in Spark 4.1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source")
+    return (
+        emitted.withColumn("_mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("_mx"))
+        .select("source", "rk", "doc_id", "es_key")
+        .orderBy("source", "rk")
+    )

@@ -68,3 +68,80 @@ def running_user_counters(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming weighted reservoir (A-ES top-k per key) -----------------------
+
+RESERVOIR_K = 5
+
+RESERVOIR_OUTPUT = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("rk", T.IntegerType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("es_key", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+RESERVOIR_STATE = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.LongType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def _reservoir_update(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Merge the batch's (es_key, doc_id) candidates into the k-smallest
+    reservoir. Selection over a multiset is associative and commutative,
+    so the final state is independent of micro-batch boundaries - that
+    is what makes the streaming result equal the batch A-ES sample and
+    gives a stateful streaming query an EXACT SQL oracle. All comparisons
+    are integer (the transcendental key is pinned JVM-side upstream);
+    n_seen is monotone, so the final-state projection is max(n_seen)."""
+    if state.exists:
+        keys, ids, seen = state.get
+        pool = list(zip(keys, ids))
+    else:
+        pool, seen = [], 0
+    for pdf in pdfs:
+        seen += len(pdf)
+        pool.extend(
+            zip(
+                pdf["es_key"].astype("int64").tolist(),
+                pdf["doc_id"].astype("int64").tolist(),
+            )
+        )
+        pool.sort()
+        del pool[RESERVOIR_K:]
+    state.update(([k for k, _ in pool], [i for _, i in pool], seen))
+    yield pd.DataFrame(
+        {
+            "source": [key[0]] * len(pool),
+            "rk": list(range(1, len(pool) + 1)),
+            "doc_id": [i for _, i in pool],
+            "es_key": [k for k, _ in pool],
+            "n_seen": [seen] * len(pool),
+        }
+    )
+
+
+def weighted_reservoir(docs: DataFrame) -> DataFrame:
+    """Per-source A-ES weighted reservoir over a stream of documents:
+    expects (source, doc_id, es_key) rows; maintains the k smallest keys
+    per source across micro-batches."""
+    return (
+        docs.select("source", "doc_id", "es_key")
+        .groupBy("source")
+        .applyInPandasWithState(
+            _reservoir_update,
+            RESERVOIR_OUTPUT,
+            RESERVOIR_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
