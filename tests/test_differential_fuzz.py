@@ -572,3 +572,82 @@ def test_differential_random_embeddings(spark, sf_dir, duck, case_id, rng):
     idx = [ocols.index(c) for c in sorted(ocols)]
     want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
     assert sorted(ocols) == cols and got == want, (case_id, sql)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:15])
+def test_differential_random_topk(spark, sf_dir, duck, case_id, rng):
+    """Sort/limit combinations: random predicate, random deterministic
+    sort (unique tiebreaker), random k - the TakeOrderedAndProject
+    surface."""
+    dom = _domain(duck)
+    pred_col, pred_sql = _gen_predicate(rng, dom)
+    k = rng.randint(1, 25)
+    sort_key, sort_sql = rng.choice(
+        [
+            ([F.desc("o_totalprice"), F.asc("o_orderkey")],
+             "o_totalprice DESC, o_orderkey"),
+            ([F.asc("o_orderdate"), F.asc("o_orderkey")],
+             "o_orderdate, o_orderkey"),
+            ([F.desc("o_orderkey")], "o_orderkey DESC"),
+        ]
+    )
+    sdf = (
+        load(spark, sf_dir, "orders")
+        .filter(pred_col)
+        .orderBy(*sort_key)
+        .limit(k)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r[c]) for c in cols) for r in sdf.collect())
+    sql = (
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+        f" WHERE {pred_sql} ORDER BY {sort_sql} LIMIT {k}"
+    )
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+    assert sorted(ocols) == cols and got == want, (case_id, sql)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:15])
+def test_differential_random_three_table_join(spark, sf_dir, duck, case_id, rng):
+    """3-table chains (lineitem x orders x customer): random predicates on
+    two tables, revenue in exact integer cents x basis points, grouped by
+    nation - exercises Catalyst join ordering against DuckDB's."""
+    dom = _domain(duck)
+    opred_col, opred_sql = _gen_predicate(rng, dom)
+    lpred_col, lpred_sql = _gen_lineitem_predicate(rng)
+
+    li = load(spark, sf_dir, "lineitem").filter(lpred_col)
+    orders = load(spark, sf_dir, "orders").filter(opred_col)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sdf = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("rev_cents"),
+        )
+    )
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r[c]) for c in cols) for r in sdf.collect())
+    sql = (
+        "SELECT c_nationkey, COUNT(*) AS n,"
+        " SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_cents"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        f" WHERE ({lpred_sql}) AND ({opred_sql})"
+        " GROUP BY c_nationkey"
+    )
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+    assert sorted(ocols) == cols and got == want, (case_id, sql)
