@@ -124,3 +124,41 @@ def test_ranked_by_range_properties(spark):
         df.filter(F.col("k") < -1), [F.asc("k")], "rk"
     )
     assert n3 == 0 and out3.count() == 0
+
+
+def test_stream_weighted_reservoir_crosses_batches(spark, sf_dir):
+    """The reservoir must be maintained across MULTIPLE micro-batches (not
+    one mega-batch): after the drain, the memory sink shows at least one
+    source emitted at two different (monotone) n_seen values, and the
+    final n_seen per source sums to that source's document count."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from nyc_analytics_database_platform_spark.catalog import load
+    from nyc_analytics_database_platform_spark.registry import all_specs
+
+    out = all_specs()["stream_weighted_reservoir"].fn(spark, sf_dir)
+    assert out.count() > 0
+    tag = hashlib.md5((sf_dir + "wres").encode()).hexdigest()[:8]
+    emitted = spark.table(f"weighted_reservoir_{tag}")
+    multi = (
+        emitted.groupBy("source")
+        .agg(F.countDistinct("n_seen").alias("n_emits"))
+        .filter(F.col("n_emits") >= 2)
+        .count()
+    )
+    assert multi > 0, "state never crossed a micro-batch boundary"
+    finals = {
+        r["source"]: r["mx"]
+        for r in emitted.groupBy("source").agg(F.max("n_seen").alias("mx")).collect()
+    }
+    truth = {
+        r["source"]: r["n"]
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert finals == truth
