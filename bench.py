@@ -81,6 +81,11 @@ _CROSSOVER = (
     "session_top_paths",
     "kaplan_meier_reorder",
     "rfm_customer_segments",
+    # round-7 additions carry their own scale point from day one
+    # (ivf_cell_balance_audit is one 2-level aggregate and the streaming
+    # reservoir is drain-dominated - neither needs a curve).
+    "dedup_minhash_estimate_error",
+    "weighted_sample_es_topk",
 )
 
 

@@ -680,7 +680,12 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     string-keyed oracle as the collision check."""
     docs = load(spark, sf_dir, "documents")
     num_perm = 12
-    sigs = minhash_signatures(docs, num_perm=num_perm, k=5)
+    # cached with a count() barrier: BOTH pair sides join the signature
+    # frame, and uncached each side would recompute the 12 x |shingles|
+    # md5 transform (measured 23s -> ~2s at sf0.5); like the band index,
+    # at production scale the signature table is a persisted artifact
+    sigs = minhash_signatures(docs, num_perm=num_perm, k=5).cache()
+    sigs.count()
     pairs = lsh_candidate_pairs(sigs, num_perm=num_perm, rows_per_band=2)
     sa = sigs.select(
         F.col("doc_id").alias("a_id"),
