@@ -651,3 +651,54 @@ def test_differential_random_three_table_join(spark, sf_dir, duck, case_id, rng)
     idx = [ocols.index(c) for c in sorted(ocols)]
     want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
     assert sorted(ocols) == cols and got == want, (case_id, sql)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:15])
+def test_differential_random_events_timebuckets(spark, sf_dir, duck, case_id, rng):
+    """Time-bucketed groupings over the event stream: random type/user
+    predicates, date_trunc at random granularity, integer-cents value
+    sums - the batch face of the streaming window family."""
+    etypes = ["click", "error", "purchase", "signup", "view"]
+    kind = rng.choice(["type", "type_in", "user_mod"])
+    if kind == "type":
+        v = rng.choice(etypes)
+        pred_col, pred_sql = F.col("event_type") == v, f"event_type = '{v}'"
+    elif kind == "type_in":
+        vs = rng.sample(etypes, k=2)
+        pred_col = F.col("event_type").isin(vs)
+        pred_sql = "event_type IN ({})".format(
+            ", ".join(f"'{v}'" for v in vs)
+        )
+    else:
+        m = rng.randint(2, 7)
+        pred_col = F.col("user_id") % m == 0
+        pred_sql = f"user_id % {m} = 0"
+    gran = rng.choice(["month", "week", "day"])
+
+    ev = load(spark, sf_dir, "events").filter(pred_col)
+    sdf = (
+        ev.groupBy(
+            F.date_trunc(gran, "ts").cast("date").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "val_cents"
+            ),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r[c]) for c in cols) for r in sdf.collect())
+    sql = (
+        f"SELECT CAST(DATE_TRUNC('{gran}', ts) AS DATE) AS bucket,"
+        " COUNT(*) AS n,"
+        " SUM(CAST(ROUND(value * 100) AS BIGINT)) AS val_cents,"
+        " COUNT(DISTINCT user_id) AS users"
+        f" FROM events WHERE {pred_sql} GROUP BY 1"
+    )
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+    assert sorted(ocols) == cols and got == want, (case_id, sql)
