@@ -702,3 +702,69 @@ def test_differential_random_events_timebuckets(spark, sf_dir, duck, case_id, rn
     idx = [ocols.index(c) for c in sorted(ocols)]
     want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
     assert sorted(ocols) == cols and got == want, (case_id, sql)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:15])
+def test_differential_random_part_supplier(spark, sf_dir, duck, case_id, rng):
+    """Dimension-side combinations: part size/brand/type-prefix predicates
+    grouped by brand, and supplier balance aggregates joined to nation -
+    covers the two tables the other batches never touch."""
+    side = rng.choice(["part", "supplier"])
+    if side == "part":
+        sz = rng.randint(1, 50)
+        op = rng.choice(["<=", ">"])
+        prefix = rng.choice(["STANDARD", "SMALL", "MEDIUM", "LARGE",
+                             "ECONOMY", "PROMO"])
+        pred_col = (
+            (F.col("p_size") <= sz) if op == "<=" else (F.col("p_size") > sz)
+        ) & F.col("p_type").startswith(prefix)
+        pred_sql = (
+            f"p_size {op} {sz} AND starts_with(p_type, '{prefix}')"
+        )
+        sdf = (
+            load(spark, sf_dir, "part")
+            .filter(pred_col)
+            .groupBy("p_brand")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.round(F.col("p_retailprice") * 100).cast("long")
+                ).alias("price_cents"),
+                F.max("p_size").alias("max_size"),
+            )
+        )
+        sql = (
+            "SELECT p_brand, COUNT(*) AS n,"
+            " SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS price_cents,"
+            f" MAX(p_size) AS max_size FROM part WHERE {pred_sql}"
+            " GROUP BY p_brand"
+        )
+    else:
+        t = rng.randint(-999, 9999)
+        pred_col = F.col("s_acctbal") >= t
+        pred_sql = f"s_acctbal >= {t}"
+        sup = load(spark, sf_dir, "supplier").filter(pred_col)
+        nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        sdf = (
+            sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+            .groupBy("n_name")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.round(F.col("s_acctbal") * 100).cast("long")
+                ).alias("bal_cents"),
+            )
+        )
+        sql = (
+            "SELECT n_name, COUNT(*) AS n,"
+            " SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS bal_cents"
+            " FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+            f" WHERE {pred_sql} GROUP BY n_name"
+        )
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r[c]) for c in cols) for r in sdf.collect())
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+    assert sorted(ocols) == cols and got == want, (case_id, sql)
