@@ -90,20 +90,13 @@ _CROSSOVER = (
 
 
 def _clear_state(spark) -> None:
-    """Drop EVERYTHING the block manager holds between timed queries:
-    `catalog.clearCache()` only drops SQL-cache entries, but the engine's
-    iterative operators (PCA, graph CC, survivor frames) use
-    `localCheckpoint`, whose blocks persist at the RDD layer until the
-    driver GC gets around to them. Left alone they accumulate across a
-    long bench run and the LAST measured group (the sf1.0/sf2.0 crossover)
-    pays for every earlier query's resident blocks - measured 2-4x
-    inflation on the closing trio in round 7 before this existed."""
-    spark.catalog.clearCache()
-    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        try:
-            rdd.unpersist()
-        except Exception:  # noqa: BLE001 - cleanup is best-effort
-            pass
+    """Delegates to catalog.clear_engine_state — measured 2-4x inflation
+    on the closing crossover trio in round 7 before this existed."""
+    from nyc_analytics_database_platform_spark.catalog import (
+        clear_engine_state,
+    )
+
+    clear_engine_state(spark)
 
 
 def _scale_crossover(spark, specs) -> dict | None:
@@ -304,11 +297,14 @@ def main() -> None:
     # skip it when the main block already ran unusually slow - a sign of a
     # constrained environment where risking the harness timeout for the
     # optional block is a bad trade.
-    crossover = (
-        _scale_crossover(spark, specs)
-        if time.perf_counter() - t_start < 600
-        else {"skipped": "main bench exceeded 600s; constrained environment"}
-    )
+    if os.environ.get("SPARK_GRAFT_CROSSOVER", "1") == "0":
+        crossover = {"skipped": "SPARK_GRAFT_CROSSOVER=0"}
+    elif time.perf_counter() - t_start < 600:
+        crossover = _scale_crossover(spark, specs)
+    else:
+        crossover = {
+            "skipped": "main bench exceeded 600s; constrained environment"
+        }
 
     # The driver records only the LAST ~2000 chars of output and parses the
     # JSON line out of that tail: round 2's full per-query dump outgrew the

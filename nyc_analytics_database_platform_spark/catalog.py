@@ -46,6 +46,50 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def clear_engine_state(spark: SparkSession) -> None:
+    """Drop EVERYTHING the block manager holds between independent query
+    executions: `catalog.clearCache()` only drops SQL-cache entries, but
+    the engine's iterative operators (PCA, graph CC, survivor frames,
+    `ranked_by_range`'s pinned shard layout) use `localCheckpoint`, whose
+    blocks persist at the RDD layer until driver GC gets around to them.
+    Left alone they accumulate across any loop that runs many registered
+    queries (bench, plan_audit, the registry invariants test) and later
+    queries pay for every earlier query's resident blocks."""
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        try:
+            rdd.unpersist()
+        except Exception:  # noqa: BLE001 - cleanup is best-effort
+            pass
+
+
+_ROW_COUNT_CACHE: dict = {}
+
+
+def footer_row_count(sf_dir: str, name: str) -> int:
+    """Table row count from parquet footer metadata — a driver-side footer
+    read, NO Spark job. Memoized per (sf_dir, name). For plan-selection
+    heuristics (e.g. the RFM quintile path switch) where a count() job
+    inside the timed query body would add a full fact scan at exactly the
+    scales where the switch matters. Raises on non-local / non-parquet
+    layouts; callers fall back to a Spark count."""
+    key = (sf_dir, name)
+    if key not in _ROW_COUNT_CACHE:
+        import pyarrow.parquet as pq
+
+        path = table_path(sf_dir, name)
+        if os.path.isdir(path):
+            total = sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            total = pq.ParquetFile(path).metadata.num_rows
+        _ROW_COUNT_CACHE[key] = total
+    return _ROW_COUNT_CACHE[key]
+
+
 def load(
     spark: SparkSession,
     sf_dir: str,

@@ -572,8 +572,8 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(n) AS BIGINT) AS n_vectors,
                round(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 6)
                    AS imbalance_factor,
-               round(CAST(SUM(n * n) AS DOUBLE) * COUNT(*)
-                     / (SUM(n) * SUM(n)), 6) AS probe_blowup
+               round(SUM(CAST(n AS DOUBLE) * n) * COUNT(*)
+                     / (CAST(SUM(n) AS DOUBLE) * SUM(n)), 6) AS probe_blowup
         FROM cells
     """,
     tags=("llm", "similarity", "audit"),
@@ -605,7 +605,13 @@ def ivf_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mx.cast("double") * c / F.sum("n"), 6).alias(
             "imbalance_factor"
         ),
+        # n cast to double BEFORE squaring/multiplying: with ANSI off a
+        # BIGINT sum(n*n) would wrap silently past int64 at ~3e9 total
+        # vectors while the DuckDB oracle promotes to HUGEINT.
         F.round(
-            F.sum(n * n).cast("double") * c / (F.sum("n") * F.sum("n")), 6
+            F.sum(n.cast("double") * n)
+            * c
+            / (F.sum("n").cast("double") * F.sum("n")),
+            6,
         ).alias("probe_blowup"),
     )

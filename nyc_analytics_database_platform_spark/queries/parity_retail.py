@@ -18,7 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.catalog import footer_row_count, load
 from nyc_analytics_database_platform_spark.operators.prefixsum import (
     ntile_from_rank as _ntile_from_rank,
 )
@@ -106,10 +106,16 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mode = os.environ.get("SPARK_GRAFT_RFM_QUINTILE", "auto").lower()
     if mode == "auto":
+        # Footer-metadata row count (memoized, no Spark job) — a count()
+        # job here would add a full fact scan to the timed query body at
+        # exactly the scales where the switch matters.
+        try:
+            n_orders = footer_row_count(sf_dir, "orders")
+        except Exception:
+            n_orders = orders.count()
         mode = (
             "window"
-            if load(spark, sf_dir, "orders").count()
-            < _RFM_PREFIXSUM_MIN_ORDERS
+            if n_orders < _RFM_PREFIXSUM_MIN_ORDERS
             else "prefixsum"
         )
     if mode == "window":

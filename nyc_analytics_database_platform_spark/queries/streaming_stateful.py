@@ -820,5 +820,9 @@ def stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         emitted.withColumn("_mx", F.max("n_seen").over(w))
         .filter(F.col("n_seen") == F.col("_mx"))
         .select("source", "rk", "doc_id", "es_key")
+        # the memory sink is NOT idempotent under micro-batch retry: a
+        # replayed trigger re-appends identical rows, which would surface
+        # here as duplicated reservoir rows and break exact-row parity
+        .dropDuplicates(["source", "rk"])
         .orderBy("source", "rk")
     )

@@ -40,6 +40,7 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nyc_analytics_database_platform_spark import registry
+from nyc_analytics_database_platform_spark.catalog import clear_engine_state
 from nyc_analytics_database_platform_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -245,7 +246,9 @@ def main() -> None:
             else:
                 flags.append(f"GLOBAL-WINDOW({n_global - n_gl})")
         rows.append((name, shuffles, bcasts, flags))
-        spark.catalog.clearCache()
+        # also drops RDD-layer localCheckpoint blocks (ranked_by_range,
+        # PCA, graph CC) that clearCache() alone leaves resident
+        clear_engine_state(spark)
 
     bad = [r for r in rows if any(f.isupper() for f in r[3])]
     lines = [

@@ -239,5 +239,11 @@ def test_registry_has_no_unlabeled_global_windows(spark, sf_dir):
         g, _p, gl = window_census(plan)
         if g > gl and name not in WINDOW_OK:
             offenders.append((name, g, gl))
-        spark.catalog.clearCache()
+        # clear_engine_state also drops RDD-layer localCheckpoint blocks
+        # (ranked_by_range's pinned shard layouts) that clearCache leaves
+        from nyc_analytics_database_platform_spark.catalog import (
+            clear_engine_state,
+        )
+
+        clear_engine_state(spark)
     assert not offenders, offenders
