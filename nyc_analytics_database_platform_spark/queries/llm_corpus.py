@@ -622,3 +622,179 @@ def hapax_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Any-length substring dedup: minimum duplicated-run length in tokens. A
+# duplicated region of length L >= _SUB_K is the union of its L-_SUB_K+1
+# sliding _SUB_K-gram occurrences, so marking every non-first _SUB_K-gram
+# occurrence and merging the marks recovers the FULL maximal repeat at
+# token granularity - the seed-and-extend in closed form (the overlapping
+# seeds ARE the extension), with no suffix array materialization.
+_SUB_K = 8
+
+
+@register(
+    "corpus_substring_dedup",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(t[i:i + {_SUB_K - 1}], ' ') AS g
+            FROM toks,
+                 unnest(generate_series(1, len(t) - {_SUB_K - 1})) AS s(i)
+            WHERE len(t) >= {_SUB_K}
+        ),
+        dup AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY g ORDER BY doc_id, pos
+                       ) AS rn
+                FROM grams
+            ) WHERE rn > 1
+        ),
+        positions AS (
+            SELECT doc_id, i AS pos, t[i] AS tok
+            FROM toks, unnest(generate_series(1, len(t))) AS s(i)
+        ),
+        cov AS (
+            SELECT p.doc_id, p.pos, p.tok,
+                   EXISTS (
+                       SELECT 1 FROM dup d
+                       WHERE d.doc_id = p.doc_id
+                         AND p.pos BETWEEN d.pos AND d.pos + {_SUB_K - 1}
+                   ) AS covered
+            FROM positions p
+        ),
+        runs AS (
+            SELECT doc_id, pos, tok, covered,
+                   CASE WHEN covered AND NOT COALESCE(
+                            LAG(covered) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                            ), FALSE)
+                        THEN 1 ELSE 0 END AS run_start
+            FROM cov
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (covered) AS BIGINT) AS n_dup_tokens,
+               CAST(COALESCE(SUM(run_start), 0) AS BIGINT) AS n_dup_runs,
+               COALESCE(
+                   string_agg(tok, ' ' ORDER BY pos) FILTER (NOT covered),
+                   '') AS kept_text
+        FROM runs GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "corpus"),
+)
+def corpus_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-length exact-substring dedup (the Lee et al. "Deduplicating
+    Training Data" ExactSubstr stage, reference's dedup family): every
+    maximal repeated token run of length >= _SUB_K whose content appeared
+    EARLIER in the corpus (global (doc_id, pos) order over identical
+    grams) is removed; the first occurrence keeps its text. Unlike
+    corpus_span_dedup's fixed aligned 8-token spans, matches here start
+    at ANY offset and extend to ANY length: a 37-token repeat is removed
+    in full, not just its aligned-span core.
+
+    How any-length works without a suffix array: slide a _SUB_K-token
+    window over every document; a repeat of length L >= _SUB_K contains
+    all of its L-_SUB_K+1 sliding grams, each a non-first global
+    occurrence, so the union of their [pos, pos+_SUB_K-1] covers exactly
+    the full repeat (seed-and-extend in closed form - the overlapping
+    seeds ARE the bidirectional extension). Marks merge per document into
+    maximal runs; output reports token totals, covered-token counts, run
+    counts, and the reassembled kept text.
+
+    Scale shape: one explode to ~token-count gram rows, hashed to
+    xxhash64 IN the generating projection so only (doc_id, pos, h) - 24
+    bytes/row, never gram text - enters the ONE shuffle (the per-hash
+    first-occurrence window; 2^-64 collision bound as corpus_span_dedup
+    documents). Dup starts are a small fraction of gram rows; everything
+    after is per-document array arithmetic (sorted starts -> merged
+    interval runs -> complement slices of the document's own token
+    array), bounded by document length, no second shuffle besides the
+    per-doc collect_list groupBy. The O(tokens x _SUB_K) gram-string
+    construction is the one non-rolling cost; at 100 TB a polynomial
+    rolling hash over per-token hashes drops it to O(tokens) without
+    changing any downstream semantics."""
+    docs = with_tokens(load(spark, sf_dir, "documents", parallel=True)).filter(
+        F.col("toks").isNotNull()
+    )
+    base = docs.select(
+        "doc_id", "toks", F.size("toks").cast("long").alias("n_tokens")
+    )
+    grams = (
+        base.filter(F.col("n_tokens") >= _SUB_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_SUB_K - 1}), "
+                    f"i -> xxhash64(array_join(slice(toks, i, {_SUB_K}), ' ')))"
+                )
+            ).alias("k", "h"),
+        )
+        .select("doc_id", (F.col("k") + 1).alias("pos"), "h")
+    )
+    from pyspark.sql import Window
+
+    first = F.min(F.struct("doc_id", "pos")).over(Window.partitionBy("h"))
+    dup_starts = (
+        grams.withColumn("f", first)
+        .filter(
+            (F.col("f.doc_id") != F.col("doc_id"))
+            | (F.col("f.pos") != F.col("pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    # sorted dup starts -> merged maximal runs [a, b] (intervals
+    # [s, s+K-1] merge when the next start is <= b+1: overlapping OR
+    # adjacent covered regions are ONE maximal run, matching the oracle's
+    # per-position run_start flags)
+    runs_expr = (
+        "aggregate(starts, cast(array() as array<struct<a:int,b:int>>), "
+        "(acc, s) -> CASE WHEN size(acc) > 0 AND s <= element_at(acc, -1).b + 1 "
+        "THEN concat(slice(acc, 1, size(acc) - 1), "
+        f"array(named_struct('a', element_at(acc, -1).a, 'b', s + {_SUB_K - 1}))) "
+        f"ELSE concat(acc, array(named_struct('a', s, 'b', s + {_SUB_K - 1}))) END)"
+    )
+    dup = (
+        dup_starts.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("starts"))
+        .withColumn("runs", F.expr(runs_expr))
+        .select("doc_id", "runs")
+    )
+    # kept_text = the complement slices of the doc's own token array,
+    # walked with a (cursor, parts) fold; n_dup_tokens/runs are pure
+    # arithmetic on the merged intervals.
+    kept_expr = (
+        "array_join(aggregate(runs, "
+        "named_struct('cur', 1, 'parts', cast(array() as array<string>)), "
+        "(st, r) -> named_struct('cur', r.b + 1, 'parts', "
+        "CASE WHEN r.a > st.cur THEN concat(st.parts, "
+        "array(array_join(slice(toks, st.cur, r.a - st.cur), ' '))) "
+        "ELSE st.parts END), "
+        "st -> CASE WHEN st.cur <= size(toks) THEN concat(st.parts, "
+        "array(array_join(slice(toks, st.cur, size(toks) - st.cur + 1), ' '))) "
+        "ELSE st.parts END), ' ')"
+    )
+    return (
+        base.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(
+                F.expr("aggregate(runs, 0L, (x, r) -> x + r.b - r.a + 1)"),
+                F.lit(0).cast("long"),
+            ).alias("n_dup_tokens"),
+            F.coalesce(F.size("runs").cast("long"), F.lit(0).cast("long")).alias(
+                "n_dup_runs"
+            ),
+            F.when(F.col("runs").isNull(), F.array_join("toks", " "))
+            .otherwise(F.expr(kept_expr))
+            .alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
