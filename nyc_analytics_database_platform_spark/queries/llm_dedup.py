@@ -149,6 +149,49 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_persisted_pairs",
+    oracle=_minhash_oracle(),
+    tags=("llm", "dedup", "layout"),
+)
+def dedup_minhash_persisted_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MinHash-LSH index LIFECYCLE: build the band index once, persist
+    it as band-partitioned parquet, then search the FILES — the durable-
+    artifact story SCALE.md promises for the dedup family (in-operator
+    .cache() stands in for it everywhere else). The band index (doc_id,
+    band, bucket) is tiny (num_bands rows/doc, text never stored), writes
+    partitioned by band (band=N directories), and the candidate self-join
+    reloads it from disk: at 100 TB the signature build is paid once per
+    corpus snapshot, every later dedup pass (and every incremental batch,
+    dedup_incremental_vs_corpus) probes the files. Same oracle as
+    dedup_minhash_lsh_pairs: persistence must not change a single pair."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_perm=12, k=5)
+    bands = banded_buckets(sigs, num_perm=12, rows_per_band=2)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_minhash", tag, "bands"
+    )
+    bands.write.mode("overwrite").partitionBy("band").parquet(path)
+    bands.unpersist()  # the parquet files are the materialization now
+    idx = spark.read.parquet(path)
+    a = idx.select(F.col("doc_id").alias("a_id"), "band", "bucket")
+    b = idx.select(F.col("doc_id").alias("b_id"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+        .orderBy("a_id", "b_id")
+    )
+
+
 def _simhash_oracle(radius: int = 3) -> str:
     # 32 vote sums, one per bit, from hex-digit arithmetic on md5(s)[0:8]
     votes = []
