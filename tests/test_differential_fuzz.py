@@ -768,3 +768,156 @@ def test_differential_random_part_supplier(spark, sf_dir, duck, case_id, rng):
     idx = [ocols.index(c) for c in sorted(ocols)]
     want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
     assert sorted(ocols) == cols and got == want, (case_id, sql)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:30])
+def test_differential_random_range_frames(spark, sf_dir, duck, case_id, rng):
+    """RANGE-frame windows (round 8, VERDICT r7 #5): value-based frames
+    over random partitions, order values, and bounds — the frame family
+    the fixed oracles pin only at chosen parameters. RANGE frames are
+    tie-safe by construction (the frame is defined by the ORDER value,
+    not row position), so any aggregate over them is deterministic."""
+    from pyspark.sql import Window
+
+    dom = _domain(duck)
+    pred_col, pred_sql = _gen_predicate(rng, dom)
+    part = rng.choice(_GROUPABLE)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents_sql = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+    if rng.random() < 0.5:
+        oval = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        oval_sql = "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+        lo = rng.randint(1, 90)
+        hi = rng.choice([0, rng.randint(1, 45)])
+    else:
+        oval = F.col("o_custkey")
+        oval_sql = "o_custkey"
+        lo = rng.randint(1, 500)
+        hi = rng.choice([0, rng.randint(1, 250)])
+    agg_name = rng.choice(["sum", "count", "min", "max"])
+    if agg_name == "count":
+        expr, expr_sql = F.count(F.lit(1)), "COUNT(*)"
+    else:
+        expr = getattr(F, agg_name)(cents)
+        expr_sql = f"{agg_name.upper()}({cents_sql})"
+    hi_sql = "CURRENT ROW" if hi == 0 else f"{hi} FOLLOWING"
+    w = (
+        Window.partitionBy(part)
+        .orderBy(oval)
+        .rangeBetween(-lo, hi)
+    )
+    orders = load(spark, sf_dir, "orders").filter(pred_col)
+    sdf = orders.select("o_orderkey", expr.over(w).alias("v"))
+    sql = (
+        f"SELECT o_orderkey, {expr_sql} OVER (PARTITION BY {part} "
+        f"ORDER BY {oval_sql} RANGE BETWEEN {lo} PRECEDING AND {hi_sql}) "
+        f"AS v FROM orders WHERE {pred_sql}"
+    )
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r[c]) for c in cols) for r in sdf.collect())
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+    assert sorted(ocols) == cols and got == want, (case_id, sql)
+
+
+def _param_minhash_sig_sql(k: int, num_perm: int) -> str:
+    from nyc_analytics_database_platform_spark.queries.llm_dedup import (
+        _shingle_cte,
+    )
+
+    sig_cols = ", ".join(
+        f"MIN(md5('{p}:' || s)) AS m{p}" for p in range(num_perm)
+    )
+    return (
+        f"WITH {_shingle_cte(k)} "
+        f"SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+def _param_minhash_pairs_sql(k: int, num_perm: int, rows_per_band: int) -> str:
+    from nyc_analytics_database_platform_spark.queries.llm_dedup import (
+        _shingle_cte,
+    )
+
+    sig_cols = ", ".join(
+        f"MIN(md5('{p}:' || s)) AS m{p}" for p in range(num_perm)
+    )
+    num_bands = num_perm // rows_per_band
+    cases = " ".join(
+        "WHEN {b} THEN md5({cat})".format(
+            b=b,
+            cat=" || ".join(
+                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(num_bands)
+    )
+    return f"""
+        WITH {_shingle_cte(k)},
+        sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, bnd, CASE bnd {cases} END AS bucket
+            FROM sig,
+                 (SELECT unnest(generate_series(0, {num_bands - 1})) AS bnd) g
+        )
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x
+        JOIN bands y ON x.bnd = y.bnd AND x.bucket = y.bucket
+                    AND x.doc_id < y.doc_id
+        ORDER BY a_id, b_id
+    """
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:25])
+def test_differential_random_minhash(spark, sf_dir, duck, case_id, rng):
+    """Shingle/MinHash/LSH pipelines at RANDOM parameters (round 8,
+    VERDICT r7 #5): shingle width k, permutation count, and band width
+    are drawn per case and the whole pipeline — signature table or
+    banded candidate pairs — is re-derived in DuckDB from the same
+    md5('p:' || shingle) convention. The fixed oracles pin (k=5, 12
+    perms, 2-row bands); this explores the parameter space."""
+    from nyc_analytics_database_platform_spark.catalog import (
+        clear_engine_state,
+    )
+    from nyc_analytics_database_platform_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    k = rng.choice([2, 3, 4, 6])
+    num_perm = rng.choice([4, 6, 8, 12])
+    docs = load(spark, sf_dir, "documents")
+    try:
+        if rng.random() < 0.5:
+            sdf = minhash_signatures(docs, num_perm=num_perm, k=k)
+            sql = _param_minhash_sig_sql(k, num_perm)
+        else:
+            rows_per_band = rng.choice(
+                [r for r in (1, 2, 3, 4) if num_perm % r == 0]
+            )
+            sigs = minhash_signatures(docs, num_perm=num_perm, k=k)
+            sdf = lsh_candidate_pairs(
+                sigs, num_perm=num_perm, rows_per_band=rows_per_band
+            )
+            sql = _param_minhash_pairs_sql(k, num_perm, rows_per_band)
+        cols = sorted(sdf.columns)
+        got = Counter(
+            tuple(_canon(r[c]) for c in cols) for r in sdf.collect()
+        )
+        cur = duck.execute(sql)
+        ocols = [d[0] for d in cur.description]
+        idx = [ocols.index(c) for c in sorted(ocols)]
+        want = Counter(
+            tuple(_canon(row[i]) for i in idx) for row in cur.fetchall()
+        )
+        assert sorted(ocols) == cols and got == want, (
+            case_id,
+            k,
+            num_perm,
+        )
+    finally:
+        # banded_buckets caches its band index per call; 25 cases in one
+        # session would otherwise pile up resident blocks
+        clear_engine_state(spark)
