@@ -90,6 +90,9 @@ _CROSSOVER = (
     # queries with >0.9s sf0.1 absolutes and, until now, no scale story.
     "sessionize_event_stats",
     "scd2_point_in_time_join",
+    # round-8 new op carries its scale curve from day one (measured
+    # 2.43x sf0.5 -> 1.70x sf1.0 by hand before joining the set).
+    "corpus_substring_dedup",
 )
 
 
