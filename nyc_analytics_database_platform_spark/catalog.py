@@ -79,10 +79,20 @@ def footer_row_count(sf_dir: str, name: str) -> int:
 
         path = table_path(sf_dir, name)
         if os.path.isdir(path):
+            parts = [
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            ]
+            if not parts:
+                # nested (partitioned) layouts are NOT walked here - a
+                # silent 0 would flip plan-selection heuristics; callers
+                # fall back to a Spark count on this raise
+                raise ValueError(
+                    f"no flat .parquet files under {path}; "
+                    "partitioned layouts need a Spark count"
+                )
             total = sum(
                 pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
+                for f in parts
             )
         else:
             total = pq.ParquetFile(path).metadata.num_rows
