@@ -801,9 +801,14 @@ def test_differential_random_range_frames(spark, sf_dir, duck, case_id, rng):
         expr = getattr(F, agg_name)(cents)
         expr_sql = f"{agg_name.upper()}({cents_sql})"
     hi_sql = "CURRENT ROW" if hi == 0 else f"{hi} FOLLOWING"
+    # descending RANGE: PRECEDING/FOLLOWING walk along the sort direction
+    # in both engines (SQL standard) — a corner the fixed oracles never hit
+    desc = rng.random() < 0.3
+    order = F.desc(oval) if desc else oval
+    oval_sql = f"{oval_sql} DESC" if desc else oval_sql
     w = (
         Window.partitionBy(part)
-        .orderBy(oval)
+        .orderBy(order)
         .rangeBetween(-lo, hi)
     )
     orders = load(spark, sf_dir, "orders").filter(pred_col)
