@@ -926,3 +926,152 @@ def test_differential_random_minhash(spark, sf_dir, duck, case_id, rng):
         # banded_buckets caches its band index per call; 25 cases in one
         # session would otherwise pile up resident blocks
         clear_engine_state(spark)
+
+
+_GROUPING_COLS = ["o_orderstatus", "o_orderpriority", "ck_bucket"]
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:25])
+def test_differential_random_grouping_sets(spark, sf_dir, duck, case_id, rng):
+    """Multi-granularity aggregation fuzz (round 8): random ROLLUP / CUBE /
+    GROUPING SETS over status, priority, and a derived customer bucket,
+    with grouping_id() disambiguating super-aggregate NULLs. The DataFrame
+    rendering (df.rollup / df.cube / df.groupingSets) and the SQL rendering
+    must agree bit-for-bit including the GROUPING bitmask convention."""
+    dom = _domain(duck)
+    pred_col, pred_sql = _gen_predicate(rng, dom)
+    cols = rng.sample(_GROUPING_COLS, k=rng.choice([2, 3]))
+    aggs = rng.sample(_AGGS, k=rng.randint(1, 2))
+    form = rng.choice(["rollup", "cube", "gsets"])
+
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(pred_col)
+        .withColumn("ck_bucket", F.col("o_custkey") % 7)
+    )
+    agg_cols = [F.grouping_id().alias("gid")] + [mk() for _, mk, _ in aggs]
+    if form == "rollup":
+        sdf = orders.rollup(*cols).agg(*agg_cols)
+        group_sql = f"ROLLUP ({', '.join(cols)})"
+    elif form == "cube":
+        sdf = orders.cube(*cols).agg(*agg_cols)
+        group_sql = f"CUBE ({', '.join(cols)})"
+    else:
+        n_sets = rng.randint(1, 3)
+        # the full set is always a member so every grouping column appears
+        # in >=1 set (DuckDB's GROUPING() binder requires it; Spark would
+        # accept an all-NULL grouping column, a shape nobody writes)
+        seen: list[list[str]] = [list(cols)]
+        for _ in range(n_sets):
+            subset = [c for c in cols if rng.random() < 0.6]
+            if subset not in seen:
+                seen.append(subset)
+        sdf = orders.groupingSets(seen, *cols).agg(*agg_cols)
+        rendered = ", ".join(
+            "(" + ", ".join(s) + ")" if s else "()" for s in seen
+        )
+        group_sql = f"GROUPING SETS ({rendered})"
+
+    got_cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r[c]) for c in got_cols) for r in sdf.collect())
+
+    agg_sql = ", ".join(sql for _, _, sql in aggs)
+    sql = (
+        f"SELECT {', '.join(cols)}, GROUPING({', '.join(cols)}) AS gid, "
+        + agg_sql
+        + " FROM (SELECT *, o_custkey % 7 AS ck_bucket FROM orders"
+        + f" WHERE {pred_sql})"
+        + f" GROUP BY {group_sql}"
+    )
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+
+    assert sorted(ocols) == got_cols, (case_id, sql, got_cols, ocols)
+    assert got == want, (case_id, form, sql)
+
+
+@pytest.fixture(scope="module")
+def sql_views(spark, sf_dir):
+    """Temp views for the subquery family: the SAME SQL text runs on
+    spark.sql and DuckDB."""
+    for t in ("orders", "customer", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"fz_{t}")
+    yield
+    for t in ("orders", "customer", "lineitem"):
+        spark.catalog.dropTempView(f"fz_{t}")
+
+
+_CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:25])
+def test_differential_random_subqueries(spark, sf_dir, duck, sql_views,
+                                        case_id, rng):
+    """Subquery decorrelation fuzz (round 8): scalar-aggregate thresholds,
+    (NOT) IN, (NOT) EXISTS, and correlated scalar subqueries — one ANSI
+    SQL text rendered per case and executed verbatim by BOTH engines
+    (Catalyst's RewriteSubquery/DecorrelateInnerQuery path vs DuckDB's
+    flattening). Aggregate thresholds stay in exact integer cents or
+    identical-operand double division, so no boundary row can flip on a
+    last-ulp difference."""
+    dom = _domain(duck)
+    _, pred_sql = _gen_predicate(rng, dom)
+    shape = rng.choice(["scalar_agg", "in", "not_in", "exists",
+                        "not_exists", "corr_scalar"])
+
+    if shape == "scalar_agg":
+        thr = rng.choice([
+            f"(SELECT MAX({_CENTS}) FROM orders WHERE {pred_sql}) / 2",
+            f"(SELECT MIN({_CENTS}) FROM orders WHERE {pred_sql}) * 2",
+            f"(SELECT SUM({_CENTS}) / COUNT(*) FROM orders WHERE {pred_sql})",
+        ])
+        sql = (
+            "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders "
+            f"WHERE {_CENTS} > {thr} GROUP BY o_orderstatus"
+        )
+    elif shape in ("in", "not_in"):
+        bal = round(rng.uniform(-500.0, 8000.0), 2)
+        op = "IN" if shape == "in" else "NOT IN"
+        sql = (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM orders WHERE ({pred_sql}) AND o_custkey {op} "
+            f"(SELECT c_custkey FROM customer WHERE c_acctbal < {bal}) "
+            "GROUP BY o_orderpriority"
+        )
+    elif shape in ("exists", "not_exists"):
+        op = "EXISTS" if shape == "exists" else "NOT EXISTS"
+        sql = (
+            "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust "
+            f"FROM customer c WHERE {op} (SELECT 1 FROM orders o "
+            f"WHERE o.o_custkey = c.c_custkey AND ({pred_sql})) "
+            "GROUP BY c_nationkey"
+        )
+    else:
+        k = rng.randint(1, 60)
+        sql = (
+            "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust "
+            "FROM customer c "
+            f"WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * {k} > "
+            f"(SELECT COALESCE(MAX({_CENTS}), 0) FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey) "
+            "GROUP BY c_nationkey"
+        )
+
+    spark_sql = (
+        sql.replace("FROM orders", "FROM fz_orders")
+        .replace("FROM customer", "FROM fz_customer")
+    )
+    sdf = spark.sql(spark_sql)
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r[c]) for c in cols) for r in sdf.collect())
+
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+
+    assert sorted(ocols) == cols, (case_id, sql, cols, ocols)
+    assert got == want, (case_id, shape, sql)
