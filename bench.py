@@ -93,6 +93,14 @@ _CROSSOVER = (
     # round-8 new op carries its scale curve from day one (measured
     # 2.43x sf0.5 -> 1.70x sf1.0 by hand before joining the set).
     "corpus_substring_dedup",
+    # round-8 scale-join family: the runtime-bloom-filter join is the
+    # compute-shaped member (hand-measured 0.70s sf1.0 -> 0.58s sf2.0
+    # Spark absolute - FLAT across a 2x step, i.e. per-job floor, while
+    # DuckDB's single-node hash join sits at ~0.04s). The bucketed/DPP
+    # siblings are layout-lifecycle attestations - their timing story is
+    # build-vs-probe amortization (SCALE.md), not an engine race, so they
+    # stay out of the ratio table.
+    "runtime_filter_part_revenue",
 )
 
 
