@@ -1075,3 +1075,68 @@ def test_differential_random_subqueries(spark, sf_dir, duck, sql_views,
 
     assert sorted(ocols) == cols, (case_id, sql, cols, ocols)
     assert got == want, (case_id, shape, sql)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:20])
+def test_differential_random_asof_join(spark, sf_dir, duck, case_id, rng):
+    """As-of join fuzz (round 8): random left/right event-type subsets,
+    predicate, and DIRECTION (backward latest <= / forward earliest >=)
+    against DuckDB's native ASOF JOIN. The right side is deduped to one
+    row per (user_id, ts) so tie-breaking is well-defined in both engines;
+    the scalable union+window implementation must reproduce the reference
+    semantics exactly, including left-outer NULLs for rows with no match."""
+    from nyc_analytics_database_platform_spark.operators.joins import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    lt = rng.sample(types, k=rng.randint(1, 2))
+    rt = rng.sample(types, k=rng.randint(1, 2))
+    vmin = round(rng.uniform(0.0, 50.0), 2)
+    forward = rng.random() < 0.5
+
+    events = load(spark, sf_dir, "events")
+    l = events.filter(
+        F.col("event_type").isin(lt) & (F.col("value") >= vmin)
+    ).select("event_id", "user_id", "ts")
+    r = (
+        events.filter(F.col("event_type").isin(rt))
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max(F.round(F.col("value") * 100).cast("long")).alias("v_cents")
+        )
+    )
+    fn = asof_join_forward if forward else asof_join
+    sdf = fn(
+        l, r, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["ts", "v_cents"],
+    ).select(
+        "event_id",
+        F.unix_micros("asof_ts").alias("asof_us"),
+        F.col("asof_v_cents").alias("v_cents"),
+    )
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r_[c]) for c in cols) for r_ in sdf.collect())
+
+    lt_sql = ", ".join(f"'{t}'" for t in lt)
+    rt_sql = ", ".join(f"'{t}'" for t in rt)
+    op = ">=" if forward else "<="
+    sql = f"""
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type IN ({lt_sql}) AND value >= {vmin}),
+             r AS (SELECT user_id, ts,
+                          MAX(CAST(ROUND(value * 100) AS BIGINT)) AS v_cents
+                   FROM events WHERE event_type IN ({rt_sql})
+                   GROUP BY user_id, ts)
+        SELECT l.event_id, epoch_us(r.ts) AS asof_us, r.v_cents
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND r.ts {op} l.ts
+    """
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+
+    assert sorted(ocols) == cols, (case_id, cols, ocols)
+    assert got == want, (case_id, forward, lt, rt, vmin)
