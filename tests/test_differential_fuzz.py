@@ -1140,3 +1140,136 @@ def test_differential_random_asof_join(spark, sf_dir, duck, case_id, rng):
 
     assert sorted(ocols) == cols, (case_id, cols, ocols)
     assert got == want, (case_id, forward, lt, rt, vmin)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:20])
+def test_differential_random_sessionize(spark, sf_dir, duck, case_id, rng):
+    """Sessionization fuzz (round 8): random gap threshold, event-type
+    subset, and value predicate; per-session stats (count / first ts /
+    cents sum) re-derived in DuckDB via lag + running-sum windows. Pins
+    the gap-boundary semantics (a gap of EXACTLY gap_seconds starts a new
+    session) and the (ts, event_id) tie-break at equal timestamps."""
+    from nyc_analytics_database_platform_spark.operators.sessions import (
+        sessionize,
+    )
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    et = rng.sample(types, k=rng.randint(1, 3))
+    vmin = round(rng.uniform(0.0, 60.0), 2)
+    gap = rng.choice([60, 300, 900, 3600, 14400, 86400])
+
+    events = load(spark, sf_dir, "events")
+    e = events.filter(
+        F.col("event_type").isin(et) & (F.col("value") >= vmin)
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    sdf = (
+        sessionize(e, "user_id", "ts", gap, order_cols=("event_id",))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.sum("v_cents").alias("sum_cents"),
+        )
+    )
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r_[c]) for c in cols) for r_ in sdf.collect())
+
+    et_sql = ", ".join(f"'{t}'" for t in et)
+    sql = f"""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+            FROM events
+            WHERE event_type IN ({et_sql}) AND value >= {vmin}
+        ),
+        m AS (
+            SELECT *,
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w >= {gap * 1_000_000}
+                        THEN 1 ELSE 0 END AS ns
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        s AS (
+            SELECT *, SUM(ns) OVER (
+                PARTITION BY user_id ORDER BY us, event_id
+                ROWS UNBOUNDED PRECEDING
+            ) AS session_seq
+            FROM m
+        )
+        SELECT user_id, session_seq, COUNT(*) AS n_events,
+               MIN(us) AS first_us, SUM(v_cents) AS sum_cents
+        FROM s GROUP BY user_id, session_seq
+    """
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+
+    assert sorted(ocols) == cols, (case_id, cols, ocols)
+    assert got == want, (case_id, et, vmin, gap)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:15])
+def test_differential_random_range_band_join(spark, sf_dir, duck, case_id,
+                                             rng):
+    """Range-band join fuzz (round 8): random monotone price cut points
+    form half-open [lo, hi) bands; orders join bands on
+    lo <= o_totalprice < hi (broadcast nested-loop on the Spark side) and
+    aggregate per band. Pins the half-open boundary convention and that
+    out-of-band rows drop (inner semantics) for arbitrary band layouts."""
+    from nyc_analytics_database_platform_spark.operators.joins import (
+        range_band_join,
+    )
+
+    lo_d, hi_d = duck.execute(
+        "SELECT MIN(o_totalprice), MAX(o_totalprice) FROM orders"
+    ).fetchone()
+    n_bands = rng.randint(2, 5)
+    cuts = sorted(
+        round(rng.uniform(lo_d, hi_d), 2) for _ in range(n_bands + 1)
+    )
+    if len(set(cuts)) != len(cuts):  # pragma: no cover - ~0 at double res
+        cuts = [c + i * 0.01 for i, c in enumerate(cuts)]
+    bands = [(f"b{i:02d}", cuts[i], cuts[i + 1]) for i in range(n_bands)]
+    status = rng.choice(["O", "F", "P", None])
+
+    orders = load(spark, sf_dir, "orders")
+    if status is not None:
+        orders = orders.filter(F.col("o_orderstatus") == status)
+    bdf = spark.createDataFrame(bands, "label string, lo double, hi double")
+    sdf = (
+        range_band_join(orders, bdf, F.col("o_totalprice"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents"),
+        )
+    )
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r_[c]) for c in cols) for r_ in sdf.collect())
+
+    vals = ", ".join(f"('{l}', {lo}, {hi})" for l, lo, hi in bands)
+    where = f"WHERE o_orderstatus = '{status}'" if status else ""
+    sql = f"""
+        WITH b(label, lo, hi) AS (VALUES {vals})
+        SELECT b.label, COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM (SELECT * FROM orders {where}) o
+        JOIN b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        GROUP BY b.label
+    """
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+
+    assert sorted(ocols) == cols, (case_id, cols, ocols)
+    assert got == want, (case_id, bands, status)
