@@ -157,3 +157,165 @@ def test_runtime_bloom_filter_injected_when_forced(spark, sf_dir):
         for r in runtime_filter_part_revenue(spark, sf_dir).collect()
     }
     assert forced == plain
+
+
+# --- Z-order layout (operators/layout.py + zorder_box_scan_stats) ---------
+
+def _morton_ref(x: int, y: int) -> int:
+    """Pure-Python bit-interleave reference for the Spark morton_key."""
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_key_matches_reference(spark):
+    import random
+
+    from nyc_analytics_database_platform_spark.operators.layout import (
+        morton_key,
+    )
+
+    rng = random.Random(20260815)
+    pts = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(200)]
+    pts += [(0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 2)]
+    df = spark.createDataFrame(pts, "x long, y long").withColumn(
+        "z", morton_key(F.col("x"), F.col("y"))
+    )
+    for r in df.collect():
+        assert r["z"] == _morton_ref(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def _candidate_rowgroups(path: str, x_rng=None, t_rng=None):
+    """Count parquet row groups whose footer min/max stats intersect the
+    probe - exactly the skipping decision the scan makes before reading
+    any data pages."""
+    import datetime
+    import glob
+
+    import pyarrow.parquet as pq
+
+    utc = datetime.timezone.utc
+
+    def aware(v):
+        return v.replace(tzinfo=utc) if v.tzinfo is None else v
+
+    tot = cand = 0
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        sch = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            tot += 1
+            hit = True
+            if x_rng is not None:
+                s = md.row_group(rg).column(sch["o_custkey"]).statistics
+                hit = hit and s.min <= x_rng[1] and s.max >= x_rng[0]
+            if t_rng is not None:
+                s = md.row_group(rg).column(sch["o_orderdate"]).statistics
+                hit = hit and (
+                    aware(s.min) < t_rng[1] and aware(s.max) >= t_rng[0]
+                )
+            if hit:
+                cand += 1
+    return cand, tot
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """The z-order value proposition measured from real parquet footers:
+    a single-column sort prunes row groups ONLY on its own column (the
+    other dimension interleaves through every row group, candidate
+    fraction 100%), while the Morton layout prunes meaningfully on EITHER
+    dimension alone and best on the 2-D box. Thresholds sit well inside
+    the measured margins (9/16 vs 16/16 at sf0.001)."""
+    import datetime
+
+    from nyc_analytics_database_platform_spark.queries.parity_scalejoin import (
+        build_zorder_orders,
+    )
+
+    utc = datetime.timezone.utc
+    x_rng = (40, 59)
+    t_rng = (
+        datetime.datetime(1998, 1, 1, tzinfo=utc),
+        datetime.datetime(1999, 1, 1, tzinfo=utc),
+    )
+
+    zpath = build_zorder_orders(spark, sf_dir)
+
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        twins = {}
+        for name, col in [("bydate", "o_orderdate"), ("bycust", "o_custkey")]:
+            p = str(tmp_path / name)
+            (
+                load(spark, sf_dir, "orders")
+                .repartitionByRange(16, col)
+                .sortWithinPartitions(col)
+                .write.mode("overwrite")
+                .option("parquet.block.size", 64 * 1024)
+                .parquet(p)
+            )
+            twins[name] = p
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+    # single sorts are blind on the other dimension
+    c, t = _candidate_rowgroups(twins["bydate"], x_rng=x_rng)
+    assert c == t, "date sort should not prune a customer probe"
+    c, t = _candidate_rowgroups(twins["bycust"], t_rng=t_rng)
+    assert c == t, "customer sort should not prune a date probe"
+
+    # z-order prunes on either dimension alone ...
+    cx, tx = _candidate_rowgroups(zpath, x_rng=x_rng)
+    ct, tt = _candidate_rowgroups(zpath, t_rng=t_rng)
+    assert cx / tx <= 0.75, (cx, tx)
+    assert ct / tt <= 0.75, (ct, tt)
+    # ... and best on the 2-D box
+    cb, tb = _candidate_rowgroups(zpath, x_rng=x_rng, t_rng=t_rng)
+    assert cb / tb <= 0.5, (cb, tb)
+    assert cb <= min(cx, ct)
+
+
+def test_zorder_scan_pushes_both_predicates(spark, sf_dir):
+    from nyc_analytics_database_platform_spark.queries.parity_scalejoin import (
+        zorder_box_scan_stats,
+    )
+
+    fmt = _formatted(zorder_box_scan_stats(spark, sf_dir))
+    assert "PushedFilters" in fmt
+    pushed = [l for l in fmt.splitlines() if "PushedFilters" in l][0]
+    assert "o_custkey" in pushed, pushed
+    assert "o_orderdate" in pushed, pushed
+
+
+def test_zorder_query_matches_unlayouted_twin(spark, sf_dir):
+    from nyc_analytics_database_platform_spark.queries.parity_scalejoin import (
+        zorder_box_scan_stats,
+    )
+
+    got = {
+        r["o_orderstatus"]: (r["n_orders"], r["key_sum"], r["spend_cents"])
+        for r in zorder_box_scan_stats(spark, sf_dir).collect()
+    }
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    want = {
+        r["o_orderstatus"]: (r["n_orders"], r["key_sum"], r["spend_cents"])
+        for r in load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_custkey").between(40, 129)
+            & (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum(cents).alias("spend_cents"),
+        )
+        .collect()
+    }
+    assert got == want and got
