@@ -1273,3 +1273,46 @@ def test_differential_random_range_band_join(spark, sf_dir, duck, case_id,
 
     assert sorted(ocols) == cols, (case_id, cols, ocols)
     assert got == want, (case_id, bands, status)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:15])
+def test_differential_random_percentile_cont(spark, sf_dir, duck, case_id,
+                                             rng):
+    """Continuous-percentile fuzz (round 8): random p, grouping column and
+    predicate; Spark's exact percentile() vs DuckDB's quantile_cont. Pins
+    the linear-interpolation convention (index = p*(n-1), lo + frac*(hi-lo)
+    in double) at arbitrary p over integer cents - the fixed oracles only
+    ever pin p=0.5."""
+    p = round(rng.choice([0.1, 0.25, 0.37, 0.5, 0.63, 0.75, 0.9, 0.99]), 2)
+    grp = rng.choice(["o_orderstatus", "o_orderpriority"])
+    klo = rng.randrange(0, 1000)
+
+    orders = load(spark, sf_dir, "orders")
+    sdf = (
+        orders.filter(F.col("o_custkey") >= klo)
+        .select(
+            grp, F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+        )
+        .groupBy(grp)
+        .agg(
+            F.percentile("c", p).alias("pct"),
+            F.count("*").alias("n"),
+        )
+    )
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r_[c]) for c in cols) for r_ in sdf.collect())
+
+    sql = f"""
+        SELECT {grp}, quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                                    {p}) AS pct,
+               COUNT(*) AS n
+        FROM orders WHERE o_custkey >= {klo}
+        GROUP BY {grp}
+    """
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+
+    assert sorted(ocols) == cols, (case_id, cols, ocols)
+    assert got == want, (case_id, p, grp, klo)
