@@ -18,6 +18,12 @@ skips the large majority of row groups on either dimension or both
 Everything here compiles to JVM-side integer expressions (shift/and/or) -
 whole-stage codegen, no UDFs - so the layout write costs one range
 repartition + local sort, amortized over every later scan.
+
+`functions/zorder.zvalue` is the per-bit-aggregate twin of `morton_key`
+(chosen there because the identical arithmetic is expressible in DuckDB
+for oracle parity); this module's magic-number spread is the branch-free
+form used on the physical write path. tests/test_scalejoin_plans.py pins
+the two bit-identical.
 """
 
 from __future__ import annotations

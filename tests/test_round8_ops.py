@@ -102,3 +102,58 @@ def test_adjacent_runs_merge(spark, tmp_path):
     assert res[3]["n_dup_tokens"] == 16
     assert res[3]["n_dup_runs"] == 1
     assert res[3]["kept_text"] == f"{_words('k', 9)} {_words('l', 9)}"
+
+
+# --- persisted HLL sketch table (queries/parity_lifecycle.py) -------------
+
+def test_sketch_table_warm_serves_from_files(spark, sf_dir):
+    """Second invocation must hit the freshness stamp (no rebuild) and the
+    parquet-roundtripped sketches must union to the same answer."""
+    import os
+
+    from nyc_analytics_database_platform_spark.queries.parity_lifecycle import (
+        build_month_sketch_table,
+        sketch_table_range_buyers,
+    )
+
+    first = sketch_table_range_buyers(spark, sf_dir).collect()
+    path = build_month_sketch_table(spark, sf_dir)
+    mtime = os.path.getmtime(path + "_done")
+    second = sketch_table_range_buyers(spark, sf_dir).collect()
+    assert os.path.getmtime(path + "_done") == mtime, "rebuilt on warm call"
+    assert first == second
+    assert first[0]["within_tolerance"] is True
+    assert first[0]["n_months"] == 24
+
+
+def test_sketch_table_union_matches_whole_range_sketch(spark, sf_dir):
+    """Register-wise union of per-month sketches ~= one sketch over the
+    whole range (Datasketches union may promote representations, so exact
+    equality is not guaranteed; 2% of exact is - same bound the
+    incremental HLL query pins)."""
+    from pyspark.sql import functions as F
+
+    from nyc_analytics_database_platform_spark.catalog import load
+    from nyc_analytics_database_platform_spark.queries.parity_lifecycle import (
+        build_month_sketch_table,
+    )
+
+    path = build_month_sketch_table(spark, sf_dir)
+    rng = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+    )
+    single = rng.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("e"),
+        F.countDistinct("o_custkey").alias("x"),
+    ).collect()[0]
+    merged = (
+        spark.read.parquet(path)
+        .filter(F.col("o_month").between("1997-01", "1998-12"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(merged - single["e"]) / single["x"] <= 0.02

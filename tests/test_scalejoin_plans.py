@@ -319,3 +319,23 @@ def test_zorder_query_matches_unlayouted_twin(spark, sf_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_morton_key_equals_zvalue_twin(spark):
+    """operators/layout.morton_key (magic-number spread, write path) and
+    functions/zorder.zvalue (per-bit aggregate, oracle-expressible) must be
+    bit-identical - two renderings of one curve."""
+    import random
+
+    from nyc_analytics_database_platform_spark.functions.zorder import zvalue
+    from nyc_analytics_database_platform_spark.operators.layout import (
+        morton_key,
+    )
+
+    rng = random.Random(8)
+    pts = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(500)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    n_diff = df.filter(
+        morton_key(F.col("x"), F.col("y")) != zvalue("x", "y")
+    ).count()
+    assert n_diff == 0
