@@ -1316,3 +1316,48 @@ def test_differential_random_percentile_cont(spark, sf_dir, duck, case_id,
 
     assert sorted(ocols) == cols, (case_id, cols, ocols)
     assert got == want, (case_id, p, grp, klo)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:15])
+def test_differential_random_pivot(spark, sf_dir, duck, case_id, rng):
+    """Pivot fuzz (round 8): random (group, pivot) column pair, random
+    explicit pivot-value subset, random aggregate and predicate; DuckDB
+    re-derives each pivot cell as a FILTERed aggregate. Pins Spark's
+    pivot convention that an EMPTY (group, value) combo is NULL - even
+    for count - which the oracle expresses as NULLIF(COUNT FILTER, 0)."""
+    g, p = rng.sample(["o_orderstatus", "o_orderpriority"], k=2)
+    dom = _domain(duck)
+    vals = sorted(rng.sample(dom[p], k=rng.randint(2, min(4, len(dom[p])))))
+    klo = rng.randrange(0, 1200)
+    agg = rng.choice(["cnt", "sum_cents", "min_price"])
+
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") >= klo)
+    if agg == "cnt":
+        sagg = F.count(F.lit(1))
+        cell = "NULLIF(COUNT(*) FILTER (WHERE {c}), 0)"
+    elif agg == "sum_cents":
+        sagg = F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        cell = ("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) "
+                "FILTER (WHERE {c})")
+    else:
+        sagg = F.min("o_totalprice")
+        cell = "MIN(o_totalprice) FILTER (WHERE {c})"
+
+    sdf = orders.groupBy(g).pivot(p, vals).agg(sagg)
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r_[c]) for c in cols) for r_ in sdf.collect())
+
+    cells = ", ".join(
+        cell.format(c=f"{p} = '{v}'") + f' AS "{v}"' for v in vals
+    )
+    sql = (
+        f"SELECT {g}, {cells} FROM orders "
+        f"WHERE o_custkey >= {klo} GROUP BY {g}"
+    )
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+
+    assert sorted(ocols) == cols, (case_id, cols, ocols)
+    assert got == want, (case_id, g, p, vals, agg, klo)
