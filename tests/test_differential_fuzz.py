@@ -1361,3 +1361,78 @@ def test_differential_random_pivot(spark, sf_dir, duck, case_id, rng):
 
     assert sorted(ocols) == cols, (case_id, cols, ocols)
     assert got == want, (case_id, g, p, vals, agg, klo)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:15])
+def test_differential_random_scd2_point_in_time(spark, sf_dir, duck,
+                                                case_id, rng):
+    """SCD2 fuzz (round 8): random change-log subset collapsed into
+    validity intervals (operators/scd.scd2_intervals), probed at a random
+    point in time; DuckDB re-derives the lag-change/lead-close windows.
+    Pins the [valid_from, valid_to) half-open convention (a probe AT a
+    change instant sees the NEW row), null-open current rows, and the
+    run-collapse rule (only attribute CHANGES open a version)."""
+    from nyc_analytics_database_platform_spark.operators.scd import (
+        scd2_intervals,
+    )
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    et = rng.sample(types, k=rng.randint(2, 4))
+    vmin = round(rng.uniform(0.0, 40.0), 2)
+    t0, t1 = duck.execute("SELECT MIN(ts), MAX(ts) FROM events").fetchone()
+    probe = t0 + (t1 - t0) * rng.uniform(0.05, 0.95)
+    probe_sql = probe.strftime("%Y-%m-%d %H:%M:%S.%f")
+
+    events = load(spark, sf_dir, "events")
+    log = (
+        events.filter(
+            F.col("event_type").isin(et) & (F.col("value") >= vmin)
+        )
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("attr"))
+    )
+    iv = scd2_intervals(log, "user_id", "ts", ("attr",))
+    sdf = iv.filter(
+        (F.col("valid_from") <= F.lit(probe_sql).cast("timestamp"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("valid_to") > F.lit(probe_sql).cast("timestamp"))
+        )
+    ).select("user_id", "attr", "version", "is_current")
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r_[c]) for c in cols) for r_ in sdf.collect())
+
+    et_sql = ", ".join(f"'{t}'" for t in et)
+    sql = f"""
+        WITH d AS (
+            SELECT user_id, ts, MAX(event_type) AS attr
+            FROM events
+            WHERE event_type IN ({et_sql}) AND value >= {vmin}
+            GROUP BY user_id, ts
+        ),
+        c AS (
+            SELECT *, lag(attr) OVER w AS prev, lag(ts) OVER w AS prev_ts
+            FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        ch AS (
+            SELECT user_id, ts, attr FROM c
+            WHERE prev_ts IS NULL OR attr IS DISTINCT FROM prev
+        ),
+        iv AS (
+            SELECT user_id, attr, ts AS valid_from,
+                   lead(ts) OVER w2 AS valid_to,
+                   CAST(row_number() OVER w2 AS INTEGER) AS version
+            FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, attr, version, valid_to IS NULL AS is_current
+        FROM iv
+        WHERE valid_from <= TIMESTAMP '{probe_sql}'
+          AND (valid_to IS NULL OR valid_to > TIMESTAMP '{probe_sql}')
+    """
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+
+    assert sorted(ocols) == cols, (case_id, cols, ocols)
+    assert got == want, (case_id, et, vmin, probe_sql)
