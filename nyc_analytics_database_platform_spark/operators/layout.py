@@ -43,8 +43,13 @@ _SPREAD_STEPS: tuple[tuple[int, int], ...] = (
 
 
 def _spread16(col: Column) -> Column:
-    """Spread the low 16 bits of `col` to even bit positions (long math)."""
-    x = col.bitwiseAND(F.lit(0xFFFF))
+    """Spread the low 16 bits of `col` to even bit positions (long math).
+
+    Cast to long first: on IntegerType inputs the final shiftleft would
+    land the top y bit on bit 31 and wrap to a negative int, scrambling
+    the z-order sort for the upper half of the domain.
+    """
+    x = col.cast("long").bitwiseAND(F.lit(0xFFFF))
     for shift, mask in _SPREAD_STEPS:
         x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
     return x

@@ -108,3 +108,25 @@ def test_zorder_sort_clusters_both_dimensions(spark, sf_dir):
     )
     assert spreads["ax"] < 0.6 * glob["sx"], (spreads, glob)
     assert spreads["ay"] < 0.6 * glob["sy"], (spreads, glob)
+
+
+def test_morton_key_int_inputs_nonnegative_and_matches_long(spark):
+    """Regression (round-9 advice): morton_key over IntegerType columns
+    must not wrap negative when the top y bit lands on bit 31. The key of
+    (x=1, y=40000) on int inputs must equal the long-input key and stay
+    non-negative, so the z-order sort is the same whatever integral type
+    callers pass."""
+    from nyc_analytics_database_platform_spark.operators.layout import morton_key
+
+    df = spark.range(1).select(
+        F.lit(1).cast("int").alias("xi"),
+        F.lit(40000).cast("int").alias("yi"),
+        F.lit(1).cast("long").alias("xl"),
+        F.lit(40000).cast("long").alias("yl"),
+    )
+    row = df.select(
+        morton_key(F.col("xi"), F.col("yi")).alias("k_int"),
+        morton_key(F.col("xl"), F.col("yl")).alias("k_long"),
+    ).collect()[0]
+    assert row.k_int == row.k_long
+    assert row.k_int >= 0
