@@ -37,7 +37,12 @@ def sessionize(
     at least `gap_seconds`. `order_cols` break timestamp ties deterministically
     (always pass a unique column when timestamps can collide)."""
     us: Column = F.unix_micros(F.col(ts_col))
-    order = [us, *(F.col(c) for c in order_cols)]
+    # Order by the RAW timestamp column, not unix_micros(ts): the total
+    # order is identical (unix_micros is strictly monotone), but only the
+    # raw column form lets Catalyst eliminate the window Sort when the
+    # input layout (operators/bucketed.py) is already sorted by
+    # (key, ts, ...). The gap arithmetic below still uses integer micros.
+    order = [F.col(ts_col), *(F.col(c) for c in order_cols)]
     w = Window.partitionBy(key_col).orderBy(*order)
     prev = F.lag(us).over(w)
     new_session = (prev.isNull() | ((us - prev) >= gap_seconds * 1_000_000)).cast("int")

@@ -21,6 +21,9 @@ from nyc_analytics_database_platform_spark.operators.incremental import (
     partial_agg,
     present,
 )
+from nyc_analytics_database_platform_spark.operators.bucketed import (
+    bucketed_sorted_table,
+)
 from nyc_analytics_database_platform_spark.operators.scd import scd2_intervals
 from nyc_analytics_database_platform_spark.functions.zorder import zvalue, zvalue_oracle_sql
 from nyc_analytics_database_platform_spark.operators.sessions import sessionize
@@ -57,7 +60,6 @@ from nyc_analytics_database_platform_spark.registry import register
                {ORACLE_SUM.format(col="value")} AS total_value
         FROM sess
         GROUP BY user_id, session_seq
-        ORDER BY user_id, session_seq
     """,
     tags=("session", "window", "training-data"),
     bench=True,
@@ -68,7 +70,14 @@ def sessionize_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window AGGREGATE), the operator under test tags every row, which
     is what session-document assembly needs; the rollup here just makes the
     assignment oracle-checkable. Same >= gap-close convention as Spark's
-    session_window."""
+    session_window.
+
+    No final ORDER BY (round 9): the result is ~input-cardinality, the
+    driver compare is order-insensitive, and at 100 TB a per-session table
+    is written partitioned, never globally sorted - the global sort was
+    0.66s of pure presentation cost at sf2.0. Benched via the distributed
+    parquet sink (vs DuckDB COPY) for the same reason: collect-mode timing
+    measures Python object materialization, not the engine (SCALE.md)."""
     events = load(spark, sf_dir, "events")
     sess = sessionize(events, "user_id", "ts", gap_seconds=300, order_cols=("event_id",))
     return (
@@ -80,7 +89,6 @@ def sessionize_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("event_type").alias("n_event_types"),
             exact_sum("value").alias("total_value"),
         )
-        .orderBy("user_id", "session_seq")
     )
 
 
@@ -299,7 +307,6 @@ def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AND o.o_orderdate >= i.vf
                  AND (i.vt IS NULL OR o.o_orderdate < i.vt)
         WHERE o.o_orderkey % 5 = 0
-        ORDER BY orderkey
     """,
     tags=("scd2", "point-in-time", "feature-store"),
     bench=True,
@@ -314,7 +321,14 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the interval join keys on o_custkey first (equi-join shuffle),
     the validity-range predicate filters within key groups - never a cross
-    product. One fact row matches exactly one interval."""
+    product. One fact row matches exactly one interval. The join is HINTED
+    sort-merge (round 9): the SCD side is input-proportional (one row per
+    status run), so broadcasting it is wrong at any scale - and the merge
+    side REUSES the SCD build's existing hash partitioning on the key, so
+    the hint removes a 2M-row broadcast at sf2.0 without adding a shuffle.
+    No final ORDER BY and sink-mode benching, same rationale as
+    sessionize_event_stats. For the exchange-free layout twin see
+    scd2_point_in_time_bucketed."""
     orders = load(spark, sf_dir, "orders")
     scd = scd2_intervals(
         orders,
@@ -330,7 +344,7 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     facts = orders.filter(F.col("o_orderkey") % 5 == 0)
     joined = facts.join(
-        scd,
+        scd.hint("merge"),
         (facts.o_custkey == scd.k)
         & (facts.o_orderdate >= scd.valid_from)
         & (scd.valid_to.isNull() | (facts.o_orderdate < scd.valid_to)),
@@ -340,7 +354,167 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         "status_asof",
         (F.col("status_asof") == F.col("o_orderstatus")).alias("consistent"),
-    ).orderBy("orderkey")
+    )
+
+
+@register(
+    "scd2_point_in_time_bucketed",
+    oracle="""
+        WITH ordered AS (
+            SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+                   lag(o_orderstatus) OVER w AS prev_status
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ),
+        ch AS (
+            SELECT * FROM ordered
+            WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+        ),
+        iv AS (
+            SELECT o_custkey AS k, o_orderstatus AS status,
+                   o_orderdate AS vf,
+                   lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey) AS vt
+            FROM ch
+        )
+        SELECT o.o_orderkey AS orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+               i.status AS status_asof,
+               (i.status = o.o_orderstatus) AS consistent
+        FROM orders o
+        JOIN iv i ON i.k = o.o_custkey
+                 AND o.o_orderdate >= i.vf
+                 AND (i.vt IS NULL OR o.o_orderdate < i.vt)
+        WHERE o.o_orderkey % 5 = 0
+    """,
+    tags=("scd2", "point-in-time", "layout", "bucketing", "feature-store"),
+    bench=True,
+)
+def scd2_point_in_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time status, exchange-free: the layout-lifecycle twin of
+    scd2_point_in_time_join. Orders live as a bucketed (o_custkey) and
+    per-bucket sorted (o_custkey, o_orderdate, o_orderkey) parquet table
+    (operators/bucketed.py, built once per source snapshot, freshness-
+    stamped), so the whole plan - window, filter, project, sink - runs
+    with ZERO Exchange and ZERO Sort nodes (pinned by
+    tests/test_scalejoin_plans.py).
+
+    On the sorted layout the interval join itself collapses into ONE
+    streaming window: for every order row, the run valid at its date is
+    the run of the LAST order (by (o_orderdate, o_orderkey)) with
+    o_orderdate <= its own - multiple same-day status changes make every
+    interval but the last at that date empty, which is exactly what a
+    running MAX of struct(o_orderdate, o_orderkey, o_orderstatus) over a
+    RANGE frame (all rows with date <= current) selects. Every row's
+    status equals its run's status, so scanning orders stands in for
+    scanning change rows. The rewrite is only valid because these facts
+    are a subset of the change-log source; for facts from a DIFFERENT
+    table, use scd2_point_in_time_join (the general interval-join form).
+    Oracle: the UNCHANGED interval-join SQL over the un-layouted source -
+    a hash match proves both the layout lifecycle and the window rewrite
+    change no answer.
+
+    Scale: at 100 TB the fact table is already bucket-sorted for exactly
+    this family (one clustered write per snapshot, bucket count sized to
+    the ~1 GB file target); SCD2 maintenance then streams each bucket
+    once with no shuffle at all."""
+    orders = bucketed_sorted_table(
+        spark,
+        sf_dir,
+        "orders",
+        key="o_custkey",
+        sort_cols=("o_custkey", "o_orderdate", "o_orderkey"),
+        cols=("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"),
+        alias="orders_scd",
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof = F.max(F.struct("o_orderdate", "o_orderkey", "o_orderstatus")).over(w)
+    return (
+        orders.withColumn("_asof", asof)
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("_asof.o_orderstatus").alias("status_asof"),
+            (F.col("_asof.o_orderstatus") == F.col("o_orderstatus")).alias(
+                "consistent"
+            ),
+        )
+    )
+
+
+@register(
+    "sessionize_stats_bucketed",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+            FROM events
+        ),
+        flags AS (
+            SELECT *,
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w >= 300000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        sess AS (
+            SELECT *,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flags
+        )
+        SELECT user_id,
+               CAST(session_seq AS BIGINT) AS session_seq,
+               MIN(us) AS session_start_us,
+               MAX(us) AS session_end_us,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT event_type) AS n_event_types,
+               {ORACLE_SUM.format(col="value")} AS total_value
+        FROM sess
+        GROUP BY user_id, session_seq
+    """,
+    tags=("session", "window", "layout", "bucketing", "training-data"),
+    bench=True,
+)
+def sessionize_stats_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization, exchange-free: the layout-lifecycle twin of
+    sessionize_event_stats over events bucketed on user_id and per-bucket
+    sorted by (user_id, ts, event_id). Both sessionize window passes AND
+    the per-session rollup (grouping on (user_id, session_seq), which the
+    user_id bucketing already co-locates) then plan with zero Exchange
+    nodes - the whole pipeline streams each bucket once. Same 5-minute
+    gap, same oracle semantics as the generic form; the oracle reads the
+    un-layouted source, so a hash match proves the layout changes no
+    session boundary.
+
+    Scale: session assembly is THE canonical pre-training pass over a
+    100 TB event log; with the log bucket-sorted by (user, time) - how a
+    maintained warehouse stores it anyway - the pass is pure per-bucket
+    streaming, no shuffle of the log ever again."""
+    events = bucketed_sorted_table(
+        spark,
+        sf_dir,
+        "events",
+        key="user_id",
+        sort_cols=("user_id", "ts", "event_id"),
+        cols=("user_id", "event_id", "event_type", "value", "ts"),
+        alias="events_sess",
+    )
+    sess = sessionize(
+        events, "user_id", "ts", gap_seconds=300, order_cols=("event_id",)
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        F.max(F.unix_micros("ts")).alias("session_end_us"),
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        exact_sum("value").alias("total_value"),
+    )
 
 
 @register(

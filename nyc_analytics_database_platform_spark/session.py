@@ -49,6 +49,13 @@ def get_spark(app_name: str = "nyc-analytics-spark", cpus: int | None = None) ->
         # (unix_micros, window, watermarks) apply uniformly and rendering
         # matches the DuckDB oracle's naive timestamps.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Bucketed scans report their SORTED BY order (only when each bucket
+        # is a single file, which operators/bucketed.py guarantees by
+        # repartitioning on the bucket key before the write). This is what
+        # lets windows/joins over a bucketed+sorted layout plan with zero
+        # Exchange AND zero Sort nodes; off by default only because generic
+        # writers can produce multi-file buckets.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))

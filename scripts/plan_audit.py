@@ -126,6 +126,11 @@ WINDOW_OK: dict[str, str] = {
         " rank scan runs - both paths locked bit-identical by"
         " tests/test_round7_ops.py"
     ),
+    "quality_model_auc": (
+        "Mann-Whitney offset window over the 6dp-rounded SCORE census"
+        " (llm_filters.py round 9 - <= 1e6+1 distinct values regardless of"
+        " corpus size, same boundedness as exact_quantiles_bucketed)"
+    ),
 }
 
 

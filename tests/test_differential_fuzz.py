@@ -20,6 +20,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import math
+import os
 import random
 from collections import Counter
 
@@ -1446,3 +1447,166 @@ def test_differential_random_scd2_point_in_time(spark, sf_dir, duck,
 
     assert sorted(ocols) == cols, (case_id, cols, ocols)
     assert got == want, (case_id, et, vmin, probe_sql)
+
+
+# ---------------------------------------------------------------------------
+# STREAMING differential fuzz (round 9, VERDICT r8 #6): the executed
+# watermark semantics get the same randomized treatment as the batch
+# families. Each case stages the events table as 3 micro-batch files with
+# RANDOM split days, a RANDOM watermark delay / window size, and a RANDOM
+# replayed-late range, then drains the real streaming engine
+# (availableNow, file source, append mode) and compares against a batch
+# oracle that states the expected semantics declaratively: per-window
+# counts WITHOUT replay inflation, restricted to watermark-closed windows.
+# Constraints keep every case deterministic (replayed windows provably
+# closed at replay time): replay_end + window_days + delay < split2.
+
+def _stream_scratch(case_id: str) -> tuple[str, str, str]:
+    import tempfile
+
+    scratch = os.path.join(
+        tempfile.gettempdir(), "spark_graft_fuzz_stream", case_id
+    )
+    return scratch, os.path.join(scratch, "files"), os.path.join(scratch, "ckpt")
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:8])
+def test_differential_random_watermark_late_drop(spark, sf_dir, duck,
+                                                 case_id, rng):
+    """Randomized watermark/late-drop: window size W in {1,2} days, delay
+    D in {1..3} days, random batch split days (s1, s2), random replayed
+    range (days <= r). The engine must drop every replayed row (its
+    window closed before the replay batch) and append exactly the
+    windows closed by the final watermark."""
+    from nyc_analytics_database_platform_spark.queries.streaming_stateful import (
+        _stage_ordered_files,
+        drain_or_raise,
+    )
+
+    W = rng.choice([1, 2])
+    D = rng.randint(1, 3)
+    s1 = rng.randint(8, 13)
+    s2 = rng.randint(s1 + 5, 24)
+    r = rng.randint(1, max(1, s1 - W - D - 2))
+
+    scratch, src_dir, ckpt = _stream_scratch(f"latedrop_{case_id}")
+    events = load(spark, sf_dir, "events")
+    day = F.dayofmonth("ts")
+    stages = [
+        events.filter(day <= s1),
+        events.filter((day > s1) & (day <= s2)),
+        events.filter(day <= r).unionByName(events.filter(day > s2)),
+    ]
+    _stage_ordered_files(scratch, src_dir, stages)
+
+    source = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = (
+        source.withWatermark("ts", f"{D} days")
+        .groupBy(F.window("ts", f"{W} days").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.unix_timestamp("w.start").alias("window_start_s"), "n_events")
+    )
+    name = f"fuzz_latedrop_{case_id}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, f"fuzz watermark stream {case_id}")
+    got = {
+        (row["window_start_s"], row["n_events"])
+        for row in spark.table(name).collect()
+    }
+
+    win = 86400 * W
+    sql = f"""
+        WITH mx AS (SELECT MAX(ts) AS m FROM events)
+        SELECT CAST(FLOOR(epoch(ts) / {win}) * {win} AS BIGINT) AS ws,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events, mx
+        WHERE FLOOR(epoch(ts) / {win}) * {win} + {win}
+              <= epoch(m) - {D} * 86400
+        GROUP BY 1
+    """
+    want = set(map(tuple, duck.execute(sql).fetchall()))
+    assert got == want, (case_id, W, D, s1, s2, r)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:7])
+def test_differential_random_dedupe_state_eviction(spark, sf_dir, duck,
+                                                   case_id, rng):
+    """Randomized dropDuplicatesWithinWatermark: random in-batch duplicate
+    range [a, b] inside batch 0, random delay, splits and replay range.
+    Expected survivor counts are exactly the original per-day counts -
+    a failed dedup inflates [a, b], a failed lateness filter inflates
+    days <= r."""
+    from nyc_analytics_database_platform_spark.queries.streaming_stateful import (
+        _stage_ordered_files,
+        drain_or_raise,
+    )
+
+    D = rng.randint(1, 3)
+    s1 = rng.randint(8, 13)
+    s2 = rng.randint(s1 + 5, 24)
+    r = rng.randint(1, max(1, s1 - D - 2))
+    a = rng.randint(1, s1 - 2)
+    b = rng.randint(a, s1)
+
+    scratch, src_dir, ckpt = _stream_scratch(f"dedupe_{case_id}")
+    events = load(spark, sf_dir, "events").select("event_id", "ts")
+    day = F.dayofmonth("ts")
+    stages = [
+        events.filter(day <= s1).unionByName(
+            events.filter((day >= a) & (day <= b))
+        ),
+        events.filter((day > s1) & (day <= s2)),
+        events.filter(day <= r).unionByName(events.filter(day > s2)),
+    ]
+    _stage_ordered_files(scratch, src_dir, stages)
+
+    source = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    deduped = source.withWatermark(
+        "ts", f"{D} days"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    name = f"fuzz_dedupe_{case_id}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, f"fuzz dedupe stream {case_id}")
+    got = {
+        (row["day_s"], row["n"])
+        for row in spark.table(name)
+        .groupBy(F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    want = set(
+        map(
+            tuple,
+            duck.execute(
+                """
+        SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want, (case_id, D, s1, s2, r, a, b)

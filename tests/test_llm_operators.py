@@ -166,3 +166,25 @@ def test_multimodal_arrow_and_pandas_surfaces_agree(spark):
     a = sorted(map(tuple, fake_decode_features_arrow(media).collect()))
     p = sorted(map(tuple, fake_decode_features(media).collect()))
     assert a == p and len(a) > 0
+
+
+def test_quality_model_training_learns_and_is_deterministic(spark, sf_dir):
+    """Round 9: the trained student must (1) actually learn the teacher's
+    boundary - held-out AUC well above chance; (2) move off the zero
+    init; (3) be bit-deterministic across runs (the rounded GD update
+    sequence has no RNG and no order-dependence)."""
+    from nyc_analytics_database_platform_spark.queries.llm_filters import (
+        quality_model_auc,
+        quality_model_train,
+    )
+
+    w1 = quality_model_train(spark, sf_dir).collect()[0]
+    w2 = quality_model_train(spark, sf_dir).collect()[0]
+    assert w1 == w2
+    assert any(
+        abs(w1[c]) > 1e-4
+        for c in ("w0", "w_log_tokens", "w_mean_wlen", "w_stop_ratio", "w_ttr")
+    )
+    auc_row = quality_model_auc(spark, sf_dir).collect()[0]
+    assert auc_row.n_pos > 0 and auc_row.n_neg > 0
+    assert auc_row.auc > 0.8, auc_row

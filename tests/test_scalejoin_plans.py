@@ -339,3 +339,66 @@ def test_morton_key_equals_zvalue_twin(spark):
         morton_key(F.col("x"), F.col("y")) != zvalue("x", "y")
     ).count()
     assert n_diff == 0
+
+
+def test_scd2_bucketed_plan_is_exchange_and_sort_free(spark, sf_dir):
+    """Round 9: the bucketed PIT twin's whole plan - window, filter,
+    project - must contain ZERO Exchange and ZERO Sort nodes: the layout
+    (operators/bucketed.py: one file per bucket + SORTED BY spec) carries
+    both the partitioning and the ordering the window needs."""
+    from nyc_analytics_database_platform_spark.queries.parity_lifecycle import (
+        scd2_point_in_time_bucketed,
+    )
+
+    df = scd2_point_in_time_bucketed(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert not any(" Sort " in ln for ln in plan.splitlines()), plan
+    assert df.count() > 0
+
+
+def test_sessionize_bucketed_plan_is_exchange_free(spark, sf_dir):
+    """Round 9: both sessionize window passes AND the per-session rollup
+    run shuffle-free over the (user_id, ts, event_id)-sorted bucket
+    layout - the user_id bucketing co-locates (user_id, session_seq)
+    grouping too."""
+    from nyc_analytics_database_platform_spark.queries.parity_lifecycle import (
+        sessionize_stats_bucketed,
+    )
+
+    df = sessionize_stats_bucketed(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert not any(" Sort " in ln for ln in plan.splitlines()), plan
+    assert df.count() > 0
+
+
+def test_bucketed_lifecycle_twins_match_generic_forms(spark, sf_dir):
+    """The layout twins return the exact rows of their generic (un-layouted)
+    counterparts - layout and plan rewrite change no answer."""
+    from nyc_analytics_database_platform_spark.queries.parity_lifecycle import (
+        scd2_point_in_time_bucketed,
+        scd2_point_in_time_join,
+        sessionize_event_stats,
+        sessionize_stats_bucketed,
+    )
+
+    a = sorted(map(tuple, scd2_point_in_time_join(spark, sf_dir).collect()))
+    b = sorted(map(tuple, scd2_point_in_time_bucketed(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
+    c = sorted(map(tuple, sessionize_event_stats(spark, sf_dir).collect()))
+    d = sorted(map(tuple, sessionize_stats_bucketed(spark, sf_dir).collect()))
+    assert c == d and len(c) > 0
+
+
+def test_scd2_generic_join_is_merge_not_broadcast(spark, sf_dir):
+    """Round 9: the generic PIT join must sort-merge - the SCD side is
+    input-proportional, so a broadcast plan would ship the whole dimension
+    to every executor at scale."""
+    from nyc_analytics_database_platform_spark.queries.parity_lifecycle import (
+        scd2_point_in_time_join,
+    )
+
+    plan = _simple(scd2_point_in_time_join(spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
