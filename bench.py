@@ -379,7 +379,7 @@ def main() -> None:
     load(spark, warm_dir, "region").count()
     for spec in specs.values():
         try:
-            _materialize(spec.fn(spark, warm_dir), name)
+            _materialize(spec.fn(spark, warm_dir), spec.name)
         except Exception:
             pass  # warmup is best-effort; the timed run surfaces real errors
     # Drop the warmup's cached intermediates: cache entries are keyed by plan
