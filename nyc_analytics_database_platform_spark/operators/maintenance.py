@@ -1,0 +1,236 @@
+"""Incremental maintenance of derived tables: apply a strictly-later delta
+to an existing SCD2 dimension or session table and get exactly the table a
+full recompute would build.
+
+The reference recomputes every derived view from scratch per request
+(reference: webserver/server.py recomputes rollups on each route; the
+`properties` table keeps only current state, webserver/schema.sql:1-24).
+At 100 TB that is not an option: the warehouse form is a PERSISTED derived
+table plus a merge procedure that folds in each new log tail. These two
+operators are the merge procedures for the repo's two stateful derived
+tables (operators/scd.scd2_intervals, operators/sessions.sessionize), with
+the equality `merge(derive(hist), delta) == derive(hist ∪ delta)` as the
+testable contract (the same warm-start-equals-recompute discipline as
+dedup_incremental_clusters).
+
+Contract shared by both: the delta is a LOG TAIL - for every key, every
+delta timestamp is strictly later than every history timestamp for that
+key (the watermark/offset guarantee any incremental pipeline already has).
+Only then is the boundary a single seam per key: at most the history's
+LAST run/session can interact with the delta's FIRST.
+
+Plan shape: deriving the delta-side structure shuffles the DELTA only (one
+Exchange on the key); history is touched by key-equi joins against the
+per-key seam frame (one row per delta key), which broadcasts when the
+delta is small - the common nightly-batch case - and degrades to a shuffle
+hash join otherwise. History rows are never re-windowed, which is the
+whole point: the expensive O(|history|) sort never reruns.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.operators.scd import scd2_intervals
+
+
+def _attrs_equal(left_prefix: str, right_prefix: str, attr_cols: tuple[str, ...]) -> Column:
+    return reduce(
+        lambda a, c: a
+        & F.col(f"{left_prefix}{c}").eqNullSafe(F.col(f"{right_prefix}{c}")),
+        attr_cols,
+        F.lit(True),
+    )
+
+
+def scd2_apply_changes(
+    hist_scd: DataFrame,
+    delta_log: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: tuple[str, ...],
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fold the change-log tail `delta_log` into the existing SCD2 table
+    `hist_scd` (schema as produced by scd2_intervals: key, attrs,
+    valid_from, valid_to, version, is_current). Returns the maintained
+    table, row-for-row equal to scd2_intervals(hist_log ∪ delta_log).
+
+    Seam rule per key: if the delta's first run carries the SAME attrs as
+    the history's current row, the current row is absorbed (the merged run
+    keeps the history valid_from and version - a full recompute would see
+    one unbroken run); otherwise the current row CLOSES at the delta's
+    first timestamp and delta runs continue the version sequence."""
+    dscd = scd2_intervals(delta_log, key_col, ts_col, attr_cols, order_cols)
+    cur = hist_scd.filter("is_current").select(
+        F.col(key_col),
+        *[F.col(c).alias(f"_h_{c}") for c in attr_cols],
+        F.col("valid_from").alias("_h_from"),
+        F.col("version").alias("_h_ver"),
+    )
+    d1 = dscd.filter(F.col("version") == 1).select(
+        F.col(key_col),
+        *[F.col(c).alias(f"_d_{c}") for c in attr_cols],
+        F.col("valid_from").alias("_d_from"),
+    )
+    seam = d1.join(cur, on=key_col, how="left").select(
+        key_col,
+        "_d_from",
+        "_h_from",
+        (
+            F.col("_h_ver").isNotNull()
+            & _attrs_equal("_h_", "_d_", attr_cols)
+        ).alias("_same"),
+        (
+            F.coalesce(F.col("_h_ver"), F.lit(0))
+            - F.when(
+                F.col("_h_ver").isNotNull()
+                & _attrs_equal("_h_", "_d_", attr_cols),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("_shift"),
+    )
+
+    out_cols = [key_col, *attr_cols, "valid_from", "valid_to", "version", "is_current"]
+
+    # History side: untouched keys pass through; for touched keys the
+    # current row is absorbed (_same) or closed at the seam.
+    h = hist_scd.join(
+        seam.select(key_col, "_same", F.col("_d_from").alias("_close_at")),
+        on=key_col,
+        how="left",
+    )
+    hit = F.col("_close_at").isNotNull()
+    close = F.col("is_current") & hit & ~F.col("_same")
+    h_out = (
+        h.filter(~(F.col("is_current") & hit & F.col("_same")))
+        .withColumn(
+            "valid_to", F.when(close, F.col("_close_at")).otherwise(F.col("valid_to"))
+        )
+        .withColumn(
+            "is_current", F.when(close, F.lit(False)).otherwise(F.col("is_current"))
+        )
+        .select(*out_cols)
+    )
+
+    # Delta side: continue the version sequence; the first run inherits the
+    # history valid_from when absorbed.
+    d_out = (
+        dscd.join(seam.select(key_col, "_same", "_shift", "_h_from"), on=key_col)
+        .withColumn(
+            "valid_from",
+            F.when(
+                (F.col("version") == 1) & F.col("_same"), F.col("_h_from")
+            ).otherwise(F.col("valid_from")),
+        )
+        .withColumn("version", (F.col("version") + F.col("_shift")).cast("int"))
+        .select(*out_cols)
+    )
+    return h_out.unionByName(d_out)
+
+
+def merge_session_tables(
+    hist: DataFrame,
+    delta: DataFrame,
+    key_col: str,
+    gap_us: int,
+    seq_col: str = "session_seq",
+    start_col: str = "session_start_us",
+    end_col: str = "session_end_us",
+    add_cols: tuple[str, ...] = (),
+    set_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fold a delta session table into a history session table (both as
+    built by sessionize + rollup: per (key, seq) rows with [start, end]
+    event-micros bounds, additive stats `add_cols`, and mergeable set
+    partials `set_cols` as arrays). Returns the maintained table, equal to
+    sessionizing hist-events ∪ delta-events in one pass.
+
+    Seam rule per key (same >= gap-close convention as sessionize /
+    session_window): the history's last session and the delta's first
+    session merge iff delta_start - hist_end < gap_us; delta seqs shift to
+    continue the history numbering either way. Distinct-style stats must
+    ride as set partials (set_cols), not counts - counts don't merge."""
+    carry = [start_col, end_col, *add_cols, *set_cols]
+    w = Window.partitionBy(key_col)
+    h_last = (
+        hist.withColumn("_mx", F.max(seq_col).over(w))
+        .filter(F.col(seq_col) == F.col("_mx"))
+        .select(
+            key_col,
+            F.col(seq_col).alias("_h_seq"),
+            *[F.col(c).alias(f"_h_{c}") for c in carry],
+        )
+    )
+    d_first = (
+        delta.withColumn("_mn", F.min(seq_col).over(w))
+        .filter(F.col(seq_col) == F.col("_mn"))
+        .select(
+            key_col,
+            F.col(seq_col).alias("_d_seq"),
+            *[F.col(c).alias(f"_d_{c}") for c in carry],
+        )
+    )
+    merged_flag = (
+        F.col("_h_seq").isNotNull()
+        & (F.col(f"_d_{start_col}") - F.col(f"_h_{end_col}") < F.lit(gap_us))
+    )
+    seam = d_first.join(h_last, on=key_col, how="left").select(
+        key_col,
+        "_h_seq",
+        "_d_seq",
+        *[f"_h_{c}" for c in carry],
+        *[f"_d_{c}" for c in carry],
+        merged_flag.alias("_merged"),
+        (
+            F.coalesce(F.col("_h_seq"), F.lit(0))
+            - F.col("_d_seq")
+            + F.when(merged_flag, F.lit(0)).otherwise(F.lit(1))
+        ).alias("_shift"),
+    )
+
+    out_cols = [key_col, seq_col, *carry]
+
+    # History rows: drop the last session only when it was absorbed.
+    h2 = hist.join(
+        seam.select(key_col, "_merged", "_h_seq"), on=key_col, how="left"
+    )
+    h_out = h2.filter(
+        ~(
+            F.coalesce(F.col("_merged"), F.lit(False))
+            & (F.col(seq_col) == F.col("_h_seq"))
+        )
+    ).select(*out_cols)
+
+    # Delta rows: renumber; the first session is replaced by the merged row
+    # when absorbed.
+    d2 = delta.join(
+        seam.select(key_col, "_merged", "_d_seq", "_shift"), on=key_col
+    )
+    d_out = (
+        d2.filter(~(F.col("_merged") & (F.col(seq_col) == F.col("_d_seq"))))
+        .withColumn(seq_col, F.col(seq_col) + F.col("_shift"))
+        .select(*out_cols)
+    )
+
+    # Cast merged sums back to the input column type: decimal addition
+    # widens precision by one, which would break the union.
+    in_type = {f.name: f.dataType for f in hist.schema.fields}
+    m_out = seam.filter("_merged").select(
+        key_col,
+        F.col("_h_seq").alias(seq_col),
+        F.col(f"_h_{start_col}").alias(start_col),
+        F.col(f"_d_{end_col}").alias(end_col),
+        *[
+            (F.col(f"_h_{c}") + F.col(f"_d_{c}")).cast(in_type[c]).alias(c)
+            for c in add_cols
+        ],
+        *[
+            F.array_union(F.col(f"_h_{c}"), F.col(f"_d_{c}")).alias(c)
+            for c in set_cols
+        ],
+    )
+    return h_out.unionByName(d_out).unionByName(m_out)

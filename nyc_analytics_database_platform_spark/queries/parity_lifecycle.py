@@ -24,6 +24,10 @@ from nyc_analytics_database_platform_spark.operators.incremental import (
 from nyc_analytics_database_platform_spark.operators.bucketed import (
     bucketed_sorted_table,
 )
+from nyc_analytics_database_platform_spark.operators.maintenance import (
+    merge_session_tables,
+    scd2_apply_changes,
+)
 from nyc_analytics_database_platform_spark.operators.scd import scd2_intervals
 from nyc_analytics_database_platform_spark.functions.zorder import zvalue, zvalue_oracle_sql
 from nyc_analytics_database_platform_spark.operators.sessions import sessionize
@@ -776,4 +780,160 @@ def sketch_table_range_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_buyers")
             <= 0.05
         ).alias("within_tolerance"),
+    )
+
+
+@register(
+    "scd2_apply_changes_orders",
+    # Full-recompute oracle: the incremental merge must reproduce the exact
+    # table scd2_intervals builds over the WHOLE log (same SQL shape as
+    # scd2_customer_status_history, which attests the derivation itself).
+    oracle="""
+        WITH ordered AS (
+            SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+                   lag(o_orderstatus) OVER w AS prev_status
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ),
+        ch AS (
+            SELECT * FROM ordered
+            WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+        ),
+        iv AS (
+            SELECT o_custkey, o_orderstatus,
+                   o_orderdate AS vf,
+                   lead(o_orderdate) OVER w2 AS vt,
+                   CAST(ROW_NUMBER() OVER w2 AS INT) AS version
+            FROM ch
+            WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        )
+        SELECT o_custkey AS custkey,
+               o_orderstatus AS status,
+               strftime(vf, '%Y-%m-%d') AS valid_from,
+               strftime(vt, '%Y-%m-%d') AS valid_to,
+               version,
+               (vt IS NULL) AS is_current
+        FROM iv
+        ORDER BY custkey, version
+    """,
+    tags=("scd2", "incremental", "warehouse"),
+)
+def scd2_apply_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 INCREMENTAL maintenance (operators/maintenance.
+    scd2_apply_changes): the dimension is first built from the pre-1999
+    log only, then the 1999+ tail is folded in WITHOUT re-windowing
+    history - the history side is touched by key-equi joins against one
+    seam row per delta key (absorb the current row when the delta starts
+    with the same status, close it at the delta's first timestamp
+    otherwise; versions continue the sequence). The full-recompute oracle
+    attests merge(derive(hist), delta) == derive(hist ∪ delta) row for
+    row - the warm-start-equals-recompute discipline of
+    dedup_incremental_clusters applied to the SCD2 lifecycle. At 100 TB
+    the nightly batch re-sorts ONLY the delta; the O(|history|) window
+    pass never reruns."""
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    hist_scd = scd2_intervals(
+        orders.filter(F.col("o_orderdate") < cutoff),
+        key_col="o_custkey",
+        ts_col="o_orderdate",
+        attr_cols=("o_orderstatus",),
+        order_cols=("o_orderkey",),
+    )
+    merged = scd2_apply_changes(
+        hist_scd,
+        orders.filter(F.col("o_orderdate") >= cutoff),
+        key_col="o_custkey",
+        ts_col="o_orderdate",
+        attr_cols=("o_orderstatus",),
+        order_cols=("o_orderkey",),
+    )
+    return merged.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "version",
+        "is_current",
+    ).orderBy("custkey", "version")
+
+
+@register(
+    "sessionize_incremental_merge",
+    # Full-recompute oracle: one-pass sessionization over ALL events (the
+    # sessionize_event_stats derivation) - the merged table must equal it.
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+            FROM events
+        ),
+        flags AS (
+            SELECT *,
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w >= 300000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        sess AS (
+            SELECT *,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flags
+        )
+        SELECT user_id,
+               CAST(session_seq AS BIGINT) AS session_seq,
+               MIN(us) AS session_start_us,
+               MAX(us) AS session_end_us,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT event_type) AS n_event_types,
+               {ORACLE_SUM.format(col="value")} AS total_value
+        FROM sess
+        GROUP BY user_id, session_seq
+    """,
+    tags=("session", "incremental", "warehouse"),
+)
+def sessionize_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-table INCREMENTAL maintenance (operators/maintenance.
+    merge_session_tables): sessionize the pre-cutoff events and the
+    post-cutoff tail SEPARATELY, then merge the two session tables at the
+    per-user seam (history's last session absorbs the delta's first iff
+    the boundary gap is under the 5-minute close rule; delta seqs renumber
+    to continue the history sequence). Mergeability discipline: the sum
+    rides as an exact DECIMAL partial and the distinct-event-type count as
+    a set partial (counts don't merge; sets do - array_union at the seam,
+    SIZE at the end; same partial-aggregate playbook as operators/
+    incremental.partial_agg). The full-recompute oracle attests the merged
+    table equals one-pass sessionization of all events. At 100 TB only
+    the day's events are sorted; the persisted session table is touched
+    at one row per active user."""
+    events = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+    def session_table(df: DataFrame) -> DataFrame:
+        sess = sessionize(df, "user_id", "ts", gap_seconds=300, order_cols=("event_id",))
+        return sess.groupBy("user_id", "session_seq").agg(
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            F.max(F.unix_micros("ts")).alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("_value_dec"),
+            F.collect_set("event_type").alias("_type_set"),
+        )
+
+    merged = merge_session_tables(
+        session_table(events.filter(F.col("ts") < cutoff)),
+        session_table(events.filter(F.col("ts") >= cutoff)),
+        key_col="user_id",
+        gap_us=300 * 1_000_000,
+        add_cols=("n_events", "_value_dec"),
+        set_cols=("_type_set",),
+    )
+    return merged.select(
+        "user_id",
+        "session_seq",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        F.size("_type_set").cast("bigint").alias("n_event_types"),
+        F.col("_value_dec").cast("double").alias("total_value"),
     )

@@ -1610,3 +1610,190 @@ def test_differential_random_dedupe_state_eviction(spark, sf_dir, duck,
         )
     )
     assert got == want, (case_id, D, s1, s2, r, a, b)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:15])
+def test_differential_random_scd2_apply(spark, sf_dir, duck, case_id, rng):
+    """Incremental-maintenance fuzz (round 9): split the orders log at a
+    RANDOM cutoff (including the degenerate empty-history / empty-delta
+    extremes), build the SCD2 dimension from the history side only, fold
+    the tail in via operators/maintenance.scd2_apply_changes, and compare
+    against DuckDB's FULL recompute over the whole (filtered) log - the
+    merge(derive(hist), delta) == derive(all) contract under random
+    cutoffs, attribute sets, and log-thinning predicates."""
+    from nyc_analytics_database_platform_spark.operators.maintenance import (
+        scd2_apply_changes,
+    )
+    from nyc_analytics_database_platform_spark.operators.scd import (
+        scd2_intervals,
+    )
+
+    attrs = rng.choice(
+        [("o_orderstatus",), ("o_orderpriority",), ("o_orderstatus", "o_orderpriority")]
+    )
+    pmin = round(rng.uniform(0.0, 120_000.0), 2)
+    lo, hi = duck.execute(
+        f"SELECT min(o_orderdate), max(o_orderdate) FROM orders"
+        f" WHERE o_totalprice >= {pmin}"
+    ).fetchone()
+    mode = rng.choice(["mid", "mid", "mid", "empty_hist", "empty_delta"])
+    if mode == "empty_hist":
+        cutoff = lo
+    elif mode == "empty_delta":
+        cutoff = hi + datetime.timedelta(days=1)
+    else:
+        cutoff = lo + (hi - lo) * rng.random()
+
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= pmin)
+    cut = F.lit(cutoff.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
+    hist_scd = scd2_intervals(
+        orders.filter(F.col("o_orderdate") < cut),
+        key_col="o_custkey", ts_col="o_orderdate",
+        attr_cols=attrs, order_cols=("o_orderkey",),
+    )
+    merged = scd2_apply_changes(
+        hist_scd, orders.filter(F.col("o_orderdate") >= cut),
+        key_col="o_custkey", ts_col="o_orderdate",
+        attr_cols=attrs, order_cols=("o_orderkey",),
+    )
+    sdf = merged.select(
+        "o_custkey", *attrs,
+        F.unix_micros("valid_from").alias("vf_us"),
+        F.unix_micros("valid_to").alias("vt_us"),
+        "version",
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r_[c]) for c in cols) for r_ in sdf.collect())
+
+    attr_sel = ", ".join(attrs)
+    change = " OR ".join(
+        f"({a} IS DISTINCT FROM lag({a}) OVER w)" for a in attrs
+    )
+    sql = f"""
+        WITH ordered AS (
+            SELECT o_custkey, o_orderkey, {attr_sel}, o_orderdate,
+                   (lag(o_orderkey) OVER w IS NULL) AS is_first,
+                   {" , ".join(f"lag({a}) OVER w AS prev_{a}" for a in attrs)}
+            FROM orders
+            WHERE o_totalprice >= {pmin}
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ),
+        ch AS (
+            SELECT * FROM ordered
+            WHERE is_first OR {" OR ".join(f"({a} IS DISTINCT FROM prev_{a})" for a in attrs)}
+        ),
+        iv AS (
+            SELECT o_custkey, {attr_sel},
+                   epoch_us(o_orderdate) AS vf_us,
+                   epoch_us(lead(o_orderdate) OVER w2) AS vt_us,
+                   CAST(ROW_NUMBER() OVER w2 AS INT) AS version
+            FROM ch
+            WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        )
+        SELECT o_custkey, {attr_sel}, vf_us, vt_us, version,
+               CAST(vt_us IS NULL AS INT) AS is_current
+        FROM iv
+    """
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+
+    assert sorted(ocols) == cols, (case_id, cols, ocols)
+    assert got == want, (case_id, attrs, pmin, mode, cutoff)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:15])
+def test_differential_random_session_merge(spark, sf_dir, duck, case_id, rng):
+    """Incremental session-table maintenance fuzz (round 9): random gap,
+    random event-type subset, random cutoff (with empty-side extremes);
+    sessionize each side separately, merge via operators/maintenance.
+    merge_session_tables (additive count/cents partials + a SET partial
+    for the distinct-type count), compare against DuckDB's one-pass
+    sessionization of all surviving events. Pins the seam rule (merge iff
+    boundary gap < gap, the same >= close convention as sessionize) and
+    the seq renumbering."""
+    from nyc_analytics_database_platform_spark.operators.maintenance import (
+        merge_session_tables,
+    )
+    from nyc_analytics_database_platform_spark.operators.sessions import (
+        sessionize,
+    )
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    et = rng.sample(types, k=rng.randint(2, 5))
+    gap = rng.choice([60, 300, 900, 3600, 14400])
+    lo, hi = duck.execute(
+        "SELECT min(ts), max(ts) FROM events WHERE event_type IN ("
+        + ", ".join(f"'{t}'" for t in et) + ")"
+    ).fetchone()
+    mode = rng.choice(["mid", "mid", "mid", "empty_hist", "empty_delta"])
+    if mode == "empty_hist":
+        cutoff = lo
+    elif mode == "empty_delta":
+        cutoff = hi + datetime.timedelta(seconds=1)
+    else:
+        cutoff = lo + (hi - lo) * rng.random()
+
+    events = load(spark, sf_dir, "events").filter(F.col("event_type").isin(et))
+    cut = F.lit(cutoff.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp")
+
+    def side(df):
+        s = sessionize(df, "user_id", "ts", gap, order_cols=("event_id",))
+        return s.groupBy("user_id", "session_seq").agg(
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+            F.collect_set("event_type").alias("type_set"),
+        )
+
+    merged = merge_session_tables(
+        side(events.filter(F.col("ts") < cut)),
+        side(events.filter(F.col("ts") >= cut)),
+        key_col="user_id", gap_us=gap * 1_000_000,
+        seq_col="session_seq", start_col="start_us", end_col="end_us",
+        add_cols=("n_events", "sum_cents"), set_cols=("type_set",),
+    )
+    sdf = merged.select(
+        "user_id", "session_seq", "start_us", "end_us", "n_events",
+        "sum_cents", F.size("type_set").cast("bigint").alias("n_types"),
+    )
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r_[c]) for c in cols) for r_ in sdf.collect())
+
+    et_sql = ", ".join(f"'{t}'" for t in et)
+    sql = f"""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+            FROM events WHERE event_type IN ({et_sql})
+        ),
+        m AS (
+            SELECT *,
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w >= {gap * 1_000_000}
+                        THEN 1 ELSE 0 END AS ns
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        s AS (
+            SELECT *, SUM(ns) OVER (
+                PARTITION BY user_id ORDER BY us, event_id
+                ROWS UNBOUNDED PRECEDING
+            ) AS session_seq
+            FROM m
+        )
+        SELECT user_id, session_seq, MIN(us) AS start_us, MAX(us) AS end_us,
+               COUNT(*) AS n_events, SUM(v_cents) AS sum_cents,
+               COUNT(DISTINCT event_type) AS n_types
+        FROM s GROUP BY user_id, session_seq
+    """
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+
+    assert sorted(ocols) == cols, (case_id, cols, ocols)
+    assert got == want, (case_id, et, gap, mode, cutoff)
