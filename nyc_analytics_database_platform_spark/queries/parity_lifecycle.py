@@ -937,3 +937,167 @@ def sessionize_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("_type_set").cast("bigint").alias("n_event_types"),
         F.col("_value_dec").cast("double").alias("total_value"),
     )
+
+
+_QHIST_BINS = 4096
+
+
+def build_month_quantile_table(spark: SparkSession, sf_dir: str) -> str:
+    """Write the per-month price HISTOGRAM table: one row per (order month,
+    fixed price bin) with that bin's row count - the mergeable quantile
+    twin of build_month_sketch_table. Counts are EXACT algebraic partials
+    (unlike the HLL rows), so range-merges reproduce exact counts; the bin
+    grid (lo/width, fixed at build time from one min/max scan) is stored
+    on every row so readers need no side channel. At 100 TB this is
+    <= 4096 tiny rows per month regardless of fact size."""
+    from nyc_analytics_database_platform_spark.queries.parity_scalejoin import (
+        _is_fresh,
+        _scratch,
+        _source_stamp,
+    )
+
+    path = _scratch(sf_dir, "quantile_month_hist")
+    marker = path + "_done"
+    stamp = _source_stamp(sf_dir, "orders")
+    if not _is_fresh(marker, stamp):
+        orders = load(spark, sf_dir, "orders")
+        lo, hi = orders.agg(
+            F.min("o_totalprice"), F.max("o_totalprice")
+        ).first()
+        width = ((hi - lo) / _QHIST_BINS) or 1.0
+        bin_expr = F.least(
+            F.floor((F.col("o_totalprice") - F.lit(lo)) / F.lit(width)),
+            F.lit(_QHIST_BINS - 1),
+        )
+        (
+            orders.groupBy(
+                F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+                bin_expr.alias("bin"),
+            )
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("lo", F.lit(float(lo)))
+            .withColumn("width", F.lit(float(width)))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+    return path
+
+
+@register(
+    "quantile_table_range_price",
+    # VALUE-EXACT oracle (not a tolerance pin): the two-phase answer is the
+    # exact discrete order statistic, which DuckDB re-derives by rank.
+    # Integer rank rule on both sides: k = ceil(q*N) computed as
+    # (num*N + den - 1) DIV den so no float crosses an integer boundary
+    # differently per engine.
+    oracle="""
+        WITH r AS (
+            SELECT o_totalprice AS p, o_orderdate
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1999-01-01'
+        ),
+        v AS (
+            SELECT p, ROW_NUMBER() OVER (ORDER BY p) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM r
+        )
+        SELECT (SELECT CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m'))
+                            AS BIGINT) FROM r) AS n_months,
+               CAST(MAX(n) AS BIGINT) AS n_orders,
+               MAX(CASE WHEN rn = (1 * n + 1) // 2 THEN p END) AS p50,
+               MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN p END) AS p95
+        FROM v
+    """,
+    tags=("sketch", "lifecycle", "quantile", "warehouse"),
+)
+def quantile_table_range_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p95 price over a 24-month range answered by the classic
+    two-phase quantile-at-scale plan: (1) merge the PERSISTED month-grain
+    histogram rows for the range (KB-scale scan, exact counts) and walk
+    the cumulative distribution to find each quantile's rank, bin, and
+    within-bin local rank; (2) one fact scan FILTERED TO THOSE BINS
+    (pushed-down price range reads ~N/4096 of the fact) sorts only the
+    surviving sliver and picks the order statistic. The answer is exact -
+    the sketch does the pruning, not the approximating - so the oracle is
+    value-exact, unlike the tolerance-pinned HLL twin
+    (sketch_table_range_buyers). The one collect() between phases is a
+    2-row locate result (rank/bin/edges), the same bounded-metadata
+    category as operators/sketches.py. At 100 TB phase 2 touches two bin
+    slivers instead of re-sorting two years of facts."""
+    path = build_month_quantile_table(spark, sf_dir)
+    tab = spark.read.parquet(path).filter(
+        F.col("o_month").between("1997-01", "1998-12")
+    )
+    merged = tab.groupBy("bin").agg(
+        F.sum("cnt").alias("cnt"),
+        F.first("lo").alias("lo"),
+        F.first("width").alias("width"),
+    )
+    n_months = tab.select("o_month").distinct().count()
+    # Bounded window: <= _QHIST_BINS rows by construction.
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.withColumn("cum", F.sum("cnt").over(wcum))
+    tot = cum.agg(F.max("cum").alias("n_tot"))
+    located = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "bin", "cnt", "cum", "lo", "width", "n_tot",
+            ((F.lit(1) * F.col("n_tot") + 1) / 2).cast("long").alias("k50"),
+            ((F.lit(19) * F.col("n_tot") + 19) / 20).cast("long").alias("k95"),
+        )
+        .withColumn("prev", F.col("cum") - F.col("cnt"))
+    )
+    locate = located.agg(
+        F.first("n_tot").alias("n_tot"),
+        F.first("lo").alias("lo"),
+        F.first("width").alias("width"),
+        F.min(F.when(F.col("cum") >= F.col("k50"), F.col("bin"))).alias("b50"),
+        # Local rank at the FIRST qualifying bin: k - prev decreases as prev
+        # grows across qualifying bins, so the first bin's value is the MAX.
+        F.max(
+            F.when(F.col("cum") >= F.col("k50"), F.col("k50") - F.col("prev"))
+        ).alias("r50"),
+        F.min(F.when(F.col("cum") >= F.col("k95"), F.col("bin"))).alias("b95"),
+        F.max(
+            F.when(F.col("cum") >= F.col("k95"), F.col("k95") - F.col("prev"))
+        ).alias("r95"),
+    ).first()
+
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    lo, width = locate["lo"], locate["width"]
+    bin_expr = F.least(
+        F.floor((F.col("o_totalprice") - F.lit(lo)) / F.lit(width)),
+        F.lit(_QHIST_BINS - 1),
+    )
+    quantiles = []
+    for b, r, name in ((locate["b50"], locate["r50"], "p50"),
+                       (locate["b95"], locate["r95"], "p95")):
+        # Pushdown range widened one bin each side: the parquet filter is a
+        # plain price range Catalyst can push; exact membership is re-decided
+        # by the SAME bin expression the build used, so float edge rounding
+        # can't disagree with the histogram.
+        lo_edge = lo + (b - 1) * width
+        hi_edge = lo + (b + 2) * width
+        sliver = orders.filter(
+            (F.col("o_totalprice") >= F.lit(lo_edge))
+            & ((F.col("o_totalprice") < F.lit(hi_edge)) | F.lit(b >= _QHIST_BINS - 1))
+        ).filter(bin_expr == F.lit(b))
+        wbin = Window.orderBy("o_totalprice")  # sliver rows only (~N/4096)
+        quantiles.append(
+            sliver.withColumn("_rn", F.row_number().over(wbin))
+            .filter(F.col("_rn") == F.lit(int(r)))
+            .select(F.col("o_totalprice").alias(name))
+        )
+    return (
+        spark.createDataFrame(
+            [(int(n_months), int(locate["n_tot"]))], "n_months long, n_orders long"
+        )
+        .crossJoin(F.broadcast(quantiles[0]))
+        .crossJoin(F.broadcast(quantiles[1]))
+    )

@@ -1,0 +1,138 @@
+"""Round-9 operator tests: incremental maintenance seams and the two-phase
+exact-quantile lifecycle (persisted histogram locate + bin-sliver refine)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.operators.maintenance import (
+    merge_session_tables,
+    scd2_apply_changes,
+)
+from nyc_analytics_database_platform_spark.operators.scd import scd2_intervals
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_scd2_apply_absorbs_same_status_run(spark):
+    """Seam rule: delta starting with the SAME attrs keeps the history row's
+    valid_from and version - one unbroken run, exactly as a full recompute
+    would see it."""
+    hist = spark.createDataFrame(
+        [(1, "2020-01-01", 10, "A"), (1, "2020-02-01", 11, "B")],
+        "k int, ts string, seq int, status string",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "seq", "status")
+    delta = spark.createDataFrame(
+        [(1, "2020-03-01", 12, "B"), (1, "2020-04-01", 13, "C")],
+        "k int, ts string, seq int, status string",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "seq", "status")
+    merged = scd2_apply_changes(
+        scd2_intervals(hist, "k", "ts", ("status",), ("seq",)),
+        delta, "k", "ts", ("status",), ("seq",),
+    )
+    full = scd2_intervals(hist.unionByName(delta), "k", "ts", ("status",), ("seq",))
+    cols = ["k", "status", "valid_from", "valid_to", "version", "is_current"]
+    assert _rows(merged.select(*cols)) == _rows(full.select(*cols))
+    # The absorbed run: version 2, open until 2020-04-01, valid_from Feb.
+    cur_b = [r for r in merged.collect() if r["status"] == "B"]
+    assert len(cur_b) == 1 and cur_b[0]["version"] == 2
+    assert str(cur_b[0]["valid_from"])[:10] == "2020-02-01"
+
+
+def test_scd2_apply_new_key_and_untouched_key(spark):
+    hist = spark.createDataFrame(
+        [(1, "2020-01-01", 1, "A")], "k int, ts string, seq int, status string"
+    ).select("k", F.to_timestamp("ts").alias("ts"), "seq", "status")
+    delta = spark.createDataFrame(
+        [(2, "2020-05-01", 2, "X"), (2, "2020-06-01", 3, "Y")],
+        "k int, ts string, seq int, status string",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "seq", "status")
+    merged = scd2_apply_changes(
+        scd2_intervals(hist, "k", "ts", ("status",), ("seq",)),
+        delta, "k", "ts", ("status",), ("seq",),
+    )
+    full = scd2_intervals(hist.unionByName(delta), "k", "ts", ("status",), ("seq",))
+    cols = ["k", "status", "valid_from", "valid_to", "version", "is_current"]
+    assert _rows(merged.select(*cols)) == _rows(full.select(*cols))
+
+
+def test_session_merge_seam_boundary_exact_gap(spark):
+    """An exact-gap boundary does NOT merge (>= gap starts a new session),
+    one microsecond under DOES."""
+    def tab(rows):
+        return spark.createDataFrame(
+            rows, "k int, session_seq long, s long, e long, n long"
+        )
+
+    gap = 1_000_000
+    hist = tab([(1, 1, 0, 100, 2)])
+    # delta session starting exactly at e+gap: no merge
+    d_no = tab([(1, 1, 100 + gap, 200 + gap, 3)])
+    out = merge_session_tables(
+        hist, d_no, "k", gap, seq_col="session_seq",
+        start_col="s", end_col="e", add_cols=("n",),
+    )
+    assert _rows(out) == {(1, 1, 0, 100, 2), (1, 2, 100 + gap, 200 + gap, 3)}
+    # one microsecond earlier: merge, stats add, seq stays 1
+    d_yes = tab([(1, 1, 100 + gap - 1, 200 + gap, 3)])
+    out2 = merge_session_tables(
+        hist, d_yes, "k", gap, seq_col="session_seq",
+        start_col="s", end_col="e", add_cols=("n",),
+    )
+    assert _rows(out2) == {(1, 1, 0, 200 + gap, 5)}
+
+
+def test_quantile_refine_scan_pushes_price_range(spark, sf_dir):
+    """Phase 2 of the two-phase quantile must read a PUSHED price range,
+    not the whole fact: the widened bin range appears in PushedFilters."""
+    from nyc_analytics_database_platform_spark.queries.parity_lifecycle import (
+        _QHIST_BINS,
+        build_month_quantile_table,
+    )
+
+    path = build_month_quantile_table(spark, sf_dir)
+    row = spark.read.parquet(path).select("lo", "width").first()
+    lo, width = row["lo"], row["width"]
+    b = _QHIST_BINS // 2
+    orders = load(spark, sf_dir, "orders")
+    sliver = orders.filter(
+        (F.col("o_totalprice") >= F.lit(lo + (b - 1) * width))
+        & (F.col("o_totalprice") < F.lit(lo + (b + 2) * width))
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sliver.explain("formatted")
+    fmt = buf.getvalue()
+    pushed = [l for l in fmt.splitlines() if "PushedFilters" in l]
+    assert pushed and "GreaterThanOrEqual(o_totalprice" in pushed[0]
+    assert "LessThan(o_totalprice" in pushed[0]
+
+
+def test_quantile_table_matches_exact_order_statistics(spark, sf_dir):
+    """The two-phase answer equals the order statistic computed the naive
+    way (collect + sort in the test; fine at test scale)."""
+    from nyc_analytics_database_platform_spark.registry import all_specs
+
+    q = all_specs()["quantile_table_range_price"]
+    got = q.fn(spark, sf_dir).first()
+    prices = sorted(
+        r[0]
+        for r in load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .select("o_totalprice")
+        .collect()
+    )
+    n = len(prices)
+    assert got["n_orders"] == n
+    assert got["p50"] == prices[(1 * n + 1) // 2 - 1]
+    assert got["p95"] == prices[(19 * n + 19) // 20 - 1]
