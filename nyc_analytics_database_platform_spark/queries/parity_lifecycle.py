@@ -317,47 +317,42 @@ def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join - the feature-store primitive that prevents
-    training-data leakage: each fact row joins the dimension version that was
-    valid AT ITS OWN timestamp, never a later one. Implemented as the SCD2
-    build (operators/scd.py) + an interval join on [valid_from, valid_to).
-    `consistent` must be uniformly true (each order's as-of status is, by
-    construction, the run it belongs to) - and the oracle checks every row.
+    training-data leakage: each fact row gets the dimension version that was
+    valid AT ITS OWN timestamp, never a later one.
 
-    Scale: the interval join keys on o_custkey first (equi-join shuffle),
-    the validity-range predicate filters within key groups - never a cross
-    product. One fact row matches exactly one interval. The join is HINTED
-    sort-merge (round 9): the SCD side is input-proportional (one row per
-    status run), so broadcasting it is wrong at any scale - and the merge
-    side REUSES the SCD build's existing hash partitioning on the key, so
-    the hint removes a 2M-row broadcast at sf2.0 without adding a shuffle.
-    No final ORDER BY and sink-mode benching, same rationale as
-    sessionize_event_stats. For the exchange-free layout twin see
-    scd2_point_in_time_bucketed."""
+    Plan (round 9): ONE window pass instead of SCD2-build + interval join.
+    Because these facts come from the same log that sources the dimension,
+    the run valid at a row's date is the run of the LAST row (by
+    (o_orderdate, o_orderkey)) with o_orderdate <= its own - the running
+    MAX of struct(date, key, status) over a RANGE frame, exactly the
+    rewrite scd2_point_in_time_bucketed proved equivalent against this
+    very interval-join oracle. The interval-join form cost two Exchanges
+    (SCD build + fact side of the sort-merge join) and two sorts; this is
+    one Exchange + one sort over the same bytes - strictly less work at
+    any scale. The UNCHANGED interval-join SQL stays as the oracle, so the
+    hash match attests the plan rewrite changes no answer. For facts from
+    a DIFFERENT table see pit_external_facts_asof (the general union-as-of
+    form); for the zero-Exchange layout twin see
+    scd2_point_in_time_bucketed. No final ORDER BY and sink-mode benching,
+    same rationale as sessionize_event_stats."""
     orders = load(spark, sf_dir, "orders")
-    scd = scd2_intervals(
-        orders,
-        key_col="o_custkey",
-        ts_col="o_orderdate",
-        attr_cols=("o_orderstatus",),
-        order_cols=("o_orderkey",),
-    ).select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderstatus").alias("status_asof"),
-        "valid_from",
-        "valid_to",
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    facts = orders.filter(F.col("o_orderkey") % 5 == 0)
-    joined = facts.join(
-        scd.hint("merge"),
-        (facts.o_custkey == scd.k)
-        & (facts.o_orderdate >= scd.valid_from)
-        & (scd.valid_to.isNull() | (facts.o_orderdate < scd.valid_to)),
-    )
-    return joined.select(
-        F.col("o_orderkey").alias("orderkey"),
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-        "status_asof",
-        (F.col("status_asof") == F.col("o_orderstatus")).alias("consistent"),
+    asof = F.max(F.struct("o_orderdate", "o_orderkey", "o_orderstatus")).over(w)
+    return (
+        orders.withColumn("_asof", asof)
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("_asof.o_orderstatus").alias("status_asof"),
+            (F.col("_asof.o_orderstatus") == F.col("o_orderstatus")).alias(
+                "consistent"
+            ),
+        )
     )
 
 
@@ -1100,4 +1095,111 @@ def quantile_table_range_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(quantiles[0]))
         .crossJoin(F.broadcast(quantiles[1]))
+    )
+
+
+@register(
+    "pit_external_facts_asof",
+    # Oracle: the textbook SCD2 interval join - build the intervals, map
+    # lineitem facts to their customer, join on key + validity range.
+    oracle="""
+        WITH ordered AS (
+            SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+                   lag(o_orderstatus) OVER w AS prev_status
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ),
+        ch AS (
+            SELECT * FROM ordered
+            WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+        ),
+        iv AS (
+            SELECT o_custkey AS k, o_orderstatus AS status,
+                   o_orderdate AS vf,
+                   lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey) AS vt
+            FROM ch
+        ),
+        f AS (
+            SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_custkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_orderkey % 7 = 0
+        )
+        SELECT f.l_orderkey AS orderkey,
+               f.l_linenumber AS linenumber,
+               strftime(f.l_shipdate, '%Y-%m-%d') AS ship_date,
+               i.status AS status_asof
+        FROM f JOIN iv i ON i.k = f.o_custkey
+                        AND f.l_shipdate >= i.vf
+                        AND (i.vt IS NULL OR f.l_shipdate < i.vt)
+    """,
+    tags=("scd2", "point-in-time", "asof", "feature-store"),
+)
+def pit_external_facts_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment of facts from a DIFFERENT table - the
+    general feature-store form scd2_point_in_time_join no longer needs to
+    carry: lineitem shipments (keyed to the customer through their order)
+    get the customer's order-status run that was valid AT SHIP TIME.
+
+    Plan: the UNION-AS-OF form, not an interval join. Dimension log rows
+    (src=0) and fact rows (src=1) union into one keyed stream ordered by
+    (ts, src); a running MAX of struct(ts, seq, status) over the dim rows
+    only gives every fact row the last dimension version at-or-before its
+    own timestamp - one Exchange on the key for the union'd stream versus
+    the interval join's two (SCD build + fact side), and no join residual
+    to evaluate per candidate pair. Facts sort AFTER same-timestamp dim
+    rows (src breaks the tie), which is exactly the vf <= t < vt interval
+    convention; the interval-join SQL stays as the oracle so the hash
+    match proves the rewrite. The lineitem->orders key-mapping join is the
+    problem's own cost (facts don't carry the dimension key) and is a
+    plain equi join Catalyst plans as co-partitioned at scale."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    dim = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("src"),
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit(None).cast("bigint").alias("l_orderkey"),
+        F.lit(None).cast("int").alias("l_linenumber"),
+    )
+    facts = (
+        lineitem.filter(F.col("l_orderkey") % 7 == 0)
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("l_shipdate").alias("ts"),
+            F.lit(1).alias("src"),
+            F.lit(None).cast(dict(orders.dtypes)["o_orderkey"]).alias("o_orderkey"),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof = F.max(
+        F.when(
+            F.col("src") == 0,
+            F.struct("ts", "o_orderkey", "o_orderstatus"),
+        )
+    ).over(w)
+    return (
+        dim.unionByName(facts)
+        .withColumn("_asof", asof)
+        .filter(F.col("src") == 1)
+        .filter(F.col("_asof").isNotNull())
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.date_format("ts", "yyyy-MM-dd").alias("ship_date"),
+            F.col("_asof.o_orderstatus").alias("status_asof"),
+        )
     )

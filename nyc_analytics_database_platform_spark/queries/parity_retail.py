@@ -18,7 +18,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nyc_analytics_database_platform_spark.catalog import footer_row_count, load
+from nyc_analytics_database_platform_spark.catalog import (
+    footer_column_minmax,
+    footer_row_count,
+    load,
+)
 from nyc_analytics_database_platform_spark.operators.prefixsum import (
     ntile_from_rank as _ntile_from_rank,
 )
@@ -99,7 +103,14 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(_cents("o_totalprice")).alias("monetary_cents"),
     )
-    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("anchor_dt"))
+    # Anchor from parquet footer stats - a driver-side metadata read
+    # replaces a second full orders scan (same switch discipline as the
+    # footer_row_count path below); Spark agg stays as the fallback.
+    try:
+        _, _max_dt = footer_column_minmax(sf_dir, "orders", "o_orderdate")
+        anchor = spark.createDataFrame([(_max_dt.date(),)], "anchor_dt date")
+    except Exception:
+        anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("anchor_dt"))
     base = (
         per_cust.crossJoin(F.broadcast(anchor))
         .withColumn("recency_days", F.datediff("anchor_dt", "last_dt"))

@@ -391,14 +391,37 @@ def test_bucketed_lifecycle_twins_match_generic_forms(spark, sf_dir):
     assert c == d and len(c) > 0
 
 
-def test_scd2_generic_join_is_merge_not_broadcast(spark, sf_dir):
-    """Round 9: the generic PIT join must sort-merge - the SCD side is
-    input-proportional, so a broadcast plan would ship the whole dimension
-    to every executor at scale."""
+def test_scd2_generic_is_single_window_no_join(spark, sf_dir):
+    """Round 9 rewrite: the generic PIT form is ONE window pass (running
+    max-struct over a RANGE frame), no join at all - the interval-join
+    formulation cost two Exchanges and two sorts over the same bytes. The
+    plan must contain exactly one Exchange, one Sort, and zero Joins."""
     from nyc_analytics_database_platform_spark.queries.parity_lifecycle import (
         scd2_point_in_time_join,
     )
 
-    plan = _simple(scd2_point_in_time_join(spark, sf_dir))
-    assert "SortMergeJoin" in plan, plan
-    assert "BroadcastHashJoin" not in plan, plan
+    plan = scd2_point_in_time_join(spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    n_sorts = sum(1 for ln in plan.splitlines() if " Sort " in ln)
+    assert n_sorts == 1, plan
+
+
+def test_pit_external_facts_union_asof_no_interval_join(spark, sf_dir):
+    """The general external-facts as-of form: one equi join maps facts to
+    the dimension key (inherent to the problem), but the as-of itself is a
+    window, never a range-predicate join - so exactly one Join node and a
+    Window over the union'd stream."""
+    from nyc_analytics_database_platform_spark.queries.parity_lifecycle import (
+        pit_external_facts_asof,
+    )
+
+    plan = pit_external_facts_asof(spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert len(joins) == 1, plan
+    # The one join is the key-mapping equi join on l_orderkey: no
+    # non-equi residual range condition.
+    assert "o_orderdate" not in joins[0], joins[0]
+    assert "Window" in plan, plan
