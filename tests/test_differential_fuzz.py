@@ -1797,3 +1797,174 @@ def test_differential_random_session_merge(spark, sf_dir, duck, case_id, rng):
 
     assert sorted(ocols) == cols, (case_id, cols, ocols)
     assert got == want, (case_id, et, gap, mode, cutoff)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:15])
+def test_differential_random_union_asof(spark, sf_dir, duck, case_id, rng):
+    """Union-as-of fuzz (round 9): the window rewrite behind
+    pit_external_facts_asof under random fact subsets, dimension
+    attributes, and key columns - always compared against the textbook
+    SCD2 interval join in DuckDB. Pins the seam convention (facts sort
+    AFTER same-timestamp dimension events == vf <= t < vt)."""
+    from pyspark.sql import Window
+
+    attr = rng.choice(["o_orderstatus", "o_orderpriority"])
+    fact_mod = rng.choice([3, 5, 7, 11])
+    pmin = round(rng.uniform(0.0, 150_000.0), 2)
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % fact_mod == 0)
+        & (F.col("l_extendedprice") >= pmin)
+    )
+    dim = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("src"),
+        "o_orderkey",
+        F.col(attr).alias("attr"),
+        F.lit(None).cast("bigint").alias("l_orderkey"),
+        F.lit(None).cast("int").alias("l_linenumber"),
+    )
+    facts = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        F.col("o_custkey").alias("k"),
+        F.col("l_shipdate").alias("ts"),
+        F.lit(1).alias("src"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("string").alias("attr"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof = F.max(
+        F.when(F.col("src") == 0, F.struct("ts", "o_orderkey", "attr"))
+    ).over(w)
+    sdf = (
+        dim.unionByName(facts)
+        .withColumn("_asof", asof)
+        .filter((F.col("src") == 1) & F.col("_asof").isNotNull())
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.unix_micros("ts").alias("ship_us"),
+            F.col("_asof.attr").alias("attr_asof"),
+        )
+    )
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r_[c]) for c in cols) for r_ in sdf.collect())
+
+    sql = f"""
+        WITH ordered AS (
+            SELECT o_custkey, o_orderkey, {attr} AS attr, o_orderdate,
+                   lag({attr}) OVER w AS prev_attr,
+                   (lag(o_orderkey) OVER w IS NULL) AS is_first
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ),
+        iv AS (
+            SELECT o_custkey AS k, attr,
+                   o_orderdate AS vf,
+                   lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey) AS vt
+            FROM ordered
+            WHERE is_first OR attr IS DISTINCT FROM prev_attr
+        ),
+        f AS (
+            SELECT l.l_orderkey, l.l_linenumber,
+                   epoch_us(l.l_shipdate) AS ship_us, l.l_shipdate, o.o_custkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_orderkey % {fact_mod} = 0
+              AND l.l_extendedprice >= {pmin}
+        )
+        SELECT f.l_orderkey, f.l_linenumber, f.ship_us, i.attr AS attr_asof
+        FROM f JOIN iv i ON i.k = f.o_custkey
+                        AND f.l_shipdate >= i.vf
+                        AND (i.vt IS NULL OR f.l_shipdate < i.vt)
+    """
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+
+    assert sorted(ocols) == cols, (case_id, cols, ocols)
+    assert got == want, (case_id, attr, fact_mod, pmin)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:15])
+def test_differential_random_two_phase_quantile(spark, sf_dir, duck, case_id, rng):
+    """Two-phase exact quantile fuzz (round 9): random predicate, random
+    quantile fraction num/den, random bin count - phase 1 builds the
+    histogram in-query (same arithmetic as the persisted table), phase 2
+    refines inside the located bin; the answer must equal DuckDB's exact
+    rank-selected order statistic."""
+    from pyspark.sql import Window
+
+    num, den = rng.choice([(1, 2), (1, 4), (3, 4), (9, 10), (19, 20), (99, 100)])
+    n_bins = rng.choice([64, 256, 1024, 4096])
+    status = rng.choice(["F", "O", "P"])
+
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == status
+    )
+    lo, hi = orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    if lo is None:
+        pytest.skip("empty selection")
+    width = ((hi - lo) / n_bins) or 1.0
+    bin_expr = F.least(
+        F.floor((F.col("o_totalprice") - F.lit(lo)) / F.lit(width)),
+        F.lit(n_bins - 1),
+    )
+    histo = orders.groupBy(bin_expr.alias("bin")).agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = histo.withColumn("cum", F.sum("cnt").over(wcum))
+    tot = cum.agg(F.max("cum").alias("n_tot"))
+    loc = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "k",
+            ((F.lit(num) * F.col("n_tot") + (den - 1)) / den).cast("long"),
+        )
+        .withColumn("prev", F.col("cum") - F.col("cnt"))
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("k"), F.col("bin"))).alias("b"),
+            F.max(
+                F.when(F.col("cum") >= F.col("k"), F.col("k") - F.col("prev"))
+            ).alias("r"),
+        )
+        .first()
+    )
+    sliver = orders.filter(
+        (F.col("o_totalprice") >= F.lit(lo + (loc["b"] - 1) * width))
+        & (
+            (F.col("o_totalprice") < F.lit(lo + (loc["b"] + 2) * width))
+            | F.lit(bool(loc["b"] >= n_bins - 1))
+        )
+    ).filter(bin_expr == F.lit(loc["b"]))
+    wbin = Window.orderBy("o_totalprice")
+    got = (
+        sliver.withColumn("_rn", F.row_number().over(wbin))
+        .filter(F.col("_rn") == F.lit(int(loc["r"])))
+        .select(F.col("o_totalprice").alias("q"))
+        .first()
+    )
+
+    want = duck.execute(f"""
+        WITH v AS (
+            SELECT o_totalprice AS p,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM orders WHERE o_orderstatus = '{status}'
+        )
+        SELECT MAX(CASE WHEN rn = ({num} * n + {den - 1}) // {den} THEN p END)
+        FROM v
+    """).fetchone()[0]
+    assert got is not None and repr(got["q"]) == repr(want), (
+        case_id, num, den, n_bins, status, got, want,
+    )
