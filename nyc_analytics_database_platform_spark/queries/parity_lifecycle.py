@@ -1203,3 +1203,108 @@ def pit_external_facts_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_asof.o_orderstatus").alias("status_asof"),
         )
     )
+
+
+_MG_CAPACITY = 64
+
+
+def build_source_token_mg_table(spark: SparkSession, sf_dir: str) -> str:
+    """Write the per-source token heavy-hitter summary TABLE: for each
+    document source, its top-`_MG_CAPACITY` whitespace tokens by count
+    plus the source's total token count - the Misra-Gries/SpaceSaving
+    member of the persisted-sketch family (HLL = distinct, histogram =
+    quantiles, this = heavy hitters). Truncating exact per-source counts
+    to the top K keeps every token with in-source frequency > n_s/K (more
+    than K such tokens would sum past n_s), so the union of summaries is
+    a guaranteed candidate SUPERSET for any range query with
+    phi >= 1/K. Build cost is one map-side-combined token shuffle per
+    snapshot; the table is K tiny rows per source forever after."""
+    from nyc_analytics_database_platform_spark.queries.parity_scalejoin import (
+        _is_fresh,
+        _scratch,
+        _source_stamp,
+    )
+
+    path = _scratch(sf_dir, "mg_source_token_summaries")
+    marker = path + "_done"
+    stamp = _source_stamp(sf_dir, "documents")
+    if not _is_fresh(marker, stamp):
+        docs = load(spark, sf_dir, "documents")
+        toks = docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+        )
+        counts = toks.groupBy("source", "token").agg(F.count("*").alias("cnt"))
+        wsrc = Window.partitionBy("source")
+        wrank = Window.partitionBy("source").orderBy(F.desc("cnt"), "token")
+        (
+            counts.withColumn("n_tokens", F.sum("cnt").over(wsrc))
+            .withColumn("_rk", F.row_number().over(wrank))
+            .filter(F.col("_rk") <= _MG_CAPACITY)
+            .select("source", "token", "cnt", "n_tokens")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+    return path
+
+
+@register(
+    "mg_table_heavy_tokens",
+    # VALUE-EXACT oracle: the persisted summaries only propose candidates;
+    # the answer itself is exact-verified, so a missing heavy token (a
+    # broken superset guarantee) would surface as a hash mismatch. The
+    # phi comparison is integer (cnt * 32 > N), no float boundary.
+    oracle=r"""
+        WITH toks AS (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+            FROM documents
+            WHERE source IN ('src0','src1','src2','src3','src4',
+                             'src5','src6','src7','src8','src9')
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM toks)
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               (SELECT CAST(n AS BIGINT) FROM tot) AS n_tokens_range
+        FROM toks
+        GROUP BY token
+        HAVING COUNT(*) * 32 > (SELECT n FROM tot)
+        ORDER BY n_occurrences DESC, token
+    """,
+    tags=("sketch", "lifecycle", "heavy-hitters", "llm"),
+)
+def mg_table_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy tokens (> 1/32 of all tokens) over a 10-source range answered
+    from the PERSISTED per-source summaries: merge the KB-scale summary
+    rows for candidates and the range token total, then exact-verify ONLY
+    the candidates with one filtered fact scan + broadcast semi join -
+    the two-pass sketch+verify shape of operators/sketches.heavy_hitters
+    with the sketch pass amortized into the build lifecycle. phi = 1/32
+    clears the table's 1/64 superset guarantee with 2x margin. At 100 TB
+    the per-query cost drops from a full token shuffle to candidate
+    counting against <= sources x 64 broadcast values."""
+    sources = [f"src{i}" for i in range(10)]
+    path = build_source_token_mg_table(spark, sf_dir)
+    tab = spark.read.parquet(path).filter(F.col("source").isin(sources))
+    cands = tab.select("token").distinct()
+    n_range = (
+        tab.select("source", "n_tokens")
+        .distinct()
+        .agg(F.sum("n_tokens").alias("n_tokens_range"))
+    )
+    docs = load(spark, sf_dir, "documents").filter(F.col("source").isin(sources))
+    exact = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+        )
+        .join(F.broadcast(cands), on="token", how="left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(n_range))
+        .filter(F.col("n_occurrences") * 32 > F.col("n_tokens_range"))
+        .select("token", "n_occurrences", "n_tokens_range")
+        .orderBy(F.desc("n_occurrences"), "token")
+    )
