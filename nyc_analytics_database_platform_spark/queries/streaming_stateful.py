@@ -826,3 +826,96 @@ def stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["source", "rk"])
         .orderBy("source", "rk")
     )
+
+
+@register(
+    "stream_scd2_maintenance_executed",
+    # Oracle: CLOSED intervals of the batch SCD2 build (the open run per
+    # key lives in the state store, not the emitted stream).
+    oracle="""
+        WITH ordered AS (
+            SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+                   lag(o_orderstatus) OVER w AS prev_status
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ),
+        ch AS (
+            SELECT * FROM ordered
+            WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+        ),
+        iv AS (
+            SELECT o_custkey AS custkey, o_orderstatus AS status,
+                   epoch_us(o_orderdate) AS vf_us,
+                   epoch_us(lead(o_orderdate) OVER w2) AS vt_us,
+                   CAST(ROW_NUMBER() OVER w2 AS INT) AS version
+            FROM ch
+            WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        )
+        SELECT custkey, status, vf_us, vt_us, version
+        FROM iv
+        WHERE vt_us IS NOT NULL
+        ORDER BY custkey, version
+    """,
+    tags=("streaming", "scd2", "stateful", "executed", "incremental"),
+)
+def stream_scd2_maintenance_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 maintenance as a STREAM, executed end-to-end: the orders log
+    drains chronologically (4 ordered files, 1 per trigger) through an
+    applyInPandasWithState state machine (streaming/stateful.
+    scd2_closed_intervals) that keeps each key's open run in the state
+    store and emits a row the moment a run CLOSES - the streaming twin of
+    operators/maintenance.scd2_apply_changes, with micro-batches playing
+    the role of log tails. The batch oracle's closed intervals must match
+    row-for-row: versions continue across micro-batch boundaries and runs
+    spanning batches close with the exact original valid_from. At 100 TB
+    this is the always-on form: per-key state is one tiny open-run tuple
+    in RocksDB, and each trigger touches only the keys present in it."""
+    import shutil
+
+    tag = hashlib.md5((sf_dir + ":scd2m").encode()).hexdigest()[:8]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_stream", tag)
+    src_dir = os.path.join(scratch, "files")
+    ckpt = os.path.join(scratch, "ckpt")
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.unix_micros("o_orderdate").alias("ts_us"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    cuts = ["1997-01-01", "1998-07-01", "2000-01-01"]
+    cuts_us = [
+        F.unix_micros(F.lit(c).cast("timestamp")) for c in cuts
+    ]
+    stages = [
+        orders.filter(F.col("ts_us") < cuts_us[0]),
+        orders.filter((F.col("ts_us") >= cuts_us[0]) & (F.col("ts_us") < cuts_us[1])),
+        orders.filter((F.col("ts_us") >= cuts_us[1]) & (F.col("ts_us") < cuts_us[2])),
+        orders.filter(F.col("ts_us") >= cuts_us[2]),
+    ]
+    _stage_ordered_files(scratch, src_dir, stages)
+
+    from nyc_analytics_database_platform_spark.streaming.stateful import (
+        scd2_closed_intervals,
+    )
+
+    source = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink_name = f"scd2m_{tag}"
+    q = (
+        scd2_closed_intervals(source)
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        drain_or_raise(q, "streaming SCD2 maintenance")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(sink_name).orderBy("custkey", "version")

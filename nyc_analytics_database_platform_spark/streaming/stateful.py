@@ -145,3 +145,78 @@ def weighted_reservoir(docs: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming SCD2 maintenance (closed validity intervals as a stream) ------
+
+SCD2_OUTPUT = T.StructType(
+    [
+        T.StructField("custkey", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("vf_us", T.LongType()),
+        T.StructField("vt_us", T.LongType()),
+        T.StructField("version", T.IntegerType()),
+    ]
+)
+
+SCD2_STATE = T.StructType(
+    [
+        T.StructField("status", T.StringType()),
+        T.StructField("from_us", T.LongType()),
+        T.StructField("version", T.IntegerType()),
+    ]
+)
+
+
+def _scd2_update(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key SCD2 state machine: the open run lives in state; a status
+    change EMITS the closed interval (append semantics) and rolls the run.
+    Requires micro-batches to arrive in event-time order per key (the same
+    log-tail contract as operators/maintenance.scd2_apply_changes - here
+    provided by the chronological file staging)."""
+    cur = state.get if state.exists else None  # (status, from_us, version)
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts_us", "okey"], kind="mergesort"
+    )
+    out: dict[str, list] = {c: [] for c in ("status", "vf_us", "vt_us", "version")}
+    for status, ts_us in zip(rows["status"], rows["ts_us"]):
+        ts_us = int(ts_us)
+        if cur is None:
+            cur = (status, ts_us, 1)
+        elif status != cur[0]:
+            out["status"].append(cur[0])
+            out["vf_us"].append(cur[1])
+            out["vt_us"].append(ts_us)
+            out["version"].append(cur[2])
+            cur = (status, ts_us, cur[2] + 1)
+    state.update(cur)
+    if out["status"]:
+        yield pd.DataFrame(
+            {
+                "custkey": [key[0]] * len(out["status"]),
+                "status": out["status"],
+                "vf_us": out["vf_us"],
+                "vt_us": out["vt_us"],
+                "version": out["version"],
+            }
+        )
+
+
+def scd2_closed_intervals(orders: DataFrame) -> DataFrame:
+    """Streaming SCD2 maintenance: emits each key's CLOSED validity
+    intervals as they close (append); the open run per key stays in the
+    state store - exactly the mutable tail a warehouse keeps hot while
+    history is immutable. Input needs columns (o_custkey, ts_us, okey,
+    status); works only on streaming frames."""
+    return (
+        orders.groupBy("o_custkey")
+        .applyInPandasWithState(
+            _scd2_update,
+            SCD2_OUTPUT,
+            SCD2_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
