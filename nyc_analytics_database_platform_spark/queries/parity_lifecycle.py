@@ -1308,3 +1308,79 @@ def mg_table_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "n_occurrences", "n_tokens_range")
         .orderBy(F.desc("n_occurrences"), "token")
     )
+
+
+@register(
+    "compaction_stats",
+    # Tolerance-style oracle (pattern of the sketch tables): the exact row
+    # count is engine-comparable; file-layout facts are attested as
+    # TRUE-pinned predicates computed by the engine under test.
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               TRUE AS rows_preserved,
+               TRUE AS content_preserved,
+               TRUE AS files_reduced
+        FROM orders
+    """,
+    tags=("lifecycle", "compaction", "layout", "warehouse"),
+)
+def compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction attested end-to-end: fragment orders into 64
+    tiny files (the streaming-sink aftermath, freshness-stamped), compact
+    them back with operators/compaction.compact_parquet_dir (REBALANCE
+    shuffle under an AQE advisory size of total/4), and attest that rows,
+    content (order-insensitive xxhash64 checksum over every column), and
+    the file-count reduction all hold. The checksum is the part that
+    matters: a compactor that drops or duplicates rows under AQE partition
+    coalescing would pass a bare count."""
+    import math
+
+    from nyc_analytics_database_platform_spark.operators.compaction import (
+        compact_parquet_dir,
+    )
+    from nyc_analytics_database_platform_spark.queries.parity_scalejoin import (
+        _is_fresh,
+        _scratch,
+        _source_stamp,
+    )
+
+    frag = _scratch(sf_dir, "compaction_fragmented")
+    marker = frag + "_done"
+    stamp = _source_stamp(sf_dir, "orders")
+    if not _is_fresh(marker, stamp):
+        load(spark, sf_dir, "orders").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(frag)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+    from nyc_analytics_database_platform_spark.operators.compaction import dir_stats
+
+    _, total_bytes = dir_stats(frag)
+    dst = _scratch(sf_dir, "compaction_output")
+    stats = compact_parquet_dir(
+        spark, frag, dst, target_bytes=max(1, math.ceil(total_bytes / 4))
+    )
+
+    def checksum(df):
+        # decimal(38,0) sum: exact and overflow-free (1e12 rows x 2^63
+        # still fits 38 digits), unlike a long sum under ANSI mode.
+        return df.select(
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
+            F.count("*").alias("n"),
+        )
+
+    before = checksum(spark.read.parquet(frag))
+    after = checksum(spark.read.parquet(dst))
+    return (
+        before.crossJoin(
+            after.select(F.col("h").alias("h2"), F.col("n").alias("n2"))
+        )
+        .select(
+            F.col("n").alias("n_rows"),
+            (F.col("n") == F.col("n2")).alias("rows_preserved"),
+            (F.col("h") == F.col("h2")).alias("content_preserved"),
+            F.lit(
+                stats["n_files_after"] < stats["n_files_before"]
+            ).alias("files_reduced"),
+        )
+    )
