@@ -11,6 +11,8 @@ re-scanning history.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1383,4 +1385,123 @@ def compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 stats["n_files_after"] < stats["n_files_before"]
             ).alias("files_reduced"),
         )
+    )
+
+
+def build_orders_date_manifest(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build the two halves of manifest-based scan pruning: (1) a
+    range-fragmented orders layout - repartitionByRange on o_orderdate, so
+    each of the 16 files covers a disjoint date slice - and (2) the
+    MANIFEST table: one row per file with its footer (min, max, rows) for
+    o_orderdate. The manifest is the KB-scale metastore stand-in an
+    Iceberg/Delta commit log provides at 100 TB: planners read IT, not
+    100k file footers. Freshness-stamped like every persisted layout.
+    Returns (layout_dir, manifest_path)."""
+    import pyarrow.parquet as pq
+
+    from nyc_analytics_database_platform_spark.queries.parity_scalejoin import (
+        _is_fresh,
+        _scratch,
+        _source_stamp,
+    )
+
+    layout = _scratch(sf_dir, "orders_range_fragmented")
+    manifest = _scratch(sf_dir, "orders_date_manifest")
+    marker = layout + "_done"
+    stamp = _source_stamp(sf_dir, "orders")
+    if not _is_fresh(marker, stamp):
+        # INT96 timestamps carry no parquet min/max statistics; the layout
+        # must write TIMESTAMP_MICROS or the manifest has nothing to read
+        # (same switch as the z-order layout, parity_scalejoin.py).
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        try:
+            (
+                load(spark, sf_dir, "orders")
+                .repartitionByRange(16, "o_orderdate")
+                .write.mode("overwrite")
+                .parquet(layout)
+            )
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        rows = []
+        for fname in sorted(os.listdir(layout)):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(layout, fname)).metadata
+            idx = [
+                md.schema.column(i).name for i in range(md.num_columns)
+            ].index("o_orderdate")
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                lo = st.min if lo is None or st.min < lo else lo
+                hi = st.max if hi is None or st.max > hi else hi
+            rows.append((fname, lo, hi, md.num_rows))
+        spark.createDataFrame(
+            rows, "file string, min_ts timestamp, max_ts timestamp, n_rows long"
+        ).coalesce(1).write.mode("overwrite").parquet(manifest)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+    return layout, manifest
+
+
+@register(
+    "manifest_pruned_quarter_revenue",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("lifecycle", "layout", "manifest", "pruning", "warehouse"),
+)
+def manifest_pruned_quarter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-quarter revenue rollup where the FILE LIST comes from the
+    persisted manifest, not a directory listing: qualifying files are
+    those whose [min_ts, max_ts] intersects the quarter (a KB-scale
+    manifest read + bounded collect - the planner-side act every table
+    format performs), and only those files are opened; the precise
+    predicate still applies inside them. On the range-fragmented layout
+    this reads ~2 of 16 files where directory-scan planning would open
+    all 16 to check their footers - at 100 TB, the difference between a
+    metadata operation and 100k footer round-trips
+    (tests/test_round9_ops.py pins the pruned count). Answers are
+    value-exact against the unfragmented source: fragmentation, manifest,
+    and pruning change no bytes of the result."""
+    q_lo, q_hi = "1997-01-01", "1997-04-01"
+    layout, manifest = build_orders_date_manifest(spark, sf_dir)
+    picked = (
+        spark.read.parquet(manifest)
+        .filter(
+            (F.col("max_ts") >= F.lit(q_lo).cast("timestamp"))
+            & (F.col("min_ts") < F.lit(q_hi).cast("timestamp"))
+        )
+        .select("file")
+        .collect()
+    )
+    paths = [os.path.join(layout, r["file"]) for r in picked]
+    pruned = spark.read.parquet(*paths) if paths else load(
+        spark, sf_dir, "orders"
+    ).limit(0)
+    return (
+        pruned.filter(
+            (F.col("o_orderdate") >= F.lit(q_lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(q_hi).cast("timestamp"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+        .orderBy("o_orderstatus")
     )

@@ -136,3 +136,64 @@ def test_quantile_table_matches_exact_order_statistics(spark, sf_dir):
     assert got["n_orders"] == n
     assert got["p50"] == prices[(1 * n + 1) // 2 - 1]
     assert got["p95"] == prices[(19 * n + 19) // 20 - 1]
+
+
+def test_manifest_prunes_most_files(spark, sf_dir):
+    """The quarter query's manifest selection must open a strict subset of
+    the 16 range-fragmented files (~2 for a quarter of a 6.5-year span) -
+    the planner-side pruning the persisted manifest exists for."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nyc_analytics_database_platform_spark.queries.parity_lifecycle import (
+        build_orders_date_manifest,
+    )
+
+    layout, manifest = build_orders_date_manifest(spark, sf_dir)
+    n_total = len([f for f in os.listdir(layout) if f.endswith(".parquet")])
+    picked = (
+        spark.read.parquet(manifest)
+        .filter(
+            (F.col("max_ts") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("min_ts") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .count()
+    )
+    assert n_total == 16
+    assert 0 < picked <= 3, picked
+    # Every file must carry stats (TIMESTAMP_MICROS write path).
+    assert spark.read.parquet(manifest).filter("min_ts IS NULL").count() == 0
+
+
+def test_compaction_reduces_files_and_preserves_content(spark, sf_dir, tmp_path):
+    """compact_parquet_dir on a 32-way fragmented slice: fewer files out
+    than in, identical row multiset (checksum), advisory conf restored."""
+    from pyspark.sql import functions as F
+
+    from nyc_analytics_database_platform_spark.catalog import load
+    from nyc_analytics_database_platform_spark.operators.compaction import (
+        compact_parquet_dir,
+        dir_stats,
+    )
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    load(spark, sf_dir, "customer").repartition(32).write.parquet(src)
+    n_before, total = dir_stats(src)
+    before_conf = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", None
+    )
+    stats = compact_parquet_dir(spark, src, dst, target_bytes=max(1, total // 2))
+    after_conf = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", None
+    )
+    assert after_conf == before_conf
+    assert stats["n_files_after"] < stats["n_files_before"] == n_before == 32
+    a = spark.read.parquet(src).agg(
+        F.sum(F.xxhash64("*").cast("decimal(38,0)")), F.count("*")
+    ).first()
+    b = spark.read.parquet(dst).agg(
+        F.sum(F.xxhash64("*").cast("decimal(38,0)")), F.count("*")
+    ).first()
+    assert tuple(a) == tuple(b)
