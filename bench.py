@@ -311,11 +311,13 @@ def _scale_crossover(spark, specs) -> dict | None:
             },
         }
         # One more doubling (sf4.0) for the result-proportional lifecycle
-        # quartet only (round 9): their sink-mode Spark absolutes are
+        # quartet (round 9): their sink-mode Spark absolutes are
         # near-FLAT across data doublings (per-job floor) while DuckDB's
         # COPY scales linearly, so this is the point where the measured
-        # ratio crosses under the asymptote the 100 TB claim needs. Kept
-        # to 4 queries to bound the added wall-clock (~1 min).
+        # ratio crosses under the asymptote the 100 TB claim needs - plus
+        # the two job-floor outliers (kaplan_meier, rfm) whose ratios
+        # collapse on the same flat-absolute mechanism. Kept to 6 queries
+        # to bound the added wall-clock.
         big4 = build_scaled(
             "/root/testdata/sf0.1",
             os.path.join(repo, ".scaledata", "sf4.0"),
@@ -328,6 +330,8 @@ def _scale_crossover(spark, specs) -> dict | None:
                 "scd2_point_in_time_join",
                 "scd2_point_in_time_bucketed",
                 "sessionize_stats_bucketed",
+                "kaplan_meier_reorder",
+                "rfm_customer_segments",
             )
             if n in full
         }

@@ -41,8 +41,12 @@ def _cents(col) -> F.Column:
 # the single-task NTILE sort beats the sharded rank scan's ~9-job dispatch
 # overhead (measured: 0.78s vs 2.74s at sf0.5, 0.91s vs 3.11s at sf1.0);
 # above it the sharded path's flat cost wins and the window path's
-# single-partition sort becomes the bottleneck.
-_RFM_PREFIXSUM_MIN_ORDERS = 50_000_000
+# single-partition sort becomes the bottleneck. Round 9 re-measured the
+# crossover with deeper points: window 2.93s at sf4.0 (6M orders) and
+# growing ~linearly in |customers|, prefixsum FLAT 4.1s (sf2.0) -> 4.6s
+# (sf4.0); extrapolated intersection ~20M orders, so the switch now sits
+# there instead of the old 50M guess.
+_RFM_PREFIXSUM_MIN_ORDERS = 20_000_000
 
 
 @register(
