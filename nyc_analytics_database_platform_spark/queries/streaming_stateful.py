@@ -919,3 +919,102 @@ def stream_scd2_maintenance_executed(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.table(sink_name).orderBy("custkey", "version")
+
+
+@register(
+    "stream_session_maintenance_executed",
+    # Oracle: batch sessionization minus each user's LAST (still-open)
+    # session - only closed sessions are emitted by the stream.
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        ),
+        m AS (
+            SELECT *,
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w >= 300000000
+                        THEN 1 ELSE 0 END AS ns
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        s AS (
+            SELECT *, SUM(ns) OVER (
+                PARTITION BY user_id ORDER BY us, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM m
+        ),
+        agg AS (
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   MIN(us) AS start_us, MAX(us) AS end_us,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, session_seq
+        ),
+        lastmark AS (
+            SELECT *, MAX(session_seq) OVER (PARTITION BY user_id) AS mx
+            FROM agg
+        )
+        SELECT user_id, session_seq, start_us, end_us, n_events
+        FROM lastmark WHERE session_seq < mx
+        ORDER BY user_id, session_seq
+    """,
+    tags=("streaming", "session", "stateful", "executed", "incremental"),
+)
+def stream_session_maintenance_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as an always-on STREAM, executed end-to-end: events
+    drain chronologically (4 ordered files, 1/trigger) through an
+    applyInPandasWithState state machine (streaming/stateful.
+    session_closed_windows) holding each user's OPEN session and emitting
+    a row the moment a session CLOSES (>= 5-minute gap, the sessionize /
+    session_window convention) - the streaming twin of operators/
+    maintenance.merge_session_tables, with sessions spanning micro-batch
+    boundaries merged in state exactly as the batch seam rule merges
+    tables. The batch oracle drops each user's last (still-open) session;
+    everything else must match row-for-row, seq numbering included. At
+    100 TB state is one open-session tuple per active user and each
+    trigger touches only the users present in it."""
+    import shutil
+
+    tag = hashlib.md5((sf_dir + ":sessm").encode()).hexdigest()[:8]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_stream", tag)
+    src_dir = os.path.join(scratch, "files")
+    ckpt = os.path.join(scratch, "ckpt")
+
+    events = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    cuts = ["2024-01-08", "2024-01-16", "2024-01-23"]
+    cuts_us = [F.unix_micros(F.lit(c).cast("timestamp")) for c in cuts]
+    stages = [
+        events.filter(F.col("ts_us") < cuts_us[0]),
+        events.filter((F.col("ts_us") >= cuts_us[0]) & (F.col("ts_us") < cuts_us[1])),
+        events.filter((F.col("ts_us") >= cuts_us[1]) & (F.col("ts_us") < cuts_us[2])),
+        events.filter(F.col("ts_us") >= cuts_us[2]),
+    ]
+    _stage_ordered_files(scratch, src_dir, stages)
+
+    from nyc_analytics_database_platform_spark.streaming.stateful import (
+        session_closed_windows,
+    )
+
+    source = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink_name = f"sessm_{tag}"
+    q = (
+        session_closed_windows(source)
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        drain_or_raise(q, "streaming session maintenance")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.table(sink_name).orderBy("user_id", "session_seq")

@@ -220,3 +220,81 @@ def scd2_closed_intervals(orders: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming sessionization (closed sessions as a stream) -------------------
+
+SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_seq", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_GAP_US = 300 * 1_000_000
+
+
+def _session_update(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key session state machine (>= gap closes, the sessionize /
+    session_window convention): the OPEN session lives in state; an event
+    at >= last + gap emits the closed session and starts the next. Same
+    event-time-ordered micro-batch contract as _scd2_update."""
+    cur = state.get if state.exists else None  # (seq, start, last, n)
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts_us", "event_id"], kind="mergesort"
+    )
+    out: dict[str, list] = {c: [] for c in ("seq", "start", "end", "n")}
+    for ts_us in rows["ts_us"]:
+        ts_us = int(ts_us)
+        if cur is None:
+            cur = (1, ts_us, ts_us, 1)
+        elif ts_us - cur[2] >= SESSION_GAP_US:
+            out["seq"].append(cur[0])
+            out["start"].append(cur[1])
+            out["end"].append(cur[2])
+            out["n"].append(cur[3])
+            cur = (cur[0] + 1, ts_us, ts_us, 1)
+        else:
+            cur = (cur[0], cur[1], ts_us, cur[3] + 1)
+    state.update(cur)
+    if out["seq"]:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out["seq"]),
+                "session_seq": out["seq"],
+                "start_us": out["start"],
+                "end_us": out["end"],
+                "n_events": out["n"],
+            }
+        )
+
+
+def session_closed_windows(events: DataFrame) -> DataFrame:
+    """Streaming session maintenance: emits each key's CLOSED sessions as
+    the closing event arrives (append); the open session per key stays in
+    the state store. Input needs (user_id, ts_us, event_id); streaming
+    frames only."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_update,
+            SESSION_OUTPUT,
+            SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
