@@ -1968,3 +1968,135 @@ def test_differential_random_two_phase_quantile(spark, sf_dir, duck, case_id, rn
     assert got is not None and repr(got["q"]) == repr(want), (
         case_id, num, den, n_bins, status, got, want,
     )
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:15])
+def test_differential_random_mg_heavy_tokens(spark, sf_dir, duck, case_id, rng):
+    """Heavy-hitter sketch-table fuzz (round 9): random source subset and
+    random phi = 1/den with den <= the table's capacity-64 guarantee; the
+    summary-merge + exact-verify answer must equal DuckDB's full GROUP
+    BY/HAVING over the same tokenization. A truncation that broke the
+    superset guarantee would drop a row here."""
+    from nyc_analytics_database_platform_spark.queries.parity_lifecycle import (
+        build_source_token_mg_table,
+    )
+
+    all_sources = [
+        r[0]
+        for r in duck.execute("SELECT DISTINCT source FROM documents ORDER BY 1")
+        .fetchall()
+    ]
+    sources = rng.sample(all_sources, k=rng.randint(2, min(12, len(all_sources))))
+    den = rng.choice([20, 25, 32, 40, 50, 64])
+
+    path = build_source_token_mg_table(spark, sf_dir)
+    tab = spark.read.parquet(path).filter(F.col("source").isin(sources))
+    cands = tab.select("token").distinct()
+    n_range = (
+        tab.select("source", "n_tokens")
+        .distinct()
+        .agg(F.sum("n_tokens").alias("n_tot"))
+    )
+    docs = load(spark, sf_dir, "documents").filter(F.col("source").isin(sources))
+    sdf = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+        )
+        .join(F.broadcast(cands), on="token", how="left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .crossJoin(F.broadcast(n_range))
+        .filter(F.col("n_occurrences") * den > F.col("n_tot"))
+        .select("token", "n_occurrences")
+    )
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r_[c]) for c in cols) for r_ in sdf.collect())
+
+    src_sql = ", ".join(f"'{s}'" for s in sources)
+    sql = rf"""
+        WITH toks AS (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+            FROM documents WHERE source IN ({src_sql})
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM toks)
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM toks GROUP BY token
+        HAVING COUNT(*) * {den} > (SELECT n FROM tot)
+    """
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+
+    assert sorted(ocols) == cols, (case_id, cols, ocols)
+    assert got == want, (case_id, sources, den)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:15])
+def test_differential_random_manifest_pruning(spark, sf_dir, duck, case_id, rng):
+    """Manifest-pruning fuzz (round 9): random date windows (including
+    before-all-data and degenerate empty windows) planned from the
+    persisted per-file manifest; the pruned multi-file scan must
+    reproduce DuckDB's answer over the unfragmented source exactly."""
+    import datetime as _dt
+    import os as _os
+
+    from nyc_analytics_database_platform_spark.queries.parity_lifecycle import (
+        build_orders_date_manifest,
+    )
+
+    lo, hi = duck.execute(
+        "SELECT min(o_orderdate), max(o_orderdate) FROM orders"
+    ).fetchone()
+    span = (hi - lo).days
+    a = lo + _dt.timedelta(days=rng.randint(-30, span))
+    b = a + _dt.timedelta(days=rng.choice([0, 7, 30, 90, 365]))
+    a_s, b_s = a.strftime("%Y-%m-%d %H:%M:%S"), b.strftime("%Y-%m-%d %H:%M:%S")
+
+    layout, manifest = build_orders_date_manifest(spark, sf_dir)
+    picked = (
+        spark.read.parquet(manifest)
+        .filter(
+            (F.col("max_ts") >= F.lit(a_s).cast("timestamp"))
+            & (F.col("min_ts") < F.lit(b_s).cast("timestamp"))
+        )
+        .select("file")
+        .collect()
+    )
+    paths = [_os.path.join(layout, r["file"]) for r in picked]
+    if paths:
+        pruned = spark.read.parquet(*paths)
+    else:
+        pruned = load(spark, sf_dir, "orders").limit(0)
+    sdf = (
+        pruned.filter(
+            (F.col("o_orderdate") >= F.lit(a_s).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(b_s).cast("timestamp"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+    cols = sorted(sdf.columns)
+    got = Counter(tuple(_canon(r_[c]) for c in cols) for r_ in sdf.collect())
+
+    cur = duck.execute(f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{a_s}'
+          AND o_orderdate <  TIMESTAMP '{b_s}'
+        GROUP BY o_orderstatus
+    """)
+    ocols = [d[0] for d in cur.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = Counter(tuple(_canon(row[i]) for i in idx) for row in cur.fetchall())
+
+    assert sorted(ocols) == cols, (case_id, cols, ocols)
+    assert got == want, (case_id, a_s, b_s, len(paths))
