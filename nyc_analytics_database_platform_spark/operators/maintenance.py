@@ -53,6 +53,7 @@ def scd2_apply_changes(
     ts_col: str,
     attr_cols: tuple[str, ...],
     order_cols: tuple[str, ...] = (),
+    broadcast_seam: bool = False,
 ) -> DataFrame:
     """Fold the change-log tail `delta_log` into the existing SCD2 table
     `hist_scd` (schema as produced by scd2_intervals: key, attrs,
@@ -63,7 +64,14 @@ def scd2_apply_changes(
     the history's current row, the current row is absorbed (the merged run
     keeps the history valid_from and version - a full recompute would see
     one unbroken run); otherwise the current row CLOSES at the delta's
-    first timestamp and delta runs continue the version sequence."""
+    first timestamp and delta runs continue the version sequence.
+
+    `broadcast_seam=True` hints the one-row-per-delta-key seam frame as
+    the build side of the history join - the nightly-batch shape, where
+    the seam is tiny against a huge history and shuffling the history to
+    sort-merge it (the planner's blind default: the seam sits behind a
+    window, so its size estimate is useless pre-execution) is the whole
+    cost of the merge. Leave False when the delta spans most keys."""
     dscd = scd2_intervals(delta_log, key_col, ts_col, attr_cols, order_cols)
     cur = hist_scd.filter("is_current").select(
         F.col(key_col),
@@ -98,11 +106,10 @@ def scd2_apply_changes(
 
     # History side: untouched keys pass through; for touched keys the
     # current row is absorbed (_same) or closed at the seam.
-    h = hist_scd.join(
-        seam.select(key_col, "_same", F.col("_d_from").alias("_close_at")),
-        on=key_col,
-        how="left",
-    )
+    h_seam = seam.select(key_col, "_same", F.col("_d_from").alias("_close_at"))
+    if broadcast_seam:
+        h_seam = F.broadcast(h_seam)
+    h = hist_scd.join(h_seam, on=key_col, how="left")
     hit = F.col("_close_at").isNotNull()
     close = F.col("is_current") & hit & ~F.col("_same")
     h_out = (

@@ -1505,3 +1505,98 @@ def manifest_pruned_quarter_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderstatus")
     )
+
+
+def build_scd2_history_table(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the SCD2 dimension built from the pre-2001-07 log - the
+    warm-start artifact scd2_apply_persisted folds each new log tail into.
+    Freshness-stamped like every persisted layout."""
+    from nyc_analytics_database_platform_spark.queries.parity_scalejoin import (
+        _is_fresh,
+        _scratch,
+        _source_stamp,
+    )
+
+    path = _scratch(sf_dir, "scd2_history_table")
+    marker = path + "_done"
+    stamp = _source_stamp(sf_dir, "orders")
+    if not _is_fresh(marker, stamp):
+        cutoff = F.lit("2001-07-01").cast("timestamp")
+        scd2_intervals(
+            load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff),
+            key_col="o_custkey",
+            ts_col="o_orderdate",
+            attr_cols=("o_orderstatus",),
+            order_cols=("o_orderkey",),
+        ).write.mode("overwrite").parquet(path)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+    return path
+
+
+@register(
+    "scd2_apply_persisted",
+    # Same full-recompute oracle as scd2_apply_changes_orders, minus the
+    # display ORDER BY (sink-mode result; driver compare is
+    # order-insensitive).
+    oracle="""
+        WITH ordered AS (
+            SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+                   lag(o_orderstatus) OVER w AS prev_status
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ),
+        ch AS (
+            SELECT * FROM ordered
+            WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+        ),
+        iv AS (
+            SELECT o_custkey, o_orderstatus,
+                   o_orderdate AS vf,
+                   lead(o_orderdate) OVER w2 AS vt,
+                   CAST(ROW_NUMBER() OVER w2 AS INT) AS version
+            FROM ch
+            WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        )
+        SELECT o_custkey AS custkey,
+               o_orderstatus AS status,
+               strftime(vf, '%Y-%m-%d') AS valid_from,
+               strftime(vt, '%Y-%m-%d') AS valid_to,
+               version,
+               (vt IS NULL) AS is_current
+        FROM iv
+    """,
+    tags=("scd2", "incremental", "lifecycle", "warehouse"),
+    bench=True,
+)
+def scd2_apply_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of SCD2 maintenance: fold the last-month log tail (~1.3% of rows - a realistic nightly delta, and the seam frame broadcasts)
+    into the PERSISTED dimension table (build_scd2_history_table, built
+    once per snapshot) - unlike scd2_apply_changes_orders, which derives
+    history in-query to keep its attestation self-contained, the warm
+    path here never re-windows history at all: it scans the stored table
+    once (pass-through + seam join) and sorts ONLY the delta. The DuckDB
+    oracle re-derives the whole dimension from the raw log every run -
+    exactly the work the persisted artifact deletes; the hash match
+    proves deleting it changes no row. Sink-mode benched: the result is
+    dimension-proportional."""
+    path = build_scd2_history_table(spark, sf_dir)
+    hist_scd = spark.read.parquet(path)
+    cutoff = F.lit("2001-07-01").cast("timestamp")
+    merged = scd2_apply_changes(
+        hist_scd,
+        load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= cutoff),
+        key_col="o_custkey",
+        ts_col="o_orderdate",
+        attr_cols=("o_orderstatus",),
+        order_cols=("o_orderkey",),
+        broadcast_seam=True,
+    )
+    return merged.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "version",
+        "is_current",
+    )
