@@ -73,11 +73,14 @@ def footer_row_count(sf_dir: str, name: str) -> int:
     inside the timed query body would add a full fact scan at exactly the
     scales where the switch matters. Raises on non-local / non-parquet
     layouts; callers fall back to a Spark count."""
-    key = (sf_dir, name)
+    # mtime in the key: regenerating testdata mid-process must refresh the
+    # memoized scalar (same freshness discipline as the persisted layouts'
+    # _source_stamp) instead of serving a stale count to plan-selection.
+    path = table_path(sf_dir, name)
+    key = (sf_dir, name, os.path.getmtime(path))
     if key not in _ROW_COUNT_CACHE:
         import pyarrow.parquet as pq
 
-        path = table_path(sf_dir, name)
         if os.path.isdir(path):
             parts = [
                 f for f in os.listdir(path) if f.endswith(".parquet")
@@ -210,12 +213,14 @@ def footer_column_minmax(sf_dir: str, name: str, column: str):
     lacks stats for the column (callers fall back to a Spark agg). At
     100 TB the same scalars come from the table format's manifest; reading
     per-file footers driver-side is the local-parquet stand-in, memoized
-    per (sf_dir, name, column)."""
-    key = (sf_dir, name, column)
+    per (sf_dir, name, column, source mtime) — the mtime component means a
+    regenerated table refreshes the anchor/horizon scalar instead of
+    serving the previous file's stats (ADVICE r9)."""
+    path = table_path(sf_dir, name)
+    key = (sf_dir, name, column, os.path.getmtime(path))
     if key not in _COL_MINMAX_CACHE:
         import pyarrow.parquet as pq
 
-        path = table_path(sf_dir, name)
         files = (
             [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
             if os.path.isdir(path)

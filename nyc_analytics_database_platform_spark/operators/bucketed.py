@@ -98,7 +98,17 @@ def bucketed_sorted_table(
     if cols:
         src = src.select(*cols)
 
-    if not _is_fresh(done, stamp):
+    # The marker alone is not proof the data survived: a tmp cleaner can
+    # remove the parquet files but leave the marker, and CREATE TABLE ...
+    # LOCATION over an empty dir would silently serve zero rows (ADVICE
+    # r9). Adoption requires marker AND at least one data file.
+    def _has_data() -> bool:
+        try:
+            return any(f.endswith(".parquet") for f in os.listdir(path))
+        except OSError:
+            return False
+
+    if not (_is_fresh(done, stamp) and _has_data()):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         (
             src.repartition(n_buckets, F.col(key))

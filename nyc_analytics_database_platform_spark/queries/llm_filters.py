@@ -1000,9 +1000,14 @@ def _quality_features_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.withColumn("y", (teacher >= 0.5).cast("int"))
 
 
-def _train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-row weight frame (b, c1..c4) after _GD_ITERS batch-GD steps from
-    zeros on the train split.
+def _train_weights(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """(1-row weight frame (b, c1..c4), train-set row count) after
+    _GD_ITERS batch-GD steps from zeros on the train split. The count
+    rides the per-step gradient aggregate for free, so callers that need
+    n_train (quality_model_train) don't re-run the tokenizer/feature scan
+    a second time just to count it (ADVICE r9).
 
     The loop is the canonical DISTRIBUTED-GD shape: per step, the current
     weights ship to the executors as literals (5 doubles - the "broadcast
@@ -1038,6 +1043,7 @@ def _train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     wv = [0.0] * 5  # b, c1..c4
+    n_train = 0
     for _ in range(_GD_ITERS):
         z = F.lit(wv[0])
         for i, c in enumerate(_GD_FEATS, start=1):
@@ -1055,13 +1061,16 @@ def _train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias(f"c{i}")
                 for i, c in enumerate(_GD_FEATS, start=1)
             ),
+            F.count(F.lit(1)).cast("long").alias("_n"),
         )
         row = upd.collect()[0]
         wv = [row["b"], *(row[f"c{i}"] for i in range(1, 5))]
-    return spark.range(1).select(
+        n_train = int(row["_n"])
+    weights = spark.range(1).select(
         F.lit(wv[0]).alias("b"),
         *(F.lit(wv[i]).alias(f"c{i}") for i in range(1, 5)),
     )
+    return weights, n_train
 
 
 @register(
@@ -1089,21 +1098,14 @@ def quality_model_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only thing that ever crosses the wire per step is 5 doubles each
     way. reference: webserver/server.py has no model training at all -
     this is engine surface the 100 TB curation story needs."""
-    f = _quality_features_labeled(spark, sf_dir).filter(
-        F.col("doc_id") % _EVAL_MOD != 0
-    )
-    n_train = f.agg(F.count("*").cast("long").alias("n_train"))
-    return (
-        _train_weights(spark, sf_dir)
-        .crossJoin(F.broadcast(n_train))
-        .select(
-            F.col("b").alias("w0"),
-            F.col("c1").alias("w_log_tokens"),
-            F.col("c2").alias("w_mean_wlen"),
-            F.col("c3").alias("w_stop_ratio"),
-            F.col("c4").alias("w_ttr"),
-            "n_train",
-        )
+    weights, n_train = _train_weights(spark, sf_dir)
+    return weights.select(
+        F.col("b").alias("w0"),
+        F.col("c1").alias("w_log_tokens"),
+        F.col("c2").alias("w_mean_wlen"),
+        F.col("c3").alias("w_stop_ratio"),
+        F.col("c4").alias("w_ttr"),
+        F.lit(n_train).cast("long").alias("n_train"),
     )
 
 
@@ -1147,7 +1149,7 @@ def quality_model_train_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 10 == 0): the student's score and keep decision per unseen
     doc. Same single-broadcast apply shape as quality_model_scores - the
     learned weight row replaces the literal weights."""
-    w = _train_weights(spark, sf_dir)
+    w, _ = _train_weights(spark, sf_dir)
     f = _quality_features_labeled(spark, sf_dir).filter(
         F.col("doc_id") % _EVAL_MOD == 0
     )
@@ -1241,7 +1243,7 @@ def quality_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the only window runs over the BOUNDED score census (the 6dp
     domain), never over documents - same boundedness argument as
     exact_quantiles_bucketed's 256-bucket scan."""
-    w = _train_weights(spark, sf_dir)
+    w, _ = _train_weights(spark, sf_dir)
     f = _quality_features_labeled(spark, sf_dir).filter(
         F.col("doc_id") % _EVAL_MOD == 0
     )
