@@ -39,35 +39,15 @@ spec, so adoption moves zero bytes.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nyc_analytics_database_platform_spark.catalog import load, table_path
+from nyc_analytics_database_platform_spark import layouts
+from nyc_analytics_database_platform_spark.catalog import load
 
 _N_BUCKETS = 16
-
-
-def _scratch(sf_dir: str, name: str) -> str:
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(
-        tempfile.gettempdir(), "spark_graft_bucketed", tag, name
-    )
-
-
-def _source_stamp(sf_dir: str, table: str, spec: str) -> str:
-    return f"{table}:{os.path.getmtime(table_path(sf_dir, table)):.0f}|{spec}"
-
-
-def _is_fresh(marker: str, stamp: str) -> bool:
-    try:
-        with open(marker) as fh:
-            return fh.read() == stamp
-    except OSError:
-        return False
 
 
 def bucketed_sorted_table(
@@ -86,29 +66,21 @@ def bucketed_sorted_table(
     every later session. `cols` prunes the layout to the columns the
     consuming family needs (narrower shuffle-free scans downstream)."""
     name = alias or f"{table}_{key}"
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tbl = f"bkt_{name}_{tag}"
-    base = _scratch(sf_dir, name)
+    tbl = f"bkt_{name}_{layouts.tag(sf_dir)}"
+    base = layouts.scratch(sf_dir, "bucketed", name)
     path = os.path.join(base, "data")
     done = os.path.join(base, "_layout_done")
     spec = f"key={key}|sort={','.join(sort_cols)}|n={n_buckets}|cols={','.join(cols or ())}"
-    stamp = _source_stamp(sf_dir, table, spec)
+    stamp = layouts.source_stamp(sf_dir, table, spec=spec)
 
     src = load(spark, sf_dir, table)
     if cols:
         src = src.select(*cols)
 
-    # The marker alone is not proof the data survived: a tmp cleaner can
-    # remove the parquet files but leave the marker, and CREATE TABLE ...
-    # LOCATION over an empty dir would silently serve zero rows (ADVICE
-    # r9). Adoption requires marker AND at least one data file.
-    def _has_data() -> bool:
-        try:
-            return any(f.endswith(".parquet") for f in os.listdir(path))
-        except OSError:
-            return False
-
-    if not (_is_fresh(done, stamp) and _has_data()):
+    # data_dirs guard: a tmp cleaner that removes the parquet files but
+    # leaves the marker must force a rebuild, never an empty adopt
+    # (ADVICE r9; the check lives in layouts.is_fresh).
+    if not layouts.is_fresh(done, stamp, data_dirs=(path,)):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         (
             src.repartition(n_buckets, F.col(key))
@@ -119,9 +91,7 @@ def bucketed_sorted_table(
             .mode("overwrite")
             .saveAsTable(tbl)
         )
-        os.makedirs(base, exist_ok=True)
-        with open(done, "w") as fh:
-            fh.write(stamp)
+        layouts.mark_fresh(done, stamp)
     elif tbl not in {t.name for t in spark.catalog.listTables()}:
         ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields

@@ -16,14 +16,13 @@ scan-shaped, not a collect.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from nyc_analytics_database_platform_spark import layouts
 from nyc_analytics_database_platform_spark.catalog import load
 from nyc_analytics_database_platform_spark.functions.numeric import ORACLE_SUM, exact_sum
 from nyc_analytics_database_platform_spark.registry import register
@@ -31,9 +30,9 @@ from nyc_analytics_database_platform_spark.registry import register
 
 def _scratch(sf_dir: str, name: str) -> str:
     """Per-(sf_dir, surface) scratch path: deterministic so reruns overwrite,
-    sf-keyed so results read the files written for the same scale factor."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), "spark_graft_etl", tag, name)
+    sf-keyed so results read the files written for the same scale factor
+    (single implementation: layouts.scratch)."""
+    return layouts.scratch(sf_dir, "etl", name)
 
 
 _ORDERS_SCHEMA = T.StructType(

@@ -16,6 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nyc_analytics_database_platform_spark import layouts
 from nyc_analytics_database_platform_spark.catalog import load
 from nyc_analytics_database_platform_spark.functions.numeric import ORACLE_SUM, exact_sum
 from nyc_analytics_database_platform_spark.operators.incremental import (
@@ -721,8 +722,7 @@ def build_month_sketch_table(spark: SparkSession, sf_dir: str) -> str:
             .write.mode("overwrite")
             .parquet(path)
         )
-        with open(marker, "w") as fh:
-            fh.write(stamp)
+        layouts.mark_fresh(marker, stamp)
     return path
 
 
@@ -977,8 +977,7 @@ def build_month_quantile_table(spark: SparkSession, sf_dir: str) -> str:
             .write.mode("overwrite")
             .parquet(path)
         )
-        with open(marker, "w") as fh:
-            fh.write(stamp)
+        layouts.mark_fresh(marker, stamp)
     return path
 
 
@@ -1247,8 +1246,7 @@ def build_source_token_mg_table(spark: SparkSession, sf_dir: str) -> str:
             .write.mode("overwrite")
             .parquet(path)
         )
-        with open(marker, "w") as fh:
-            fh.write(stamp)
+        layouts.mark_fresh(marker, stamp)
     return path
 
 
@@ -1353,8 +1351,7 @@ def compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders").repartition(64).write.mode(
             "overwrite"
         ).parquet(frag)
-        with open(marker, "w") as fh:
-            fh.write(stamp)
+        layouts.mark_fresh(marker, stamp)
     from nyc_analytics_database_platform_spark.operators.compaction import dir_stats
 
     _, total_bytes = dir_stats(frag)
@@ -1443,8 +1440,7 @@ def build_orders_date_manifest(spark: SparkSession, sf_dir: str) -> tuple[str, s
         spark.createDataFrame(
             rows, "file string, min_ts timestamp, max_ts timestamp, n_rows long"
         ).coalesce(1).write.mode("overwrite").parquet(manifest)
-        with open(marker, "w") as fh:
-            fh.write(stamp)
+        layouts.mark_fresh(marker, stamp)
     return layout, manifest
 
 
@@ -1529,8 +1525,7 @@ def build_scd2_history_table(spark: SparkSession, sf_dir: str) -> str:
             attr_cols=("o_orderstatus",),
             order_cols=("o_orderkey",),
         ).write.mode("overwrite").parquet(path)
-        with open(marker, "w") as fh:
-            fh.write(stamp)
+        layouts.mark_fresh(marker, stamp)
     return path
 
 

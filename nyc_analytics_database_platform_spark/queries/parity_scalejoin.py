@@ -31,41 +31,29 @@ by tests/test_scalejoin_plans.py.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nyc_analytics_database_platform_spark.catalog import load, table_path
+from nyc_analytics_database_platform_spark import layouts
+from nyc_analytics_database_platform_spark.catalog import load
 from nyc_analytics_database_platform_spark.registry import register
 
 
+# Lifecycle helpers: thin aliases over the single implementation in
+# layouts.py (VERDICT r9 #8); kept under their historical names because the
+# lifecycle builders in parity_lifecycle.py import them from here.
 def _scratch(sf_dir: str, name: str) -> str:
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), "spark_graft_scalejoin", tag, name)
+    return layouts.scratch(sf_dir, "scalejoin", name)
 
 
 def _source_stamp(sf_dir: str, *tables: str) -> str:
-    """Freshness stamp for persisted layouts: the source parquet mtimes.
-    Regenerated testdata changes the stamp, forcing a layout rewrite -
-    the persisted artifact can never silently serve stale data."""
-    return "|".join(
-        f"{t}:{os.path.getmtime(table_path(sf_dir, t)):.0f}" for t in tables
-    )
+    return layouts.source_stamp(sf_dir, *tables)
 
 
-def _is_fresh(marker: str, stamp: str) -> bool:
-    try:
-        with open(marker) as fh:
-            return fh.read() == stamp
-    except OSError:
-        return False
-
-
-def _tag(sf_dir: str) -> str:
-    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+_is_fresh = layouts.is_fresh
+_tag = layouts.tag
 
 
 _N_BUCKETS = 16
@@ -111,9 +99,7 @@ def build_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .mode("overwrite")
             .saveAsTable(bc)
         )
-        os.makedirs(base, exist_ok=True)
-        with open(done, "w") as fh:
-            fh.write(stamp)
+        layouts.mark_fresh(done, stamp)
     else:
         # Files already on disk: adopt them with a bucket-spec DDL (no data
         # movement). Idempotent for the common same-session rerun.
@@ -241,8 +227,7 @@ def dpp_partitioned_month_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("o_month")
             .parquet(path)
         )
-        with open(marker, "w") as fh:
-            fh.write(stamp)
+        layouts.mark_fresh(marker, stamp)
     fact = spark.read.parquet(path)
     month_dim = (
         orders.select(F.date_format("o_orderdate", "yyyy-MM").alias("m"))
@@ -347,8 +332,7 @@ def build_zorder_orders(spark: SparkSession, sf_dir: str) -> str:
             )
         finally:
             spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
-        with open(marker, "w") as fh:
-            fh.write(stamp)
+        layouts.mark_fresh(marker, stamp)
     return path
 
 

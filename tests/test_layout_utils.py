@@ -130,3 +130,37 @@ def test_morton_key_int_inputs_nonnegative_and_matches_long(spark):
     ).collect()[0]
     assert row.k_int == row.k_long
     assert row.k_int >= 0
+
+
+def test_layouts_lifecycle_contract(tmp_path):
+    """The single layouts module (VERDICT r9 #8): stamp mismatch, marker
+    commit ordering, and the empty-adopt guard (ADVICE r9)."""
+    from nyc_analytics_database_platform_spark import layouts
+
+    marker = str(tmp_path / "family" / "_done")
+    data = tmp_path / "data"
+    # no marker yet -> stale
+    assert not layouts.is_fresh(marker, "s1")
+    layouts.mark_fresh(marker, "s1")
+    assert layouts.is_fresh(marker, "s1")
+    # changed stamp (regenerated source or new spec) -> stale
+    assert not layouts.is_fresh(marker, "s2")
+    # data_dirs guard: marker alone never justifies adopting an empty dir
+    assert not layouts.is_fresh(marker, "s1", data_dirs=(str(data),))
+    data.mkdir()
+    assert not layouts.is_fresh(marker, "s1", data_dirs=(str(data),))
+    (data / "part-000.parquet").write_bytes(b"x")
+    assert layouts.is_fresh(marker, "s1", data_dirs=(str(data),))
+
+
+def test_layouts_source_stamp_tracks_mtime_and_spec(sf_dir):
+    from nyc_analytics_database_platform_spark import layouts
+
+    s1 = layouts.source_stamp(sf_dir, "orders")
+    assert s1 == layouts.source_stamp(sf_dir, "orders")
+    assert s1 != layouts.source_stamp(sf_dir, "orders", spec="n=32")
+    assert s1 != layouts.source_stamp(sf_dir, "orders", "customer")
+    # scratch paths are namespaced by family and sf tag
+    a = layouts.scratch(sf_dir, "fam1", "x")
+    b = layouts.scratch("/other/dir", "fam1", "x")
+    assert a != b and "fam1" in a
