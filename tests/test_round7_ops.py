@@ -56,8 +56,8 @@ def test_rfm_prefixsum_equals_window(spark, sf_dir):
 def test_ntile_from_rank_matches_sql_ntile(spark):
     """Property check of the closed-form NTILE on awkward sizes (n < tiles,
     n % tiles != 0, n == tiles) against Spark's own window NTILE."""
-    from nyc_analytics_database_platform_spark.queries.parity_retail import (
-        _ntile_from_rank,
+    from nyc_analytics_database_platform_spark.operators.prefixsum import (
+        ntile_from_rank as _ntile_from_rank,
     )
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -162,3 +162,40 @@ def test_stream_weighted_reservoir_crosses_batches(spark, sf_dir):
         .collect()
     }
     assert finals == truth
+
+
+def test_exact_ntiles_matches_window_ntile(spark):
+    """exact_ntiles (round 10: fused two-phase order-statistic NTILE, no
+    global window) must be bit-identical to window NTILE for asc/desc
+    orders, heavy ties, and n < tiles."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nyc_analytics_database_platform_spark.operators.prefixsum import (
+        exact_ntiles,
+    )
+
+    rng = random.Random(42)
+    for n, tiles in ((1, 5), (3, 5), (97, 5), (1000, 10), (1000, 7)):
+        rows = [(i, rng.randint(0, 8), rng.randint(0, 10**6)) for i in range(n)]
+        df = spark.createDataFrame(rows, "tb long, a long, b long")
+        out, total = exact_ntiles(
+            df,
+            [
+                ("qa", [("a", False), ("tb", False)]),
+                ("qb", [("b", True), ("tb", False)]),
+            ],
+            tiles=tiles,
+            num_shards=5,
+        )
+        assert total == n
+        exp = df.select(
+            "tb",
+            F.ntile(tiles).over(Window.orderBy("a", "tb")).alias("qa"),
+            F.ntile(tiles).over(Window.orderBy(F.desc("b"), "tb")).alias("qb"),
+        )
+        got = {(r["tb"], r["qa"], r["qb"]) for r in out.select("tb", "qa", "qb").collect()}
+        want = {(r["tb"], r["qa"], r["qb"]) for r in exp.collect()}
+        assert got == want, f"n={n} tiles={tiles}"
