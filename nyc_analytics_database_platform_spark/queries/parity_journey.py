@@ -221,9 +221,7 @@ def multitouch_attribution_position(
     )
 
 
-@register(
-    "kaplan_meier_reorder",
-    oracle="""
+_KM_ORACLE = """
         WITH od AS (
             SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
             FROM orders
@@ -280,7 +278,12 @@ def multitouch_attribution_position(
                    AS log_surv_nano
         FROM hazard
         ORDER BY t_months
-    """,
+    """
+
+
+@register(
+    "kaplan_meier_reorder",
+    oracle=_KM_ORACLE,
     tags=("A-ext", "stats", "journey"),
 )
 def kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,6 +303,12 @@ def kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: facts collapse to per-customer (first, second) dates via
     one partitioned aggregate; the life table is O(duration buckets) rows,
     so its running-sum window is trivially bounded."""
+    return _km_life_table(_km_bucket_frame(spark, sf_dir))
+
+
+def _km_bucket_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t, d_events, c_censored) duration-bucket partials from the fact:
+    the shared input of the from-scratch and persisted KM paths."""
     orders = load(spark, sf_dir, "orders").select(
         "o_custkey", F.to_date("o_orderdate").alias("d")
     )
@@ -340,13 +349,17 @@ def kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("datediff(max_d, first_d) div 30"))
         .alias("t"),
     )
-    buckets = subjects.groupBy("t").agg(
+    return subjects.groupBy("t").agg(
         F.sum("event").alias("d_events"),
         F.sum(1 - F.col("event")).alias("c_censored"),
     )
-    # n_total from the life table itself (full-frame window over the
-    # O(duration-buckets) rows) - the previous subjects.agg() broadcast
-    # recomputed the whole per-customer chain a second time (round 9).
+
+
+def _km_life_table(buckets: DataFrame) -> DataFrame:
+    """Life-table tail shared by the from-scratch and persisted KM paths:
+    at-risk counts, hazards, and the log-space survival sum over the
+    O(duration-buckets) frame (n_total comes from the life table itself -
+    a full-frame window over bounded rows, round 9)."""
     w_all = Window.partitionBy(F.lit(1))
     w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     risk = (
@@ -381,6 +394,47 @@ def kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_months")
     )
+
+
+def build_km_bucket_table(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the KM duration-bucket partials (t, d_events, c_censored) -
+    the additive life-table input every survival dashboard re-derives from
+    the fact on each view. The partials are plain sums, so the table is
+    maintainable by the same partial-merge discipline as the month
+    histogram/sketch tables (a new day of orders folds in with groupBy-sum
+    union); freshness-stamped like every persisted layout."""
+    from nyc_analytics_database_platform_spark import layouts
+
+    path = layouts.scratch(sf_dir, "scalejoin", "km_reorder_buckets")
+    marker = path + "_done"
+    stamp = layouts.source_stamp(sf_dir, "orders")
+    if not layouts.is_fresh(marker, stamp, data_dirs=(path,)):
+        _km_bucket_frame(spark, sf_dir).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        layouts.mark_fresh(marker, stamp)
+    return path
+
+
+@register(
+    "kaplan_meier_bucketed",
+    # identical full-recompute oracle: the persisted partials change no
+    # bytes of the answer, only where the serve-time plan starts
+    oracle=_KM_ORACLE,
+    tags=("A-ext", "stats", "journey", "lifecycle", "layout", "warehouse"),
+)
+def kaplan_meier_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kaplan_meier_reorder served from the PERSISTED duration-bucket
+    table (VERDICT r9 #4): the per-customer collapse over the fact runs
+    once at build time; the serve-time plan is the O(duration-buckets)
+    life-table windows over a KB-scale parquet read. Note the ask's
+    CLUSTERED BY custkey layout would not help here - the life table needs
+    a GLOBAL t-order, not custkey locality - so the persisted artifact is
+    the bucket-level additive partial (the same mergeable-partial shape as
+    the month quantile/sketch tables), which serves the query exchange-
+    light AND maintains incrementally."""
+    buckets = spark.read.parquet(build_km_bucket_table(spark, sf_dir))
+    return _km_life_table(buckets)
 
 
 @register(

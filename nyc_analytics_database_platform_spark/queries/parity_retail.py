@@ -46,9 +46,7 @@ def _cents(col) -> F.Column:
 _RFM_PREFIXSUM_MIN_ORDERS = 20_000_000
 
 
-@register(
-    "rfm_customer_segments",
-    oracle="""
+_RFM_ORACLE = """
         WITH per_cust AS (
             SELECT o_custkey,
                    DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
@@ -72,7 +70,12 @@ _RFM_PREFIXSUM_MIN_ORDERS = 20_000_000
         FROM scored
         GROUP BY r_score, f_score, m_score
         ORDER BY r_score, f_score, m_score
-    """,
+    """
+
+
+@register(
+    "rfm_customer_segments",
+    oracle=_RFM_ORACLE,
     tags=("A-ext", "retail"),
 )
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,6 +104,13 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round7_ops.py locks the two bit-identical at
     sf0.001+sf0.01, and plan_audit labels the small-scale window
     window(ok) on the strength of that switch."""
+    return _rfm_rollup(_rfm_scored(spark, sf_dir))
+
+
+def _rfm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer scored frame (r/f/m quintiles + frequency +
+    monetary_cents): the shared input of the from-scratch rollup and the
+    persisted segment table."""
     orders = load(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_dt"),
@@ -159,6 +169,10 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = scored.select(
             "r_score", "f_score", "m_score", "frequency", "monetary_cents"
         )
+    return scored
+
+
+def _rfm_rollup(scored: DataFrame) -> DataFrame:
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
@@ -734,3 +748,40 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h1_score", "h2_score")
     )
+
+
+def build_rfm_segment_table(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the per-customer RFM segment table (r/f/m quintile scores +
+    frequency + monetary cents) - the CRM segment table every dashboard
+    reads, maintained per source snapshot instead of re-scored per query.
+    Freshness-stamped like every persisted layout (layouts module)."""
+    from nyc_analytics_database_platform_spark import layouts
+
+    path = layouts.scratch(sf_dir, "scalejoin", "rfm_segment_table")
+    marker = path + "_done"
+    stamp = layouts.source_stamp(sf_dir, "orders")
+    if not layouts.is_fresh(marker, stamp, data_dirs=(path,)):
+        _rfm_scored(spark, sf_dir).write.mode("overwrite").parquet(path)
+        layouts.mark_fresh(marker, stamp)
+    return path
+
+
+@register(
+    "rfm_segments_persisted",
+    # identical full-recompute oracle: the persisted segment table changes
+    # no bytes of the answer, only where the serve-time plan starts
+    oracle=_RFM_ORACLE,
+    tags=("A-ext", "retail", "lifecycle", "layout", "warehouse"),
+)
+def rfm_segments_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rfm_customer_segments served from the PERSISTED per-customer
+    segment table (VERDICT r9 #4): scoring (the fact collapse + three
+    exact-quintile assignments) runs once per source snapshot at build
+    time; the serve-time plan is one narrow scan + a <=125-cell rollup.
+    Note the ask's CLUSTERED BY custkey layout cannot make the NTILEs
+    exchange-free - quintiles are a GLOBAL metric order, not custkey-local
+    - so the persisted artifact is the scored table itself, the shape a
+    CRM actually maintains (and the build path is the windowless
+    exact_ntiles scan, so even the build has no global sort)."""
+    scored = spark.read.parquet(build_rfm_segment_table(spark, sf_dir))
+    return _rfm_rollup(scored)
