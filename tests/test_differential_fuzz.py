@@ -2100,3 +2100,226 @@ def test_differential_random_manifest_pruning(spark, sf_dir, duck, case_id, rng)
 
     assert sorted(ocols) == cols, (case_id, cols, ocols)
     assert got == want, (case_id, a_s, b_s, len(paths))
+
+
+# ---------------------------------------------------------------------------
+# STREAMING MAINTENANCE state-machine fuzz (round 10, VERDICT r9 #7): the
+# executed SCD2/session maintenance streams had fixed 4-file splits; these
+# families randomize the trigger split points AND the key population per
+# case, so micro-batch boundaries land mid-run / mid-session for some keys
+# and versions/seqs must still continue exactly as the batch recompute says.
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:8])
+def test_differential_random_stream_scd2_maintenance(spark, sf_dir, duck,
+                                                     case_id, rng):
+    """Random micro-batch cuts (2-4 random dates -> 3-5 chronological
+    files) and a random custkey congruence class drain through the
+    streaming SCD2 state machine; the emitted CLOSED intervals must equal
+    the batch recompute's, versions continuing across every batch
+    boundary. The straddle assert proves at least one key's run actually
+    spans a cut (the seam the fuzz exists to stress)."""
+    from nyc_analytics_database_platform_spark.queries.streaming_stateful import (
+        _stage_ordered_files,
+        drain_or_raise,
+    )
+    from nyc_analytics_database_platform_spark.streaming.stateful import (
+        scd2_closed_intervals,
+    )
+
+    m = rng.choice([2, 3, 5])
+    rem = rng.randrange(m)
+    n_cuts = rng.randint(2, 4)
+    days = sorted(rng.sample(range(200, 2300), n_cuts))  # 1995-07..2001-06
+    cuts = [
+        f"CAST(TIMESTAMP '1995-01-01' + INTERVAL {d} DAY AS TIMESTAMP)"
+        for d in days
+    ]
+    where = f"o_custkey % {m} = {rem}"
+
+    # the seam stress must actually occur: some key's batch-boundary run
+    # straddles at least one cut (runs are months long, so this holds for
+    # every seed - the assert documents the property, not luck)
+    straddle = duck.execute(f"""
+        WITH ordered AS (
+            SELECT o_custkey, o_orderstatus, o_orderdate,
+                   lag(o_orderstatus) OVER w AS prev_status
+            FROM orders WHERE {where}
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ),
+        iv AS (
+            SELECT o_custkey, o_orderdate AS vf,
+                   lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate) AS vt
+            FROM ordered
+            WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+        )
+        SELECT COUNT(*) FROM iv
+        WHERE vt IS NOT NULL AND ({" OR ".join(
+            f"(vf < {c} AND vt > {c})" for c in cuts
+        )})
+    """).fetchone()[0]
+    assert straddle > 0, (case_id, days)
+
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % m == rem
+    ).select(
+        "o_custkey",
+        F.unix_micros("o_orderdate").alias("ts_us"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    base = F.unix_micros(F.lit("1995-01-01").cast("timestamp"))
+    cuts_us = [base + d * 86_400_000_000 for d in days]
+    bounds = [None, *cuts_us, None]
+    stages = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        st = orders
+        if lo is not None:
+            st = st.filter(F.col("ts_us") >= lo)
+        if hi is not None:
+            st = st.filter(F.col("ts_us") < hi)
+        stages.append(st)
+
+    scratch, src_dir, ckpt = _stream_scratch(f"scd2m_{case_id}")
+    _stage_ordered_files(scratch, src_dir, stages)
+    source = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    name = f"fuzz_scd2m_{case_id}"
+    q = (
+        scd2_closed_intervals(source)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, f"fuzz scd2 maintenance stream {case_id}")
+    got = Counter(
+        tuple(row) for row in spark.table(name)
+        .select("custkey", "status", "vf_us", "vt_us", "version")
+        .collect()
+    )
+    want = Counter(map(tuple, duck.execute(f"""
+        WITH ordered AS (
+            SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+                   lag(o_orderstatus) OVER w AS prev_status
+            FROM orders WHERE {where}
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ),
+        ch AS (
+            SELECT * FROM ordered
+            WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+        ),
+        iv AS (
+            SELECT o_custkey AS custkey, o_orderstatus AS status,
+                   epoch_us(o_orderdate) AS vf_us,
+                   epoch_us(lead(o_orderdate) OVER w2) AS vt_us,
+                   CAST(ROW_NUMBER() OVER w2 AS INT) AS version
+            FROM ch
+            WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        )
+        SELECT custkey, status, vf_us, vt_us, version
+        FROM iv WHERE vt_us IS NOT NULL
+    """).fetchall()))
+    assert got == want, (case_id, m, rem, days)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:8])
+def test_differential_random_stream_session_maintenance(spark, sf_dir, duck,
+                                                        case_id, rng):
+    """Random micro-batch cuts at SECOND granularity (so boundaries land
+    inside live 5-minute sessions for some users) and a random user_id
+    congruence class drain through the streaming session state machine;
+    emitted CLOSED sessions must equal batch sessionization minus each
+    user's still-open last session, seq numbering continuing across every
+    boundary."""
+    from nyc_analytics_database_platform_spark.queries.streaming_stateful import (
+        _stage_ordered_files,
+        drain_or_raise,
+    )
+    from nyc_analytics_database_platform_spark.streaming.stateful import (
+        session_closed_windows,
+    )
+
+    m = rng.choice([2, 3, 4])
+    rem = rng.randrange(m)
+    n_cuts = rng.randint(2, 4)
+    # seconds into January 2024, day 2 .. day 29
+    secs = sorted(rng.sample(range(86_400, 28 * 86_400), n_cuts))
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in micros
+    cuts_us = [base_us + s * 1_000_000 for s in secs]
+
+    events = load(spark, sf_dir, "events").filter(
+        F.col("user_id") % m == rem
+    ).select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id")
+    bounds = [None, *cuts_us, None]
+    stages = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        st = events
+        if lo is not None:
+            st = st.filter(F.col("ts_us") >= lo)
+        if hi is not None:
+            st = st.filter(F.col("ts_us") < hi)
+        stages.append(st)
+
+    scratch, src_dir, ckpt = _stream_scratch(f"sessm_{case_id}")
+    _stage_ordered_files(scratch, src_dir, stages)
+    source = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    name = f"fuzz_sessm_{case_id}"
+    q = (
+        session_closed_windows(source)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, f"fuzz session maintenance stream {case_id}")
+    got = Counter(
+        tuple(row) for row in spark.table(name)
+        .select("user_id", "session_seq", "start_us", "end_us", "n_events")
+        .collect()
+    )
+    want = Counter(map(tuple, duck.execute(f"""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+            WHERE user_id % {m} = {rem}
+        ),
+        mk AS (
+            SELECT *,
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w >= 300000000
+                        THEN 1 ELSE 0 END AS ns
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        s AS (
+            SELECT *, SUM(ns) OVER (
+                PARTITION BY user_id ORDER BY us, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM mk
+        ),
+        agg AS (
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   MIN(us) AS start_us, MAX(us) AS end_us,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, session_seq
+        ),
+        lastmark AS (
+            SELECT *, MAX(session_seq) OVER (PARTITION BY user_id) AS mx
+            FROM agg
+        )
+        SELECT user_id, session_seq, start_us, end_us, n_events
+        FROM lastmark WHERE session_seq < mx
+    """).fetchall()))
+    assert got == want, (case_id, m, rem, secs)
