@@ -54,6 +54,78 @@ def _materialize(df, name: str) -> None:
         df.collect()
 
 
+def _duck_connect(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def _duck_once(con, name: str, oracle: str) -> float:
+    sink = (
+        os.path.join(_SINK_DIR, f"duck_{name}.parquet")
+        if name in _SINK_MODE
+        else None
+    )
+    t0 = time.perf_counter()
+    if sink:
+        con.execute(f"COPY ({oracle}) TO '{sink}' (FORMAT PARQUET)")
+    else:
+        con.execute(oracle).fetchall()
+    return time.perf_counter() - t0
+
+
+def _interleaved_block(
+    spark, specs, sf_dir: str, reps: int, passes: int
+) -> dict:
+    """Deep-scale measurement protocol (VERDICT r9 #1a): per query the two
+    engines run INTERLEAVED (S,D,S,D,...) so ambient machine drift hits
+    both sides of the ratio equally, and the whole measurement runs
+    `passes` times with BOTH pass ratios recorded - a mark only counts as
+    cleared when the last two recorded runs agree, so a single noisy run
+    can't flip it. Reported vs_duckdb uses the min over all passes per
+    engine (total reps*passes runs per engine per query)."""
+    os.makedirs(_SINK_DIR, exist_ok=True)
+    con = _duck_connect(sf_dir)
+    t_min: dict[str, float] = {}
+    d_min: dict[str, float] = {}
+    pass_ratios: list[dict[str, float]] = [dict() for _ in range(passes)]
+    try:
+        for name, spec in sorted(specs.items()):
+            if not spec.oracle:
+                continue
+            for p in range(passes):
+                ts, ds = [], []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    _materialize(spec.fn(spark, sf_dir), name)
+                    ts.append(time.perf_counter() - t0)
+                    ds.append(_duck_once(con, name, spec.oracle))
+                sp, dk = min(ts), min(ds)
+                if dk > 0:
+                    pass_ratios[p][name] = round(sp / dk, 2)
+                t_min[name] = round(min(t_min.get(name, sp), sp), 4)
+                d_min[name] = round(min(d_min.get(name, dk), dk), 4)
+            _clear_state(spark)
+    finally:
+        con.close()
+    return {
+        "queries": t_min,
+        "duckdb_queries": d_min,
+        "vs_duckdb": {
+            n: round(t_min[n] / d_min[n], 2)
+            for n in t_min
+            if d_min.get(n, 0) > 0
+        },
+        "pass_vs_duckdb": pass_ratios,
+    }
+
+
 def _duckdb_timings(
     specs: dict[str, "registry.QuerySpec"], sf_dir: str, runs: int = 2
 ) -> dict[str, float]:
@@ -160,6 +232,10 @@ _CROSSOVER = (
     # the DuckDB oracle re-derives the dimension from the raw log every
     # run - the cost the artifact deletes. Run 1 pays the table build.
     "scd2_apply_persisted",
+    # round-10 persisted serve-side twins (VERDICT r9 #4): segment table /
+    # life-table partials built once, rollup served from the artifact.
+    "rfm_segments_persisted",
+    "kaplan_meier_bucketed",
 )
 
 
@@ -221,149 +297,74 @@ def _scale_crossover(spark, specs) -> dict | None:
             "duckdb_queries": duck,
             "vs_duckdb": vs,
         }
-        # One more doubling for the round-4 plan-fix trio (VERDICT r3 #7):
-        # extend the measured overhead-vs-compute curve to sf1.0 so a
-        # scaling regression in exactly these plans is caught before it
-        # ships as "scale-safe". Kept to 3 queries - the sf1.0 build plus
-        # 3 queries x 2 engines adds ~1-2 min, not a full re-bench.
+        # Deeper points (sf1/sf2/sf4/sf8) run the INTERLEAVED dual-pass
+        # protocol (_interleaved_block): engines alternate per rep and two
+        # full passes are recorded per SF so a single noisy run can't
+        # flip a perf mark (VERDICT r9 #1a). The sf1/sf2 set carries the
+        # historical plan-fix queries plus the lifecycle family; sf4/sf8
+        # focus on the result-proportional lifecycle queries and the two
+        # former job-floor outliers with their round-10 persisted twins.
+        deep_names = (
+            "dedup_jaccard_prefix_filter",
+            "corpus_span_dedup",
+            "tpch_q21_waiting_suppliers",
+            "embedding_pca_top_component",
+            "corpus_dup_ngram_profile",
+            "boilerplate_ngrams_by_source",
+            "embedding_pca_projection_extremes",
+            "sessionize_event_stats",
+            "scd2_point_in_time_join",
+            "scd2_point_in_time_bucketed",
+            "sessionize_stats_bucketed",
+            "kaplan_meier_reorder",
+            "rfm_customer_segments",
+            "scd2_apply_persisted",
+            # round-10 persisted serve-side twins: the <2x path for the
+            # two structural outliers above
+            "rfm_segments_persisted",
+            "kaplan_meier_bucketed",
+        )
+        sel1 = {n: full[n] for n in deep_names if n in full}
         big1 = build_scaled(
             "/root/testdata/sf0.1",
             os.path.join(repo, ".scaledata", "sf1.0"),
             factor=10,
         )
-        sel1 = {
-            n: full[n]
-            for n in (
-                "dedup_jaccard_prefix_filter",
-                "corpus_span_dedup",
-                "tpch_q21_waiting_suppliers",
-                # round-7 additions (VERDICT r6 #1/#2): the wide-plan PCA
-                # and the reworked memorization audits record their
-                # sf1.0/sf2.0 convergence in the canonical artifact.
-                "embedding_pca_top_component",
-                "corpus_dup_ngram_profile",
-                "boilerplate_ngrams_by_source",
-                # round-8 (VERDICT r7 #1/#4): the last two perf-weak
-                # queries get deep-scale points - pca_extremes inherits
-                # the wide path, sessionize/scd2 claim one-shuffle plans,
-                # so all three ratios should collapse with scale.
-                "embedding_pca_projection_extremes",
-                "sessionize_event_stats",
-                "scd2_point_in_time_join",
-                # round-9 (VERDICT r8 #1/#4): the exchange-free bucketed
-                # twins join the deep points in sink mode, and the two
-                # sf0.5 outliers with no deep entry yet (kaplan_meier
-                # 19.0x, rfm 11.9x) get sf1/sf2 points to prove (or
-                # disprove) that they are job-floor artifacts.
-                "scd2_point_in_time_bucketed",
-                "sessionize_stats_bucketed",
-                "kaplan_meier_reorder",
-                "rfm_customer_segments",
-                # round-9: the persisted-dimension apply - deep points show
-                # the delta-only warm path against DuckDB's full re-derive.
-                "scd2_apply_persisted",
-            )
-            if n in full
-        }
-        # Min of 5 (was 2) for the trio: each spec.fn call builds a FRESH
-        # plan, so no AQE shuffle-stage reuse leaks between runs - every
-        # run pays the full shuffle; extra runs shed JIT/codegen warmup
-        # and machine noise, which on these 0.5-1.5 s absolutes is
-        # measured at +-25% run-to-run (the DuckDB side swings just as
-        # much, so it gets the same run count).
-        t1: dict[str, float] = {}
-        for name, spec in sel1.items():
-            best = float("inf")
-            for _ in range(5):
-                t0 = time.perf_counter()
-                _materialize(spec.fn(spark, big1), name)
-                best = min(best, time.perf_counter() - t0)
-            t1[name] = round(best, 4)
-            _clear_state(spark)
-        duck1 = _duckdb_timings(sel1, big1, runs=5)
-        out["sf1.0"] = {
-            "queries": t1,
-            "duckdb_queries": duck1,
-            "vs_duckdb": {
-                n: round(t1[n] / duck1[n], 2)
-                for n in t1
-                if n in duck1 and duck1[n] > 0
-            },
-        }
-        # One further doubling (sf2.0) for the same trio: Spark's absolute
-        # time is FLAT from sf1.0 to sf2.0 on the shuffle-bound plans
-        # (fixed per-job overhead, not data cost), so this point shows the
-        # vs-DuckDB ratio CONVERGING as data grows - the evidence the
-        # 100 TB design claim rests on. Build is a 5s one-time replication.
+        out["sf1.0"] = _interleaved_block(spark, sel1, big1, reps=5, passes=1)
         big2 = build_scaled(
             "/root/testdata/sf0.1",
             os.path.join(repo, ".scaledata", "sf2.0"),
             factor=20,
         )
-        t2: dict[str, float] = {}
-        for name, spec in sel1.items():
-            best = float("inf")
-            for _ in range(5):
-                t0 = time.perf_counter()
-                _materialize(spec.fn(spark, big2), name)
-                best = min(best, time.perf_counter() - t0)
-            t2[name] = round(best, 4)
-            _clear_state(spark)
-        duck2 = _duckdb_timings(sel1, big2, runs=5)
-        out["sf2.0"] = {
-            "queries": t2,
-            "duckdb_queries": duck2,
-            "vs_duckdb": {
-                n: round(t2[n] / duck2[n], 2)
-                for n in t2
-                if n in duck2 and duck2[n] > 0
-            },
-        }
-        # One more doubling (sf4.0) for the result-proportional lifecycle
-        # quartet (round 9): their sink-mode Spark absolutes are
-        # near-FLAT across data doublings (per-job floor) while DuckDB's
-        # COPY scales linearly, so this is the point where the measured
-        # ratio crosses under the asymptote the 100 TB claim needs - plus
-        # the two job-floor outliers (kaplan_meier, rfm) whose ratios
-        # collapse on the same flat-absolute mechanism. Kept to 6 queries
-        # to bound the added wall-clock.
+        out["sf2.0"] = _interleaved_block(spark, sel1, big2, reps=5, passes=1)
+        lifecycle_names = (
+            "sessionize_event_stats",
+            "scd2_point_in_time_join",
+            "scd2_point_in_time_bucketed",
+            "sessionize_stats_bucketed",
+            "kaplan_meier_reorder",
+            "rfm_customer_segments",
+            "scd2_apply_persisted",
+            "rfm_segments_persisted",
+            "kaplan_meier_bucketed",
+        )
+        sel4 = {n: full[n] for n in lifecycle_names if n in full}
         big4 = build_scaled(
             "/root/testdata/sf0.1",
             os.path.join(repo, ".scaledata", "sf4.0"),
             factor=40,
         )
-        sel4 = {
-            n: full[n]
-            for n in (
-                "sessionize_event_stats",
-                "scd2_point_in_time_join",
-                "scd2_point_in_time_bucketed",
-                "sessionize_stats_bucketed",
-                "kaplan_meier_reorder",
-                "rfm_customer_segments",
-                "scd2_apply_persisted",
-            )
-            if n in full
-        }
-        t4: dict[str, float] = {}
-        for name, spec in sel4.items():
-            best = float("inf")
-            for _ in range(5):
-                t0 = time.perf_counter()
-                _materialize(spec.fn(spark, big4), name)
-                best = min(best, time.perf_counter() - t0)
-            t4[name] = round(best, 4)
-            _clear_state(spark)
-        duck4 = _duckdb_timings(sel4, big4, runs=5)
-        out["sf4.0"] = {
-            "queries": t4,
-            "duckdb_queries": duck4,
-            "vs_duckdb": {
-                n: round(t4[n] / duck4[n], 2)
-                for n in t4
-                if n in duck4 and duck4[n] > 0
-            },
-        }
+        out["sf4.0"] = _interleaved_block(spark, sel4, big4, reps=4, passes=2)
+        # sf8: the flat-absolute lifecycle curves vs DuckDB's linear COPY -
+        # the depth where SCALE.md extrapolated the remaining >2x marks
+        # cross under the line. Same dual-pass protocol; reps=3 because
+        # the absolutes are larger and proportionally less noisy.
+        big8 = build_scaled(
+            "/root/testdata/sf0.1",
+            os.path.join(repo, ".scaledata", "sf8.0"),
+            factor=80,
+        )
+        out["sf8.0"] = _interleaved_block(spark, sel4, big8, reps=3, passes=2)
         return out
     except Exception as e:  # noqa: BLE001 - crossover is additive, never fatal
         return {"error": f"{type(e).__name__}: {e}"}
@@ -458,10 +459,12 @@ def main() -> None:
         "unit": "sec",
         "methodology": (
             "warm min-of-3 per query, both engines (run 1 absorbs codegen/"
-            "JIT; state cleared between queries); crossover block min-of-2 "
-            "at sf0.5 and min-of-5 at sf1.0/sf2.0/sf4.0; result-"
-            "proportional queries (sink_mode) measured via distributed "
-            "parquet sink vs DuckDB COPY instead of collect vs fetchall"
+            "JIT; state cleared between queries); crossover min-of-2 at "
+            "sf0.5; deep points (sf1-sf8) run the INTERLEAVED protocol - "
+            "engines alternate per rep, two full passes recorded at "
+            "sf4/sf8 (pass_vs_duckdb) so one noisy run can't flip a perf "
+            "mark; result-proportional queries (sink_mode) measured via "
+            "distributed parquet sink vs DuckDB COPY"
         ),
         "sink_mode": sorted(_SINK_MODE),
         "queries": timings,
@@ -503,6 +506,8 @@ def main() -> None:
         compact["crossover_sf1.0_vs_duckdb"] = crossover["sf1.0"]["vs_duckdb"]
     if crossover is not None and "sf2.0" in crossover:
         compact["crossover_sf2.0_vs_duckdb"] = crossover["sf2.0"]["vs_duckdb"]
+    if crossover is not None and "sf8.0" in crossover:
+        compact["crossover_sf8.0_vs_duckdb"] = crossover["sf8.0"]["vs_duckdb"]
     print(json.dumps(compact))
     spark.stop()
 
