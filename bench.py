@@ -37,6 +37,7 @@ _SINK_MODE = frozenset(
         "scd2_point_in_time_bucketed",
         "sessionize_stats_bucketed",
         "scd2_apply_persisted",
+        "scd2_apply_delta_commit",
     }
 )
 
@@ -236,6 +237,8 @@ _CROSSOVER = (
     # life-table partials built once, rollup served from the artifact.
     "rfm_segments_persisted",
     "kaplan_meier_bucketed",
+    # round-10: the merge's WRITE-SET form - the 100 TB commit shape
+    "scd2_apply_delta_commit",
 )
 
 
@@ -319,6 +322,7 @@ def _scale_crossover(spark, specs) -> dict | None:
             "kaplan_meier_reorder",
             "rfm_customer_segments",
             "scd2_apply_persisted",
+            "scd2_apply_delta_commit",
             # round-10 persisted serve-side twins: the <2x path for the
             # two structural outliers above
             "rfm_segments_persisted",
@@ -345,6 +349,7 @@ def _scale_crossover(spark, specs) -> dict | None:
             "kaplan_meier_reorder",
             "rfm_customer_segments",
             "scd2_apply_persisted",
+            "scd2_apply_delta_commit",
             "rfm_segments_persisted",
             "kaplan_meier_bucketed",
         )
@@ -365,6 +370,21 @@ def _scale_crossover(spark, specs) -> dict | None:
             factor=80,
         )
         out["sf8.0"] = _interleaved_block(spark, sel4, big8, reps=3, passes=2)
+        # sf16: the two SCD2 merges only. Their measured cost model is
+        # ~1.1s fixed dispatch + ~0.07s/sf data vs DuckDB's ~0.075s/sf
+        # pure-linear recompute, so the <2x crossover lands ~sf14 - this
+        # is the point that shows it measured, not extrapolated.
+        big16 = build_scaled(
+            "/root/testdata/sf0.1",
+            os.path.join(repo, ".scaledata", "sf16.0"),
+            factor=160,
+        )
+        sel16 = {
+            n: full[n]
+            for n in ("scd2_apply_persisted", "scd2_apply_delta_commit")
+            if n in full
+        }
+        out["sf16.0"] = _interleaved_block(spark, sel16, big16, reps=3, passes=2)
         return out
     except Exception as e:  # noqa: BLE001 - crossover is additive, never fatal
         return {"error": f"{type(e).__name__}: {e}"}
