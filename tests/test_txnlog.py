@@ -1,0 +1,153 @@
+"""Transaction-log (operators/txnlog.py) mechanics: atomic optimistic
+commits, copy-on-write file pruning, log-diff CDC, crash invisibility,
+vacuum safety, and chain adoption. The value-level answers are covered by
+the five registered parity_versioned queries (oracle-checked); these tests
+pin the FILE-LEVEL properties the oracles cannot see — which files were
+rewritten vs carried, what a crashed writer leaves behind, what vacuum
+removes."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_analytics_database_platform_spark.operators import txnlog
+from nyc_analytics_database_platform_spark.queries.parity_versioned import (
+    build_orders_commit_chain,
+)
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "table")
+
+
+def _orders(spark, n=100):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).cast("double").alias("v"),
+    )
+
+
+def test_append_and_time_travel(spark, root):
+    df = _orders(spark)
+    v1 = txnlog.append(spark, root, df.filter("k < 60"), range_col="k", n_files=3)
+    v2 = txnlog.append(spark, root, df.filter("k >= 60"), range_col="k", n_files=2)
+    assert (v1, v2) == (1, 2)
+    assert txnlog.read_version(spark, root, 1).count() == 60
+    assert txnlog.read_version(spark, root, 2).count() == 100
+    # v2's file list contains v1's files by reference (append is O(delta)).
+    f1 = set(txnlog.read_entry(root, 1)["files"])
+    f2 = set(txnlog.read_entry(root, 2)["files"])
+    assert f1 < f2 and len(f2 - f1) == 2
+
+
+def test_commit_conflict_raised_and_retry_wins(spark, root):
+    txnlog.append(spark, root, _orders(spark, 10), n_files=1)
+    files = txnlog.read_entry(root, 1)["files"]
+    # Direct log-level race: two writers publish against parent 1.
+    txnlog.commit(root, 1, files, "append")
+    with pytest.raises(txnlog.CommitConflict):
+        txnlog.commit(root, 1, files, "append")
+    # append() retries internally: same stale parent, no data lost.
+    txnlog.append(spark, root, _orders(spark, 5), n_files=1, parent=1)
+    assert txnlog.latest_version(root) == 3
+    assert txnlog.read_version(spark, root, 3).count() == 15
+
+
+def test_cow_delete_prunes_files(spark, root):
+    txnlog.append(spark, root, _orders(spark, 1000), range_col="k", n_files=8)
+    v, stats = txnlog.delete_range_cow(spark, root, "k", 100, 200)
+    assert v == 2
+    # Range-clustered layout: the 100-key delete touches a strict minority
+    # of files; the rest carry over by reference (zero I/O).
+    assert stats["n_rewritten"] < stats["n_parent_files"]
+    assert stats["n_carried"] > 0
+    carried = set(txnlog.read_entry(root, 1)["files"]) & set(
+        txnlog.read_entry(root, 2)["files"]
+    )
+    assert len(carried) == stats["n_carried"]
+    got = txnlog.read_version(spark, root, 2)
+    assert got.count() == 900
+    assert got.filter("k >= 100 and k < 200").count() == 0
+
+
+def test_cdc_cancels_cow_survivor_copies(spark, root):
+    txnlog.append(spark, root, _orders(spark, 100), range_col="k", n_files=2)
+    txnlog.delete_range_cow(spark, root, "k", 10, 20)
+    feed = txnlog.changes_between(spark, root, 1, 2, ["k", "v"]).collect()
+    # Survivors copied into the rewrite (the other ~40 rows of the touched
+    # file) must NOT appear in the feed — only the 10 true deletes.
+    assert sorted(r["k"] for r in feed) == list(range(10, 20))
+    assert {r["change_type"] for r in feed} == {"delete"}
+
+
+def test_crashed_writer_invisible(spark, root):
+    txnlog.append(spark, root, _orders(spark, 50), n_files=1)
+    # Simulate a crash: files staged under data/ but no log entry linked.
+    staged = os.path.join(root, "data", "v00002-crashed")
+    _orders(spark, 7).write.parquet(staged)
+    assert txnlog.latest_version(root) == 1
+    assert txnlog.read_version(spark, root).count() == 50
+    # Vacuum collects the orphaned staging files.
+    removed = txnlog.vacuum(root, keep_last=1)
+    assert removed["n_files_removed"] >= 1
+    assert txnlog.read_version(spark, root).count() == 50
+
+
+def test_vacuum_retention_and_expiry(spark, root):
+    df = _orders(spark, 200)
+    txnlog.append(spark, root, df.filter("k < 100"), range_col="k", n_files=4)
+    txnlog.append(spark, root, df.filter("k >= 100"), range_col="k", n_files=2)
+    txnlog.delete_range_cow(spark, root, "k", 0, 50)
+    before = txnlog.read_version(spark, root).collect()
+    stats = txnlog.vacuum(root, keep_last=1)
+    # The delete rewrote >= 1 file, so its pre-image is now unreferenced.
+    assert stats["n_files_removed"] >= 1
+    assert stats["n_versions_expired"] == 2
+    # Live data untouched; expired versions gone; head still intact.
+    after = txnlog.read_version(spark, root).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    with pytest.raises(OSError):
+        txnlog.read_entry(root, 1)
+    assert txnlog.chain_intact(root)
+
+
+def test_chain_adoption_and_cleaner_guard(spark, sf_dir):
+    root = build_orders_commit_chain(spark, sf_dir)
+    head_entry = txnlog._entry_path(root, txnlog.latest_version(root))
+    mtime = os.path.getmtime(head_entry)
+    # Second call adopts: no rebuild, the log is byte-identical.
+    assert build_orders_commit_chain(spark, sf_dir) == root
+    assert os.path.getmtime(head_entry) == mtime
+    # A tmp cleaner that removes data files forces a rebuild, never a
+    # broken adopt (chain_intact gate).
+    victim = txnlog.snapshot_files(root, 1)[0]
+    os.unlink(victim)
+    assert not txnlog.chain_intact(root)
+    root2 = build_orders_commit_chain(spark, sf_dir)
+    assert txnlog.chain_intact(root2)
+    n = txnlog.read_version(spark, root2, 2).count()
+    assert n > 0
+
+
+def test_concurrent_append_race_is_exercised(spark, sf_dir):
+    """The registered concurrency query must hit a REAL conflict on every
+    fresh build: writer B commits against parent 1 after A took v2."""
+    from nyc_analytics_database_platform_spark import layouts
+    from nyc_analytics_database_platform_spark.queries import parity_versioned
+
+    root = layouts.scratch(sf_dir, "txnlog", "cc")
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        os.unlink(root + "_done")
+    except OSError:
+        pass
+    out = parity_versioned.txnlog_concurrent_appends(spark, sf_dir)
+    assert txnlog.latest_version(root) == 3
+    assert out.count() > 0
+    ops = [txnlog.read_entry(root, v)["op"] for v in (1, 2, 3)]
+    assert ops == ["append", "append", "append"]
