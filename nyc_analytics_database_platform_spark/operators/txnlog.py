@@ -107,7 +107,7 @@ def chain_intact(root: str, through: int | None = None) -> bool:
             continue
         except ValueError:
             return False
-        files = entry.get("files", [])
+        files = entry.get("files", []) + entry.get("delete_files", [])
         if not files and entry.get("op") != "empty":
             return False
         if not all(os.path.isfile(os.path.join(root, f)) for f in files):
@@ -115,20 +115,22 @@ def chain_intact(root: str, through: int | None = None) -> bool:
     return True
 
 
-def commit(root: str, parent: int, files: list[str], op: str) -> int:
+def commit(root: str, parent: int, files: list[str], op: str,
+           extra: dict | None = None) -> int:
     """Publish version `parent + 1` referencing `files` (root-relative).
     Atomic + optimistic: the entry is written to a temp name and LINKED to
     its final name — link fails with EEXIST if any other writer published
     the same version first, in which case the temp is discarded and
     CommitConflict raised. The caller revalidates and retries; data files
-    already written stay usable (they are content, not log state)."""
+    already written stay usable (they are content, not log state).
+    `extra` carries op-specific entry fields (delete_files, batch_id)."""
     version = parent + 1
     os.makedirs(_log_dir(root), exist_ok=True)
     final = _entry_path(root, version)
     tmp = final + f".tmp.{os.getpid()}.{id(files)}"
     with open(tmp, "w") as fh:
         json.dump({"version": version, "parent": parent, "op": op,
-                   "files": sorted(files)}, fh)
+                   "files": sorted(files), **(extra or {})}, fh)
     try:
         os.link(tmp, final)
     except FileExistsError:
@@ -238,13 +240,102 @@ def delete_range_cow(spark: SparkSession, root: str, column: str,
 
 
 def read_version(spark: SparkSession, root: str,
-                 version: int | None = None) -> DataFrame:
+                 version: int | None = None,
+                 merge_schema: bool = False) -> DataFrame:
     """Time-travel read: the table AS OF `version` (default head). One
     KB-scale log-entry read pins the exact file set; Spark plans directly
     over those files — filters and column pruning still push into each
-    parquet scan as usual."""
+    parquet scan as usual. If the version carries delete files
+    (merge-on-read), they are applied as an anti-join on the key columns
+    recorded in the entry — the Iceberg-v2 / Delta-DV read path: the scan
+    stays file-pruned and the delete set joins in (AQE broadcasts it when
+    small). `merge_schema=True` reconciles schema evolution across commits
+    (files written before a column existed read it as NULL)."""
     v = latest_version(root) if version is None else version
-    return spark.read.parquet(*snapshot_files(root, v))
+    entry = read_entry(root, v)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*snapshot_files(root, v))
+    dv = entry.get("delete_files", [])
+    if dv:
+        keys = spark.read.parquet(*[os.path.join(root, f) for f in dv])
+        df = df.join(keys, on=entry["delete_key_cols"], how="left_anti")
+    return df
+
+
+def _delete_keys(spark: SparkSession, root: str, entry: dict) -> DataFrame | None:
+    dv = entry.get("delete_files", [])
+    if not dv:
+        return None
+    return spark.read.parquet(*[os.path.join(root, f) for f in dv])
+
+
+def delete_where_mor(spark: SparkSession, root: str, key_cols: list[str],
+                     predicate) -> int:
+    """Merge-on-read delete: instead of rewriting data files (CoW), write
+    only the KEYS of the matching rows as a delete file and commit it
+    alongside the untouched data files — the equality-delete shape. Write
+    cost is O(matching rows); the rewrite is deferred to purge_deletes
+    (compaction's job), which is when the read-side anti-join cost is
+    reclaimed. Keys accumulate across MoR commits (delete_files is a
+    list)."""
+    head = latest_version(root)
+    entry = read_entry(root, head)
+    if entry.get("delete_key_cols") not in (None, key_cols):
+        raise ValueError("delete key columns must be stable per table")
+    visible = read_version(spark, root, head)
+    keys = visible.filter(predicate).select(*key_cols)
+    subdir = os.path.join("data", f"v{head + 1:05d}-{os.getpid()}-dv-"
+                          + os.urandom(4).hex())
+    keys.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, subdir))
+    new_dv = _rel_parquet_files(root, subdir)
+    return commit(
+        root, head, entry["files"], "delete-mor",
+        extra={"delete_files": sorted(entry.get("delete_files", []) + new_dv),
+               "delete_key_cols": key_cols},
+    )
+
+
+def purge_deletes(spark: SparkSession, root: str,
+                  stats_col: str) -> tuple[int, dict]:
+    """Compact merge-on-read deletes back to a pure data snapshot: rewrite
+    only the data files whose `stats_col` footer range intersects the
+    delete-key range (metadata-level pruning — the delete file's own
+    min/max bounds the blast radius), drop the delete files from the
+    entry. Logically a NO-OP: the visible rows are identical before and
+    after, which is exactly what the CDC feed asserts (a purge produces an
+    EMPTY change feed) and what makes it safe to run opportunistically."""
+    head = latest_version(root)
+    entry = read_entry(root, head)
+    dv = entry.get("delete_files", [])
+    if not dv:
+        return head, {"n_rewritten": 0, "n_carried": len(entry["files"])}
+    key_cols = entry["delete_key_cols"]
+    if stats_col not in key_cols:
+        raise ValueError("purge prunes on a delete key column")
+    klo = khi = None
+    for rel in dv:
+        lo, hi = _footer_minmax(os.path.join(root, rel), stats_col)
+        if lo is not None:
+            klo = lo if klo is None or lo < klo else klo
+            khi = hi if khi is None or hi > khi else khi
+    touched, kept = [], []
+    for rel in entry["files"]:
+        fmin, fmax = _footer_minmax(os.path.join(root, rel), stats_col)
+        if fmin is None or klo is None or (fmax >= klo and fmin <= khi):
+            touched.append(rel)
+        else:
+            kept.append(rel)
+    stats = {"n_parent_files": len(entry["files"]),
+             "n_rewritten": len(touched), "n_carried": len(kept)}
+    keys = _delete_keys(spark, root, entry)
+    survivors = spark.read.parquet(
+        *[os.path.join(root, f) for f in touched]
+    ).join(keys, on=key_cols, how="left_anti")
+    new_files = _write_version_dir(root, head + 1, survivors, stats_col,
+                                   max(1, len(touched)))
+    return commit(root, head, kept + new_files, "purge"), stats
 
 
 def changes_between(spark: SparkSession, root: str, v_from: int,
@@ -253,28 +344,131 @@ def changes_between(spark: SparkSession, root: str, v_from: int,
     two versions, projected to `columns`, with a `change_type` column.
 
     Reads ONLY the files added and removed between the versions (set diff
-    of two file lists). A copy-on-write rewrite lists survivor rows on
-    both sides; exceptAll in both directions cancels them exactly
-    (multiset semantics), leaving precisely the logical delta. At 100 TB
-    this is O(changed files) I/O where full-snapshot diffing
+    of two file lists), plus — when merge-on-read delete files changed —
+    the common files whose key-range footer stats intersect the changed
+    keys. A copy-on-write rewrite lists survivor rows on both sides;
+    exceptAll in both directions cancels them exactly (multiset
+    semantics), leaving precisely the logical delta. Delete-file handling
+    is symmetric: keys added to the delete set emit 'delete' rows from
+    still-referenced files; keys leaving it without a file rewrite would
+    emit 'insert' (resurrection) — and a PURGE, which rewrites the
+    affected files while dropping their delete keys, cancels to an EMPTY
+    feed, the assertion that makes purge safe to run opportunistically.
+    At 100 TB this is O(changed files) I/O where full-snapshot diffing
     (operators/diff.snapshot_diff) is O(2 x table)."""
-    from_files = set(read_entry(root, v_from)["files"])
-    to_files = set(read_entry(root, v_to)["files"])
+    e_from, e_to = read_entry(root, v_from), read_entry(root, v_to)
+    from_files = set(e_from["files"])
+    to_files = set(e_to["files"])
     added = sorted(to_files - from_files)
     removed = sorted(from_files - to_files)
+    common = sorted(to_files & from_files)
+    key_cols = e_to.get("delete_key_cols") or e_from.get("delete_key_cols")
+    if key_cols and not set(key_cols) <= set(columns):
+        raise ValueError("columns must include the delete key columns")
 
-    def _read(rels: list[str]) -> DataFrame:
+    def _empty() -> DataFrame:
+        return read_version(spark, root, v_to).select(*columns).limit(0)
+
+    def _visible(rels: list[str], entry: dict) -> DataFrame:
+        """Logical rows of a file subset under a version's delete set."""
         if not rels:
-            return read_version(spark, root, v_to).select(*columns).limit(0)
-        return spark.read.parquet(
-            *[os.path.join(root, f) for f in rels]
-        ).select(*columns)
+            return _empty()
+        df = spark.read.parquet(*[os.path.join(root, f) for f in rels])
+        keys = _delete_keys(spark, root, entry)
+        if keys is not None:
+            df = df.join(keys, on=entry["delete_key_cols"], how="left_anti")
+        return df.select(*columns)
 
-    ins = _read(added).exceptAll(_read(removed))
-    dels = _read(removed).exceptAll(_read(added))
+    ins = _visible(added, e_to).exceptAll(_visible(removed, e_from))
+    dels = _visible(removed, e_from).exceptAll(_visible(added, e_to))
+
+    dv_from = _delete_keys(spark, root, e_from)
+    dv_to = _delete_keys(spark, root, e_to)
+    if (dv_from is not None or dv_to is not None) and common:
+
+        def _keys(df: DataFrame | None) -> DataFrame:
+            if df is None:
+                return (dv_to if dv_to is not None else dv_from).limit(0)
+            return df
+
+        new_keys = _keys(dv_to).exceptAll(_keys(dv_from))
+        gone_keys = _keys(dv_from).exceptAll(_keys(dv_to))
+
+        def _common_rows(keys: DataFrame) -> DataFrame:
+            # Footer-prune the common files by the changed keys' range
+            # (single numeric key only — the metadata-level bound on how
+            # much of the untouched table the feed must open).
+            rels = common
+            if len(key_cols) == 1:
+                bounds = keys.agg(
+                    F.min(key_cols[0]), F.max(key_cols[0])
+                ).collect()[0]
+                klo, khi = bounds[0], bounds[1]
+                if klo is not None:
+                    pruned = []
+                    for rel in common:
+                        fmin, fmax = _footer_minmax(
+                            os.path.join(root, rel), key_cols[0]
+                        )
+                        if fmin is None or (fmax >= klo and fmin <= khi):
+                            pruned.append(rel)
+                    rels = pruned
+                else:
+                    rels = []
+            if not rels:
+                return _empty()
+            return spark.read.parquet(
+                *[os.path.join(root, f) for f in rels]
+            ).join(keys, on=key_cols, how="left_semi").select(*columns)
+
+        dels = dels.unionByName(_common_rows(new_keys))
+        ins = ins.unionByName(_common_rows(gone_keys))
+
     return ins.withColumn("change_type", F.lit("insert")).unionByName(
         dels.withColumn("change_type", F.lit("delete"))
     )
+
+
+def committed_batch_ids(root: str) -> set[int]:
+    """Stream batch ids already durably committed — the dedup set behind
+    exactly-once ingest. O(versions) KB-scale entry reads (a production
+    log would carry this in the head entry; kept explicit here)."""
+    ids = set()
+    for v in range(1, latest_version(root) + 1):
+        try:
+            entry = read_entry(root, v)
+        except OSError:  # expired by vacuum
+            continue
+        if "batch_id" in entry:
+            ids.add(entry["batch_id"])
+    return ids
+
+
+def commit_stream_batch(spark: SparkSession, root: str, batch_df: DataFrame,
+                        batch_id: int, range_col: str | None = None,
+                        n_files: int = 2) -> int | None:
+    """Exactly-once foreachBatch sink: Structured Streaming re-delivers
+    the in-flight batch after a restart (at-least-once), so the sink must
+    make the commit idempotent per batch_id — the transactional-sink
+    contract (same idempotence rule Delta's streaming writer keys on
+    (checkpoint, batchId)). An already-committed id is skipped BEFORE any
+    write; a lost commit race re-checks the id because the winner may
+    have been another attempt of the same batch. Returns the committed
+    version, or None if this batch was already in the log."""
+    if batch_id in committed_batch_ids(root):
+        return None
+    head = latest_version(root)
+    new_files = _write_version_dir(root, head + 1, batch_df, range_col,
+                                   n_files)
+    while True:
+        base = read_entry(root, head)["files"] if head else []
+        try:
+            return commit(root, head, base + new_files, "stream-append",
+                          extra={"batch_id": batch_id})
+        except CommitConflict:
+            if batch_id in committed_batch_ids(root):
+                return None  # a concurrent attempt of THIS batch won
+            head = latest_version(root)
 
 
 def vacuum(root: str, keep_last: int = 1) -> dict:
@@ -287,7 +481,9 @@ def vacuum(root: str, keep_last: int = 1) -> dict:
     retained_versions = range(max(1, head - keep_last + 1), head + 1)
     referenced: set[str] = set()
     for v in retained_versions:
-        referenced.update(read_entry(root, v)["files"])
+        entry = read_entry(root, v)
+        referenced.update(entry["files"])
+        referenced.update(entry.get("delete_files", []))
     removed = 0
     data_root = os.path.join(root, "data")
     for sub in sorted(os.listdir(data_root)):

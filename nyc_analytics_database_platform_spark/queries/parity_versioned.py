@@ -20,6 +20,7 @@ predicate and must hash-match the Spark side's log-pinned file reads.
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -324,3 +325,269 @@ def vacuum_retention_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents"
         ),
     ).orderBy("o_orderpriority")
+
+
+# Merge-on-read chain parameters: the equality delete targets URGENT
+# orders in a bounded key range, so purge's footer pruning has a range
+# to work with. v1 = all orders; v2 (MoR delete) and v3 (purge) share
+# one logical state:
+_MOR_PRED_SQL = (
+    "NOT (o_orderpriority = '1-URGENT'"
+    " AND o_orderkey >= 200 AND o_orderkey < 900)"
+)
+
+
+def build_mor_chain(spark: SparkSession, sf_dir: str) -> str:
+    """v1 append (range-clustered), v2 merge-on-read equality delete
+    (delete FILE committed, zero data files rewritten), v3 purge
+    (rewrite only footer-intersecting files, drop the delete set)."""
+    root = _root(sf_dir, "mor")
+    marker = root + "_done"
+    stamp = layouts.source_stamp(sf_dir, "orders", spec="mor:urgent:200-900")
+    if layouts.is_fresh(marker, stamp) and txnlog.chain_intact(root):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders")
+    txnlog.append(spark, root, orders, range_col="o_orderkey", n_files=8)
+    txnlog.delete_where_mor(
+        spark, root, ["o_orderkey"],
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderkey") >= 200) & (F.col("o_orderkey") < 900),
+    )
+    v2 = txnlog.read_entry(root, 2)
+    assert v2["files"] == txnlog.read_entry(root, 1)["files"], (
+        "MoR delete must not rewrite data files"
+    )
+    _, stats = txnlog.purge_deletes(spark, root, "o_orderkey")
+    assert stats["n_carried"] > 0, "purge must carry untouched files"
+    layouts.mark_fresh(marker, stamp)
+    return root
+
+
+@register(
+    "mor_delete_time_travel",
+    oracle=f"""
+        SELECT 1 AS version, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT v.version, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders CROSS JOIN (VALUES (2), (3)) AS v(version)
+        WHERE {_MOR_PRED_SQL}
+        GROUP BY v.version, o_orderstatus
+        ORDER BY version, o_orderstatus
+    """,
+    tags=("txnlog", "mor", "timetravel", "lifecycle", "warehouse"),
+)
+def mor_delete_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read lifecycle read at every version: v2 applies the
+    delete FILE as an anti-join at read time (txnlog.read_version — the
+    Iceberg-v2/Delta-DV path: delete cost was O(matching rows), zero data
+    files rewritten, pinned by the builder), and v3 is the purged twin
+    whose rollup must be value-identical to v2 — proving the deferred
+    rewrite changed bytes on disk but not one visible row. The oracle
+    reconstructs v2/v3 with the same predicate."""
+    root = build_mor_chain(spark, sf_dir)
+    parts = [
+        _status_rollup(txnlog.read_version(spark, root, v)).withColumn(
+            "version", F.lit(v)
+        )
+        for v in (1, 2, 3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "version", "o_orderstatus", "n_orders", "revenue_cents"
+    ).orderBy("version", "o_orderstatus")
+
+
+@register(
+    "mor_purge_changes_feed",
+    oracle=f"""
+        WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
+             v2 AS (SELECT o_orderkey, o_totalprice FROM orders
+                    WHERE {_MOR_PRED_SQL}),
+             feed AS (
+                SELECT 2 AS version_to, 'insert' AS change_type, *
+                FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+                UNION ALL
+                SELECT 2, 'delete', *
+                FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+                -- v2 -> v3 (purge) contributes NOTHING: logically silent
+             )
+        SELECT version_to, change_type, o_orderkey AS orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM feed
+        ORDER BY version_to, change_type, orderkey
+    """,
+    tags=("txnlog", "mor", "cdc", "lifecycle", "warehouse"),
+)
+def mor_purge_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC across a merge-on-read delete and its purge. v1->v2: no data
+    file changed, so the feed comes entirely from the NEW delete keys
+    semi-joined against footer-pruned common files. v2->v3: the purge
+    rewrites files AND drops their delete keys — file-diff rows and
+    resurrection rows cancel exactly, so the feed is EMPTY (the oracle
+    encodes that by construction). That emptiness is the property that
+    makes purge safe to schedule freely: no downstream CDC consumer can
+    observe it."""
+    root = build_mor_chain(spark, sf_dir)
+    cols = ["o_orderkey", "o_totalprice"]
+    feeds = [
+        txnlog.changes_between(spark, root, v - 1, v, cols).withColumn(
+            "version_to", F.lit(v)
+        )
+        for v in (2, 3)
+    ]
+    out = feeds[0].unionByName(feeds[1])
+    return out.select(
+        "version_to",
+        "change_type",
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    ).orderBy("version_to", "change_type", "orderkey")
+
+
+# Schema evolution: v2's rows carry a channel column v1 never had.
+_CHANNEL_SQL = (
+    "CASE WHEN o_orderkey % 3 = 0 THEN 'web' "
+    "WHEN o_orderkey % 3 = 1 THEN 'store' ELSE 'phone' END"
+)
+
+
+@register(
+    "schema_evolution_channel_revenue",
+    oracle=f"""
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '{_CUTOFF}' THEN 'legacy'
+                    ELSE {_CHANNEL_SQL} END AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders
+        GROUP BY 1
+        ORDER BY channel
+    """,
+    tags=("txnlog", "schema-evolution", "lifecycle", "warehouse"),
+)
+def schema_evolution_channel_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema evolution through the log: v1's files predate the
+    `o_channel` column; v2 appends rows that carry it. A head read with
+    merge_schema reconciles the two file generations — old files surface
+    the column as NULL (presented as 'legacy'), new files carry real
+    values, and no historical file is ever rewritten for a column add
+    (the O(0) schema-change every table format guarantees). The oracle
+    derives the same channel assignment from the source table."""
+    root = _root(sf_dir, "schema")
+    marker = root + "_done"
+    stamp = layouts.source_stamp(sf_dir, "orders", spec="schema:channel-mod3")
+    if not (layouts.is_fresh(marker, stamp) and txnlog.chain_intact(root)):
+        shutil.rmtree(root, ignore_errors=True)
+        orders = load(spark, sf_dir, "orders")
+        cutoff = F.lit(_CUTOFF).cast("timestamp")
+        txnlog.append(spark, root,
+                      orders.filter(F.col("o_orderdate") < cutoff),
+                      range_col="o_orderkey", n_files=4)
+        channel = (
+            F.when(F.col("o_orderkey") % 3 == 0, "web")
+            .when(F.col("o_orderkey") % 3 == 1, "store")
+            .otherwise("phone")
+        )
+        txnlog.append(
+            spark, root,
+            orders.filter(F.col("o_orderdate") >= cutoff)
+            .withColumn("o_channel", channel),
+            range_col="o_orderkey", n_files=4,
+        )
+        layouts.mark_fresh(marker, stamp)
+    head = txnlog.read_version(spark, root, merge_schema=True)
+    return head.groupBy(
+        F.coalesce(F.col("o_channel"), F.lit("legacy")).alias("channel")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    ).orderBy("channel")
+
+
+@register(
+    "stream_txnlog_ingest_revenue",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("txnlog", "streaming", "exactly-once", "lifecycle", "warehouse"),
+)
+def stream_txnlog_ingest_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the transaction log with exactly-once
+    semantics, executed end-to-end: the orders log drains chronologically
+    (3 staged files, availableNow) through foreachBatch, where
+    txnlog.commit_stream_batch makes each micro-batch commit idempotent
+    per batch_id — Structured Streaming's replay-after-restart
+    (at-least-once delivery) composes with the idempotent sink into
+    exactly-once table state, the contract every transactional streaming
+    sink provides. The oracle aggregates all of `orders`: a hash match
+    proves no batch was lost or double-committed; tests additionally
+    re-deliver a batch and pin that the log did not advance."""
+    import tempfile
+    import hashlib as _hl
+
+    from nyc_analytics_database_platform_spark.queries.streaming_stateful import (
+        _stage_ordered_files,
+        drain_or_raise,
+    )
+
+    root = _root(sf_dir, "stream")
+    marker = root + "_done"
+    stamp = layouts.source_stamp(sf_dir, "orders", spec="stream-ingest:3cuts")
+    if not (layouts.is_fresh(marker, stamp) and txnlog.chain_intact(root)):
+        shutil.rmtree(root, ignore_errors=True)
+        orders = load(spark, sf_dir, "orders")
+        cut1 = F.lit("1996-01-01").cast("timestamp")
+        cut2 = F.lit("1997-06-01").cast("timestamp")
+        stages = [
+            orders.filter(F.col("o_orderdate") < cut1),
+            orders.filter(
+                (F.col("o_orderdate") >= cut1) & (F.col("o_orderdate") < cut2)
+            ),
+            orders.filter(F.col("o_orderdate") >= cut2),
+        ]
+        tag = _hl.md5((sf_dir + ":txnstream").encode()).hexdigest()[:8]
+        scratch = os.path.join(tempfile.gettempdir(), "spark_graft_stream", tag)
+        src_dir = os.path.join(scratch, "files")
+        _stage_ordered_files(scratch, src_dir, stages)
+        source = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            source.writeStream.foreachBatch(
+                lambda bdf, bid: txnlog.commit_stream_batch(
+                    spark, root, bdf, bid, range_col="o_orderkey"
+                )
+            )
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            drain_or_raise(q, "txnlog stream ingest")
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+        layouts.mark_fresh(marker, stamp)
+    return _status_rollup(txnlog.read_version(spark, root)).select(
+        "o_orderstatus", "n_orders", "revenue_cents"
+    ).orderBy("o_orderstatus")

@@ -151,3 +151,79 @@ def test_concurrent_append_race_is_exercised(spark, sf_dir):
     assert out.count() > 0
     ops = [txnlog.read_entry(root, v)["op"] for v in (1, 2, 3)]
     assert ops == ["append", "append", "append"]
+
+
+def test_mor_delete_rewrites_nothing_and_reads_apply_dv(spark, root):
+    txnlog.append(spark, root, _orders(spark, 100), range_col="k", n_files=4)
+    v = txnlog.delete_where_mor(spark, root, ["k"], F.col("k") < 10)
+    assert v == 2
+    e1, e2 = txnlog.read_entry(root, 1), txnlog.read_entry(root, 2)
+    assert e1["files"] == e2["files"]          # zero data files rewritten
+    assert len(e2["delete_files"]) == 1
+    got = txnlog.read_version(spark, root, 2)
+    assert got.count() == 90
+    assert got.filter("k < 10").count() == 0
+    # time travel to v1 still sees everything
+    assert txnlog.read_version(spark, root, 1).count() == 100
+
+
+def test_purge_prunes_and_is_logically_silent(spark, root):
+    txnlog.append(spark, root, _orders(spark, 1000), range_col="k", n_files=8)
+    txnlog.delete_where_mor(spark, root, ["k"], (F.col("k") >= 100) & (F.col("k") < 160))
+    v, stats = txnlog.purge_deletes(spark, root, "k")
+    assert v == 3
+    assert stats["n_carried"] > 0
+    assert stats["n_rewritten"] < stats["n_parent_files"]
+    assert txnlog.read_entry(root, 3).get("delete_files", []) == []
+    before = txnlog.read_version(spark, root, 2).collect()
+    after = txnlog.read_version(spark, root, 3).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    # CDC across the purge is EMPTY: file-diff and resurrection cancel.
+    feed = txnlog.changes_between(spark, root, 2, 3, ["k", "v"])
+    assert feed.count() == 0
+
+
+def test_mor_cdc_and_resurrection(spark, root):
+    txnlog.append(spark, root, _orders(spark, 100), range_col="k", n_files=2)
+    txnlog.delete_where_mor(spark, root, ["k"], (F.col("k") >= 20) & (F.col("k") < 25))
+    feed = txnlog.changes_between(spark, root, 1, 2, ["k", "v"]).collect()
+    assert sorted(r["k"] for r in feed) == list(range(20, 25))
+    assert {r["change_type"] for r in feed} == {"delete"}
+    # Undelete: drop the delete set WITHOUT rewriting (entry-only commit) -
+    # the feed must emit the rows as inserts (the symmetric branch).
+    e2 = txnlog.read_entry(root, 2)
+    txnlog.commit(root, 2, e2["files"], "undelete",
+                  extra={"delete_files": [], "delete_key_cols": ["k"]})
+    feed3 = txnlog.changes_between(spark, root, 2, 3, ["k", "v"]).collect()
+    assert sorted(r["k"] for r in feed3) == list(range(20, 25))
+    assert {r["change_type"] for r in feed3} == {"insert"}
+
+
+def test_vacuum_retains_live_delete_files(spark, root):
+    txnlog.append(spark, root, _orders(spark, 100), range_col="k", n_files=4)
+    txnlog.delete_where_mor(spark, root, ["k"], F.col("k") < 10)
+    stats = txnlog.vacuum(root, keep_last=1)
+    assert stats["n_files_removed"] == 0       # data + DV all still referenced
+    assert txnlog.read_version(spark, root).count() == 90
+
+
+def test_stream_batch_commit_is_idempotent(spark, root):
+    df = _orders(spark, 30)
+    v1 = txnlog.commit_stream_batch(spark, root, df.filter("k < 20"), batch_id=0)
+    v2 = txnlog.commit_stream_batch(spark, root, df.filter("k >= 20"), batch_id=1)
+    assert (v1, v2) == (1, 2)
+    # Replay of batch 1 (restart redelivery): no new version, no new rows.
+    assert txnlog.commit_stream_batch(spark, root, df.filter("k >= 20"), batch_id=1) is None
+    assert txnlog.latest_version(root) == 2
+    assert txnlog.read_version(spark, root).count() == 30
+    assert txnlog.committed_batch_ids(root) == {0, 1}
+
+
+def test_schema_evolution_merge_read(spark, root):
+    txnlog.append(spark, root, _orders(spark, 10), n_files=1)
+    txnlog.append(spark, root,
+                  _orders(spark, 5).withColumn("tag", F.lit("new")), n_files=1)
+    got = txnlog.read_version(spark, root, merge_schema=True)
+    assert "tag" in got.columns
+    assert got.filter(F.col("tag").isNull()).count() == 10
+    assert got.filter(F.col("tag") == "new").count() == 5
