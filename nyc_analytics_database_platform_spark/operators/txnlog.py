@@ -169,19 +169,26 @@ def _write_version_dir(root: str, version: int, df: DataFrame,
 
 def append(spark: SparkSession, root: str, df: DataFrame,
            range_col: str | None = None, n_files: int = 4,
-           parent: int | None = None) -> int:
-    """Append-commit: new files + everything the parent referenced. Cost is
+           parent: int | None = None, base: int | None = None) -> int:
+    """Append-commit: new files + everything the base referenced. Cost is
     O(delta) data + O(1) metadata regardless of table size. On conflict the
     already-written files are re-committed against the new head after
     revalidation (append never logically conflicts with append), so the
     retry re-runs NO Spark job — the cheap-retry property optimistic table
-    formats rely on under concurrent ETL."""
+    formats rely on under concurrent ETL.
+
+    `base` pins the FILE lineage independently of the version number:
+    a write-audit-publish flow whose previous staging commit failed its
+    audit appends on top of the last PUBLISHED version's files, not the
+    rejected head — version numbers stay linear, the rejected files are
+    simply never referenced again (vacuum collects them)."""
     head = latest_version(root) if parent is None else parent
     new_files = _write_version_dir(root, head + 1, df, range_col, n_files)
     while True:
-        base = read_entry(root, head)["files"] if head else []
+        lineage = base if base is not None else head
+        files = read_entry(root, lineage)["files"] if lineage else []
         try:
-            return commit(root, head, base + new_files, "append")
+            return commit(root, head, files + new_files, "append")
         except CommitConflict:
             head = latest_version(root)
 
@@ -471,16 +478,72 @@ def commit_stream_batch(spark: SparkSession, root: str, batch_df: DataFrame,
             head = latest_version(root)
 
 
+def _branch_path(root: str, name: str) -> str:
+    return os.path.join(_log_dir(root), f"branch-{name}.json")
+
+
+def set_branch(root: str, name: str, version: int) -> None:
+    """Point a named branch at a version. Branch moves are the PUBLISH
+    primitive of write-audit-publish: staged commits extend the global
+    chain but stay invisible to consumers who read the branch, until the
+    pointer swings — one tiny atomic metadata write, the same
+    pointer-swap an Iceberg branch fast-forward performs. Rollback is the
+    identical operation pointed backwards."""
+    if not os.path.isfile(_entry_path(root, version)):
+        raise ValueError(f"cannot point branch at missing version {version}")
+    tmp = _branch_path(root, name) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"branch": name, "version": version}, fh)
+    os.replace(tmp, _branch_path(root, name))
+
+
+def get_branch(root: str, name: str) -> int | None:
+    try:
+        with open(_branch_path(root, name)) as fh:
+            return json.load(fh)["version"]
+    except OSError:
+        return None
+
+
+def read_branch(spark: SparkSession, root: str, name: str,
+                merge_schema: bool = False) -> DataFrame:
+    """The table as the named branch's consumers see it."""
+    v = get_branch(root, name)
+    if v is None:
+        raise ValueError(f"no such branch {name!r}")
+    return read_version(spark, root, v, merge_schema=merge_schema)
+
+
+def _branch_versions(root: str) -> set[int]:
+    try:
+        names = os.listdir(_log_dir(root))
+    except OSError:
+        return set()
+    out = set()
+    for n in names:
+        if n.startswith("branch-") and n.endswith(".json"):
+            v = get_branch(root, n[len("branch-"):-len(".json")])
+            if v is not None:
+                out.add(v)
+    return out
+
+
 def vacuum(root: str, keep_last: int = 1) -> dict:
     """Remove data files unreferenced by the `keep_last` most recent
     versions, and the log entries of expired versions. The live file set
     is excluded by construction, so vacuum can never touch current data;
-    time travel older than the retention window stops working — exactly
-    the retention contract table formats expose. Returns counts."""
+    versions PINNED BY A BRANCH are always retained (their entries and
+    files survive regardless of keep_last — a published-or-rollback
+    target must stay readable); time travel older than the retention
+    window otherwise stops working — exactly the retention contract table
+    formats expose. Returns counts."""
     head = latest_version(root)
-    retained_versions = range(max(1, head - keep_last + 1), head + 1)
+    pinned = _branch_versions(root)
+    retained_versions = set(
+        range(max(1, head - keep_last + 1), head + 1)
+    ) | pinned
     referenced: set[str] = set()
-    for v in retained_versions:
+    for v in sorted(retained_versions):
         entry = read_entry(root, v)
         referenced.update(entry["files"])
         referenced.update(entry.get("delete_files", []))
@@ -497,6 +560,8 @@ def vacuum(root: str, keep_last: int = 1) -> dict:
             shutil.rmtree(subdir)
     expired = 0
     for v in range(1, max(1, head - keep_last + 1)):
+        if v in pinned:
+            continue
         try:
             os.unlink(_entry_path(root, v))
             expired += 1

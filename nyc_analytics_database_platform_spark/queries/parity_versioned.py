@@ -591,3 +591,119 @@ def stream_txnlog_ingest_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _status_rollup(txnlog.read_version(spark, root)).select(
         "o_orderstatus", "n_orders", "revenue_cents"
     ).orderBy("o_orderstatus")
+
+
+@register(
+    "wap_audit_publish_revenue",
+    oracle="""
+        WITH published AS (
+            SELECT o_orderstatus, o_totalprice FROM orders
+            UNION ALL
+            SELECT o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey % 101 = 0
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM published
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("txnlog", "wap", "branch", "lifecycle", "warehouse"),
+)
+def wap_audit_publish_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish through branch pointers: consumers read the
+    `main` branch, writers stage commits on the global chain. A POISONED
+    delta (negated prices) is staged as v2, fails its audit
+    (non-positive-price count > 0), and main stays at v1 — the bad data
+    was durably written yet NO consumer could ever read it. The corrected
+    delta then stages as v3 with file lineage based on v1 (the rejected
+    v2 files are never referenced again; vacuum collects them), passes,
+    and main fast-forwards. The oracle reconstructs the published state
+    (orders + the clean clone delta): a hash match proves the audit
+    gate leaked nothing and published everything it should."""
+    root = _root(sf_dir, "wap")
+    marker = root + "_done"
+    stamp = layouts.source_stamp(sf_dir, "orders", spec="wap:mod101")
+    if not (layouts.is_fresh(marker, stamp) and txnlog.chain_intact(root)):
+        shutil.rmtree(root, ignore_errors=True)
+        orders = load(spark, sf_dir, "orders")
+        clones = orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(30_000_000)
+        )
+        txnlog.append(spark, root, orders, range_col="o_orderkey", n_files=8)
+        txnlog.set_branch(root, "main", 1)
+
+        def audit(version: int) -> bool:
+            bad = (
+                txnlog.read_version(spark, root, version)
+                .filter(
+                    F.col("o_totalprice").isNull()
+                    | (F.col("o_totalprice") <= 0)
+                )
+                .count()
+            )
+            return bad == 0
+
+        poisoned = clones.withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        )
+        v2 = txnlog.append(spark, root, poisoned, range_col="o_orderkey",
+                           n_files=2)
+        if audit(v2):  # pragma: no cover - the poison must fail
+            raise AssertionError("poisoned staging passed its audit")
+        # main stays where it was; stage the corrected delta on v1's files
+        v3 = txnlog.append(spark, root, clones, range_col="o_orderkey",
+                           n_files=2, base=txnlog.get_branch(root, "main"))
+        if not audit(v3):
+            raise AssertionError("clean staging failed its audit")
+        txnlog.set_branch(root, "main", v3)
+        layouts.mark_fresh(marker, stamp)
+    return _status_rollup(txnlog.read_branch(spark, root, "main")).select(
+        "o_orderstatus", "n_orders", "revenue_cents"
+    ).orderBy("o_orderstatus")
+
+
+@register(
+    "branch_rollback_revenue",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("txnlog", "branch", "rollback", "lifecycle", "warehouse"),
+)
+def branch_rollback_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback as a pointer move: a published copy-on-write delete turns
+    out to be wrong, so `main` swings BACK to v1 — one metadata write, no
+    data rewritten, and vacuum keeps the rolled-back-to version alive
+    regardless of retention because a branch pins it (txnlog.vacuum's
+    pinned set; pinned in tests). Consumers reading the branch see the
+    pre-delete table again, value-exact against the full `orders` oracle:
+    proof the bad commit's effects are fully invisible after rollback."""
+    root = _root(sf_dir, "rb")
+    marker = root + "_done"
+    stamp = layouts.source_stamp(sf_dir, "orders", spec="rb:1000-3000")
+    if not (layouts.is_fresh(marker, stamp) and txnlog.chain_intact(root)):
+        shutil.rmtree(root, ignore_errors=True)
+        orders = load(spark, sf_dir, "orders")
+        txnlog.append(spark, root, orders, range_col="o_orderkey", n_files=8)
+        txnlog.set_branch(root, "main", 1)
+        v2, _ = txnlog.delete_range_cow(spark, root, "o_orderkey",
+                                        _DEL_LO, _DEL_HI)
+        txnlog.set_branch(root, "main", v2)       # publish the bad delete
+        txnlog.set_branch(root, "main", 1)        # rollback
+        txnlog.vacuum(root, keep_last=1)          # must keep pinned v1
+        layouts.mark_fresh(marker, stamp)
+    live = txnlog.read_branch(spark, root, "main")
+    return live.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    ).orderBy("o_orderpriority")

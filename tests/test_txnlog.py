@@ -227,3 +227,39 @@ def test_schema_evolution_merge_read(spark, root):
     assert "tag" in got.columns
     assert got.filter(F.col("tag").isNull()).count() == 10
     assert got.filter(F.col("tag") == "new").count() == 5
+
+
+def test_branch_pointer_and_vacuum_pin(spark, root):
+    txnlog.append(spark, root, _orders(spark, 60), range_col="k", n_files=2)
+    txnlog.set_branch(root, "main", 1)
+    txnlog.delete_range_cow(spark, root, "k", 0, 30)
+    txnlog.append(spark, root, _orders(spark, 10).withColumn(
+        "k", F.col("k") + 1000), range_col="k", n_files=1)
+    with pytest.raises(ValueError):
+        txnlog.set_branch(root, "missing", 99)
+    stats = txnlog.vacuum(root, keep_last=1)
+    # v1 is branch-pinned: entry survives retention, its files survive GC.
+    assert stats["n_versions_expired"] == 1            # only v2 expires
+    assert txnlog.read_branch(spark, root, "main").count() == 60
+    assert txnlog.get_branch(root, "main") == 1
+
+
+def test_wap_rejected_staging_is_invisible_and_collectable(spark, root):
+    txnlog.append(spark, root, _orders(spark, 50), range_col="k", n_files=2)
+    txnlog.set_branch(root, "main", 1)
+    poison = _orders(spark, 5).withColumn("v", -F.col("v"))
+    txnlog.append(spark, root, poison, n_files=1)        # staged, audited out
+    # Consumers never see the staged commit: main still reads v1.
+    assert txnlog.read_branch(spark, root, "main").count() == 50
+    # The corrected delta bases its lineage on the published version.
+    v3 = txnlog.append(spark, root, _orders(spark, 5).withColumn(
+        "k", F.col("k") + 500), n_files=1, base=1)
+    assert sorted(txnlog.read_entry(root, 3)["files"])[:2] == sorted(
+        txnlog.read_entry(root, 1)["files"]
+    )  # poisoned v2 files are NOT in v3's lineage
+    txnlog.set_branch(root, "main", v3)
+    assert txnlog.read_branch(spark, root, "main").count() == 55
+    # Vacuum collects the rejected staging files (unreferenced anywhere).
+    stats = txnlog.vacuum(root, keep_last=1)
+    assert stats["n_files_removed"] >= 1
+    assert txnlog.read_branch(spark, root, "main").count() == 55
