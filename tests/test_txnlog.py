@@ -263,3 +263,20 @@ def test_wap_rejected_staging_is_invisible_and_collectable(spark, root):
     stats = txnlog.vacuum(root, keep_last=1)
     assert stats["n_files_removed"] >= 1
     assert txnlog.read_branch(spark, root, "main").count() == 55
+
+
+def test_read_version_scans_exactly_the_pinned_files(spark, root):
+    """Plan-level pin: a time-travel read's scan file set IS the snapshot
+    file list — no directory listing can leak unpinned files in (the
+    property that makes concurrent writes invisible to running reads)."""
+    txnlog.append(spark, root, _orders(spark, 40), range_col="k", n_files=2)
+    txnlog.append(spark, root, _orders(spark, 10).withColumn(
+        "k", F.col("k") + 100), range_col="k", n_files=1)
+    for v in (1, 2):
+        scanned = {os.path.realpath(p.removeprefix("file:"))
+                   for p in txnlog.read_version(spark, root, v).inputFiles()}
+        pinned = {os.path.realpath(p) for p in txnlog.snapshot_files(root, v)}
+        assert scanned == pinned
+    # A concurrent append between plan and execution cannot appear: the
+    # v2 read's files are a strict superset of v1's plus only v2's delta.
+    assert len(txnlog.snapshot_files(root, 2)) == 3
