@@ -140,6 +140,17 @@ def commit(root: str, parent: int, files: list[str], op: str,
     return version
 
 
+def _dv_extra(entry: dict) -> dict:
+    """Delete-set fields a child commit must CARRY FORWARD from its file
+    lineage: an append or partial rewrite that dropped the parent's
+    delete_files would silently resurrect every MoR-deleted row (caught
+    by the txnlog differential fuzzer before it could ship)."""
+    dv = entry.get("delete_files", [])
+    if not dv:
+        return {}
+    return {"delete_files": dv, "delete_key_cols": entry["delete_key_cols"]}
+
+
 def _rel_parquet_files(root: str, subdir: str) -> list[str]:
     out = []
     for fname in sorted(os.listdir(os.path.join(root, subdir))):
@@ -186,9 +197,11 @@ def append(spark: SparkSession, root: str, df: DataFrame,
     new_files = _write_version_dir(root, head + 1, df, range_col, n_files)
     while True:
         lineage = base if base is not None else head
-        files = read_entry(root, lineage)["files"] if lineage else []
+        entry = read_entry(root, lineage) if lineage else {}
+        files = entry.get("files", [])
         try:
-            return commit(root, head, files + new_files, "append")
+            return commit(root, head, files + new_files, "append",
+                          extra=_dv_extra(entry))
         except CommitConflict:
             head = latest_version(root)
 
@@ -218,7 +231,8 @@ def delete_range_cow(spark: SparkSession, root: str, column: str,
     100 TB. Survivor rows are copied byte-for-byte, which is what lets the
     log-diff CDC cancel them exactly (changes_between)."""
     head = latest_version(root)
-    parent_files = read_entry(root, head)["files"]
+    entry = read_entry(root, head)
+    parent_files = entry["files"]
     touched, kept = [], []
     for rel in parent_files:
         fmin, fmax = _footer_minmax(os.path.join(root, rel), column)
@@ -229,16 +243,25 @@ def delete_range_cow(spark: SparkSession, root: str, column: str,
     stats = {"n_parent_files": len(parent_files), "n_rewritten": len(touched),
              "n_carried": len(kept)}
     if not touched:
-        return commit(root, head, parent_files, "delete"), stats
+        return commit(root, head, parent_files, "delete",
+                      extra=_dv_extra(entry)), stats
     survivors = spark.read.parquet(
         *[os.path.join(root, f) for f in touched]
     ).filter(~((F.col(column) >= F.lit(lo)) & (F.col(column) < F.lit(hi))))
+    # Rows inside the touched files that an earlier MoR delete hid must
+    # not be resurrected by the rewrite; the carried delete set still
+    # applies to the kept files at read time.
+    keys = _delete_keys(spark, root, entry)
+    if keys is not None:
+        survivors = survivors.join(keys, on=entry["delete_key_cols"],
+                                   how="left_anti")
     new_files = _write_version_dir(
         root, head + 1, survivors, column, max(1, len(touched))
     )
     while True:
         try:
-            return commit(root, head, kept + new_files, "delete"), stats
+            return commit(root, head, kept + new_files, "delete",
+                          extra=_dv_extra(entry)), stats
         except CommitConflict:
             # A delete prepared against a stale head may have missed files
             # added since; the safe revalidation is to re-plan. Callers in
@@ -468,10 +491,11 @@ def commit_stream_batch(spark: SparkSession, root: str, batch_df: DataFrame,
     new_files = _write_version_dir(root, head + 1, batch_df, range_col,
                                    n_files)
     while True:
-        base = read_entry(root, head)["files"] if head else []
+        entry = read_entry(root, head) if head else {}
+        base = entry.get("files", [])
         try:
             return commit(root, head, base + new_files, "stream-append",
-                          extra={"batch_id": batch_id})
+                          extra={"batch_id": batch_id, **_dv_extra(entry)})
         except CommitConflict:
             if batch_id in committed_batch_ids(root):
                 return None  # a concurrent attempt of THIS batch won

@@ -2323,3 +2323,79 @@ def test_differential_random_stream_session_maintenance(spark, sf_dir, duck,
         FROM lastmark WHERE session_seq < mx
     """).fetchall()))
     assert got == want, (case_id, m, rem, secs)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:15])
+def test_differential_random_txnlog_chain(spark, tmp_path, case_id, rng):
+    """Transaction-log fuzz (round 10): a random commit chain (appends,
+    copy-on-write range deletes, merge-on-read deletes, purges,
+    exactly-once stream batches) is tracked against an exact dict model.
+    Every version's time-travel read must equal the model state at that
+    version, and a random changes_between pair must equal the model's set
+    difference — across arbitrary interleavings of CoW and MoR, which is
+    precisely where delete-set carry-forward bugs hide (this family caught
+    appends dropping the parent's delete_files before release)."""
+    from nyc_analytics_database_platform_spark.operators import txnlog
+
+    root = str(tmp_path / "t")
+    state: dict[int, float] = {}
+    model_states: dict[int, dict[int, float]] = {}
+    next_key, batch_seq, mor_live = 0, 0, False
+
+    def mkdf(rows):
+        return spark.createDataFrame(rows, "k long, v double")
+
+    for _ in range(rng.randint(3, 6)):
+        choices = ["append", "stream"]
+        if state:
+            choices += ["cow", "mor"]
+        if mor_live:
+            choices.append("purge")
+        op = rng.choice(choices)
+        if op in ("append", "stream"):
+            n = rng.randint(5, 40)
+            rows = [(next_key + i, float(rng.randint(0, 9))) for i in range(n)]
+            next_key += n + rng.randint(0, 10)
+            if op == "append":
+                txnlog.append(spark, root, mkdf(rows), range_col="k",
+                              n_files=rng.randint(1, 3))
+            else:
+                assert txnlog.commit_stream_batch(
+                    spark, root, mkdf(rows), batch_id=batch_seq,
+                    range_col="k") is not None
+                batch_seq += 1
+            state.update({k: v for k, v in rows})
+        elif op in ("cow", "mor"):
+            lo = rng.randint(0, next_key)
+            hi = lo + rng.randint(1, max(2, next_key // 2))
+            survivors = {k: v for k, v in state.items() if not lo <= k < hi}
+            if not survivors:
+                continue  # keep the table non-empty (see _write_version_dir)
+            if op == "cow":
+                txnlog.delete_range_cow(spark, root, "k", lo, hi)
+            else:
+                txnlog.delete_where_mor(
+                    spark, root, ["k"],
+                    (F.col("k") >= lo) & (F.col("k") < hi))
+                mor_live = True
+            state = survivors
+        else:  # purge
+            txnlog.purge_deletes(spark, root, "k")
+            mor_live = False
+        model_states[txnlog.latest_version(root)] = dict(state)
+
+    for v, want in model_states.items():
+        got = {(r["k"], r["v"])
+               for r in txnlog.read_version(spark, root, v).collect()}
+        assert got == set(want.items()), (case_id, v)
+
+    versions = sorted(model_states)
+    if len(versions) >= 2:
+        a, b = sorted(rng.sample(versions, 2))
+        feed = txnlog.changes_between(spark, root, a, b, ["k", "v"]).collect()
+        sa = set(model_states[a].items())
+        sb = set(model_states[b].items())
+        ins = {(r["k"], r["v"]) for r in feed if r["change_type"] == "insert"}
+        dels = {(r["k"], r["v"]) for r in feed if r["change_type"] == "delete"}
+        assert ins == sb - sa, (case_id, a, b)
+        assert dels == sa - sb, (case_id, a, b)
