@@ -359,6 +359,10 @@ def purge_deletes(spark: SparkSession, root: str,
             kept.append(rel)
     stats = {"n_parent_files": len(entry["files"]),
              "n_rewritten": len(touched), "n_carried": len(kept)}
+    if not touched:
+        # Every key the delete set named was already rewritten away (e.g.
+        # by a later CoW delete); dropping the set is the whole purge.
+        return commit(root, head, kept, "purge"), stats
     keys = _delete_keys(spark, root, entry)
     survivors = spark.read.parquet(
         *[os.path.join(root, f) for f in touched]
@@ -568,7 +572,10 @@ def vacuum(root: str, keep_last: int = 1) -> dict:
     ) | pinned
     referenced: set[str] = set()
     for v in sorted(retained_versions):
-        entry = read_entry(root, v)
+        try:
+            entry = read_entry(root, v)
+        except OSError:
+            continue  # expired by an earlier, tighter-retention vacuum
         referenced.update(entry["files"])
         referenced.update(entry.get("delete_files", []))
     removed = 0

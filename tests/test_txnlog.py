@@ -280,3 +280,27 @@ def test_read_version_scans_exactly_the_pinned_files(spark, root):
     # A concurrent append between plan and execution cannot appear: the
     # v2 read's files are a strict superset of v1's plus only v2's delta.
     assert len(txnlog.snapshot_files(root, 2)) == 3
+
+
+def test_purge_after_cow_removed_all_dv_targets(spark, root):
+    """A CoW delete can rewrite away every row a delete set names; the
+    following purge must drop the set without rewriting anything."""
+    txnlog.append(spark, root, _orders(spark, 100), range_col="k", n_files=4)
+    txnlog.delete_where_mor(spark, root, ["k"], (F.col("k") >= 10) & (F.col("k") < 12))
+    txnlog.delete_range_cow(spark, root, "k", 0, 30)
+    v, stats = txnlog.purge_deletes(spark, root, "k")
+    assert stats["n_rewritten"] == 0
+    assert txnlog.read_entry(root, v).get("delete_files", []) == []
+    assert txnlog.read_version(spark, root, v).count() == 70
+
+
+def test_vacuum_after_tighter_vacuum(spark, root):
+    """A retention window that spans already-expired versions must skip
+    them, not crash."""
+    for i in range(4):
+        txnlog.append(spark, root, _orders(spark, 10).withColumn(
+            "k", F.col("k") + 100 * i), n_files=1)
+    txnlog.vacuum(root, keep_last=1)        # expires v1-v3
+    stats = txnlog.vacuum(root, keep_last=3)  # window spans the expired ones
+    assert stats["n_files_removed"] == 0
+    assert txnlog.read_version(spark, root).count() == 40
