@@ -92,6 +92,12 @@ WINDOW_OK: dict[str, str] = {
         "life-table product over gap-month buckets (parity_journey.py:336,"
         " bounded by the observation window in months)"
     ),
+    "kaplan_meier_bucketed": (
+        "the same bounded life-table windows as kaplan_meier_reorder, fed"
+        " from the PERSISTED duration-bucket partial table"
+        " (parity_journey.py:426 - input is the KB-scale bucket census,"
+        " not fact rows)"
+    ),
     # bucket/metadata frames: window input is a fixed bucket census
     "exact_quantiles_bucketed": (
         "bucket-offset window over 256 value-bucket totals"
