@@ -108,7 +108,7 @@ def chain_intact(root: str, through: int | None = None) -> bool:
         except ValueError:
             return False
         files = entry.get("files", []) + entry.get("delete_files", [])
-        if not files and entry.get("op") != "empty":
+        if not files and entry.get("op") not in ("empty", "catalog"):
             return False
         if not all(os.path.isfile(os.path.join(root, f)) for f in files):
             return False
@@ -463,6 +463,28 @@ def changes_between(spark: SparkSession, root: str, v_from: int,
     )
 
 
+def optimize(spark: SparkSession, root: str, cluster_col,
+             cluster_name: str, n_files: int = 8) -> int:
+    """OPTIMIZE as a commit: rewrite the head's visible rows re-clustered
+    on `cluster_col` (a Column — e.g. a z-value interleave for 2-D skip)
+    and publish the rewritten file set. Any pending merge-on-read delete
+    set is applied during the rewrite and dropped. Like purge, the commit
+    is logically SILENT — the CDC feed across it is empty (survivor rows
+    cancel), which is what lets a table service re-cluster data under
+    running consumers. At 100 TB this runs per partition/file-group; the
+    full-table rewrite here is the local-mode stand-in."""
+    head = latest_version(root)
+    df = read_version(spark, root, head)
+    clustered = (
+        df.withColumn("_ck", cluster_col)
+        .repartitionByRange(n_files, "_ck")
+        .sortWithinPartitions("_ck")
+        .drop("_ck")
+    )
+    new_files = _write_version_dir(root, head + 1, clustered, None, 0)
+    return commit(root, head, new_files, f"optimize:{cluster_name}")
+
+
 def committed_batch_ids(root: str) -> set[int]:
     """Stream batch ids already durably committed — the dedup set behind
     exactly-once ingest. O(versions) KB-scale entry reads (a production
@@ -554,6 +576,43 @@ def _branch_versions(root: str) -> set[int]:
             if v is not None:
                 out.add(v)
     return out
+
+
+def catalog_commit(catalog_root: str, pins: dict[str, int],
+                   parent: int) -> int:
+    """Multi-table atomic snapshot: one catalog entry pins a VERSION PER
+    TABLE, published with the same create-exclusive link as a table
+    commit. Readers resolve the catalog once and read every table at its
+    pinned version — a cross-table join can never see table A's new
+    commit paired with table B's old one (the consistency gap single-table
+    logs leave open, closed the way an Iceberg REST catalog's multi-table
+    transaction closes it). `pins` maps table name -> that table's log
+    version; the tables' own roots live beside the catalog."""
+    version = parent + 1
+    os.makedirs(_log_dir(catalog_root), exist_ok=True)
+    final = _entry_path(catalog_root, version)
+    tmp = final + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "parent": parent, "op": "catalog",
+                   "pins": pins, "files": []}, fh)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise CommitConflict(
+            f"catalog version {version} already committed") from None
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def catalog_snapshot(catalog_root: str,
+                     version: int | None = None) -> dict[str, int]:
+    """The table->version pin map at a catalog version (default head)."""
+    v = latest_version(catalog_root) if version is None else version
+    entry = read_entry(catalog_root, v)
+    if entry.get("op") != "catalog":
+        raise ValueError(f"catalog entry expected at version {v}")
+    return entry["pins"]
 
 
 def vacuum(root: str, keep_last: int = 1) -> dict:

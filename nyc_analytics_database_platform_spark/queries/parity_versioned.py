@@ -707,3 +707,156 @@ def branch_rollback_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents"
         ),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "txnlog_optimize_zorder_box",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders
+        WHERE (o_custkey & 65535) BETWEEN 64 AND 191
+          AND (datediff('day', TIMESTAMP '1970-01-01', o_orderdate) & 65535)
+              BETWEEN 9900 AND 10100
+    """,
+    tags=("txnlog", "optimize", "zorder", "layout", "lifecycle", "warehouse"),
+)
+def txnlog_optimize_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE as a transactional commit: v1 lands `orders` hash-scattered
+    (every file spans the full key/date domain — the worst layout for a
+    2-D box query), v2 is txnlog.optimize re-clustering on the Morton
+    z-interleave of (custkey, orderdate). The box rollup reads the head
+    and must be value-exact vs the source-table oracle: re-clustering
+    changed bytes and file boundaries, never a visible row (the CDC feed
+    across the optimize is pinned EMPTY in tests, same silence contract as
+    purge). The z-order win itself — files whose [min,max] z-range skips
+    the box — is measured by the footer-stat census in
+    tests/test_txnlog.py; at 100 TB a table service runs exactly this
+    rewrite under live readers, safe because old snapshots stay pinned."""
+    from nyc_analytics_database_platform_spark.functions.zorder import zvalue
+
+    root = _root(sf_dir, "zopt")
+    marker = root + "_done"
+    stamp = layouts.source_stamp(sf_dir, "orders", spec="zopt:cust-x-date")
+    if not (layouts.is_fresh(marker, stamp) and txnlog.chain_intact(root)):
+        shutil.rmtree(root, ignore_errors=True)
+        orders = load(spark, sf_dir, "orders")
+        txnlog.append(spark, root, orders.repartition(8, "o_orderkey"),
+                      n_files=0)
+        txnlog.optimize(
+            spark, root,
+            zvalue(
+                "(o_custkey & 65535)",
+                "(datediff(o_orderdate, DATE '1970-01-01') & 65535)",
+            ),
+            cluster_name="z(custkey,orderdate)",
+        )
+        layouts.mark_fresh(marker, stamp)
+    head = txnlog.read_version(spark, root)
+    x = F.expr("o_custkey & 65535")
+    y = F.expr("datediff(o_orderdate, DATE '1970-01-01') & 65535")
+    return head.filter(
+        x.between(64, 191) & y.between(9900, 10100)
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
+
+
+@register(
+    "atomic_multi_table_snapshot_join",
+    oracle=f"""
+        WITH o1 AS (SELECT * FROM orders
+                    WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'),
+             j1 AS (
+                SELECT 1 AS snapshot_id, o.o_orderstatus,
+                       CAST(COUNT(*) AS BIGINT) AS n_items,
+                       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                            AS BIGINT) AS item_cents
+                FROM o1 o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_linenumber <= 2
+                GROUP BY o.o_orderstatus
+             ),
+             j2 AS (
+                SELECT 2 AS snapshot_id, o.o_orderstatus,
+                       CAST(COUNT(*) AS BIGINT) AS n_items,
+                       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                            AS BIGINT) AS item_cents
+                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                GROUP BY o.o_orderstatus
+             )
+        SELECT * FROM j1 UNION ALL SELECT * FROM j2
+        ORDER BY snapshot_id, o_orderstatus
+    """,
+    tags=("txnlog", "catalog", "multi-table", "snapshot-isolation",
+          "lifecycle", "warehouse"),
+)
+def atomic_multi_table_snapshot_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table snapshot isolation through catalog commits: the orders
+    and lineitem logs each advance independently (orders: pre-cutoff then
+    the rest; lineitem: linenumber <= 2 then the rest), but consumers
+    resolve ONE catalog entry that pins a version per table — catalog v1
+    pins (orders@1, lineitem@1), catalog v2 pins (orders@2, lineitem@2).
+    Between the two table commits there was a WINDOW where orders@2
+    coexisted with lineitem@1 on disk; no catalog entry ever exposed that
+    pair, which is the anomaly this query proves away: both snapshot joins
+    hash-match oracles built from CONSISTENT predicate pairs. At 100 TB
+    this is the multi-table transaction a warehouse needs for fact +
+    dimension co-publishing."""
+    root = _root(sf_dir, "cat")
+    o_root = os.path.join(root, "t_orders")
+    l_root = os.path.join(root, "t_lineitem")
+    marker = root + "_done"
+    stamp = layouts.source_stamp(sf_dir, "orders", "lineitem",
+                                 spec="catalog:2snap")
+    if not (layouts.is_fresh(marker, stamp)
+            and txnlog.chain_intact(o_root) and txnlog.chain_intact(l_root)
+            and txnlog.latest_version(root) >= 2):
+        shutil.rmtree(root, ignore_errors=True)
+        orders = load(spark, sf_dir, "orders")
+        items = load(spark, sf_dir, "lineitem")
+        cutoff = F.lit(_CUTOFF).cast("timestamp")
+        txnlog.append(spark, o_root,
+                      orders.filter(F.col("o_orderdate") < cutoff),
+                      range_col="o_orderkey", n_files=4)
+        txnlog.append(spark, l_root,
+                      items.filter(F.col("l_linenumber") <= 2),
+                      range_col="l_orderkey", n_files=4)
+        txnlog.catalog_commit(root, {"orders": 1, "lineitem": 1}, parent=0)
+        # The tables advance one at a time - the inconsistent pair
+        # (orders@2, lineitem@1) exists on disk between these two lines,
+        # but no catalog entry ever points at it.
+        txnlog.append(spark, o_root,
+                      orders.filter(F.col("o_orderdate") >= cutoff),
+                      range_col="o_orderkey", n_files=4)
+        txnlog.append(spark, l_root,
+                      items.filter(F.col("l_linenumber") > 2),
+                      range_col="l_orderkey", n_files=4)
+        txnlog.catalog_commit(root, {"orders": 2, "lineitem": 2}, parent=1)
+        layouts.mark_fresh(marker, stamp)
+
+    def snap_join(cat_version: int) -> DataFrame:
+        pins = txnlog.catalog_snapshot(root, cat_version)
+        o = txnlog.read_version(spark, o_root, pins["orders"])
+        li = txnlog.read_version(spark, l_root, pins["lineitem"])
+        return (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                ).alias("item_cents"),
+            )
+            .withColumn("snapshot_id", F.lit(cat_version))
+        )
+
+    out = snap_join(1).unionByName(snap_join(2))
+    return out.select(
+        "snapshot_id", "o_orderstatus", "n_items", "item_cents"
+    ).orderBy("snapshot_id", "o_orderstatus")

@@ -304,3 +304,57 @@ def test_vacuum_after_tighter_vacuum(spark, root):
     stats = txnlog.vacuum(root, keep_last=3)  # window spans the expired ones
     assert stats["n_files_removed"] == 0
     assert txnlog.read_version(spark, root).count() == 40
+
+
+def test_optimize_is_silent_and_improves_skip(spark, root):
+    """OPTIMIZE commits a re-clustered rewrite: logically silent (empty
+    CDC), and the per-file (x, y) bounding boxes actually tighten — on the
+    hash-scattered v1 every file's bbox intersects the probe box, after
+    z-ordering only a minority do (the file-skip that makes 2-D probes
+    metadata-bounded at 100 TB)."""
+    from nyc_analytics_database_platform_spark.functions.zorder import zvalue
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").cast("double").alias("v"),
+    )
+    txnlog.append(spark, root, df.repartition(8, "v"), n_files=0)
+    txnlog.optimize(spark, root, zvalue("x", "y", bits=6), "z(x,y)",
+                    n_files=8)
+    assert txnlog.changes_between(spark, root, 1, 2, ["x", "y", "v"]).count() == 0
+
+    def intersecting(version):
+        hits = 0
+        for f in txnlog.snapshot_files(root, version):
+            b = spark.read.parquet(f).agg(
+                F.min("x"), F.max("x"), F.min("y"), F.max("y")).first()
+            if b[1] >= 8 and b[0] <= 23 and b[3] >= 8 and b[2] <= 23:
+                hits += 1
+        return hits, len(txnlog.snapshot_files(root, version))
+
+    before_hits, before_n = intersecting(1)
+    after_hits, after_n = intersecting(2)
+    assert before_hits == before_n            # scattered: no skip at all
+    assert after_hits < after_n               # z-ordered: real file skip
+    # MoR deletes are materialized into the rewrite and dropped.
+    txnlog.delete_where_mor(spark, root, ["v"], F.col("v") < 100)
+    txnlog.optimize(spark, root, zvalue("x", "y", bits=6), "z(x,y)")
+    assert txnlog.read_entry(root, 4).get("delete_files", []) == []
+    assert txnlog.read_version(spark, root).count() == 4096 - 100
+
+
+def test_catalog_commit_atomic_pins(spark, root):
+    a_root, b_root = os.path.join(root, "a"), os.path.join(root, "b")
+    txnlog.append(spark, a_root, _orders(spark, 10), n_files=1)
+    txnlog.append(spark, b_root, _orders(spark, 20), n_files=1)
+    txnlog.catalog_commit(root, {"a": 1, "b": 1}, parent=0)
+    txnlog.append(spark, a_root, _orders(spark, 5).withColumn(
+        "k", F.col("k") + 50), n_files=1)
+    # a@2 exists on disk, but the catalog still exposes only (a@1, b@1).
+    assert txnlog.catalog_snapshot(root) == {"a": 1, "b": 1}
+    txnlog.catalog_commit(root, {"a": 2, "b": 1}, parent=1)
+    assert txnlog.catalog_snapshot(root) == {"a": 2, "b": 1}
+    assert txnlog.catalog_snapshot(root, 1) == {"a": 1, "b": 1}
+    with pytest.raises(txnlog.CommitConflict):
+        txnlog.catalog_commit(root, {"a": 2, "b": 2}, parent=1)
