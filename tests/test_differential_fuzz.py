@@ -2348,7 +2348,7 @@ def test_differential_random_txnlog_chain(spark, tmp_path, case_id, rng):
     for _ in range(rng.randint(3, 6)):
         choices = ["append", "stream"]
         if state:
-            choices += ["cow", "mor"]
+            choices += ["cow", "mor", "optimize"]
         if mor_live:
             choices.append("purge")
         op = rng.choice(choices)
@@ -2379,6 +2379,10 @@ def test_differential_random_txnlog_chain(spark, tmp_path, case_id, rng):
                     (F.col("k") >= lo) & (F.col("k") < hi))
                 mor_live = True
             state = survivors
+        elif op == "optimize":
+            txnlog.optimize(spark, root, F.col("k"), "k",
+                            n_files=rng.randint(1, 3))
+            mor_live = False  # optimize materializes and drops the DV
         else:  # purge
             txnlog.purge_deletes(spark, root, "k")
             mor_live = False
