@@ -381,7 +381,14 @@ def _scale_crossover(spark, specs) -> dict | None:
         )
         sel16 = {
             n: full[n]
-            for n in ("scd2_apply_persisted", "scd2_apply_delta_commit")
+            for n in (
+                "scd2_apply_persisted",
+                "scd2_apply_delta_commit",
+                # flat-absolute cost model (0.6s fixed + 0.12s/sf vs
+                # DuckDB's 0.082s/sf linear) predicts its <2x crossing at
+                # ~sf14 - measured here rather than extrapolated
+                "scd2_point_in_time_join",
+            )
             if n in full
         }
         out["sf16.0"] = _interleaved_block(spark, sel16, big16, reps=3, passes=2)
