@@ -60,7 +60,7 @@ def build_orders_commit_chain(
     marker = root + "_done"
     stamp = layouts.source_stamp(
         sf_dir, "orders",
-        spec=f"chain:{_CUTOFF}:{_DEL_LO}:{_DEL_HI}:{variant}",
+        spec=f"chain:{_CUTOFF}:{_DEL_LO}:{_DEL_HI}:{variant}:sized",
     )
     if layouts.is_fresh(marker, stamp) and txnlog.chain_intact(root):
         return root
@@ -68,12 +68,19 @@ def build_orders_commit_chain(
     orders = load(spark, sf_dir, "orders")
     cutoff = F.lit(_CUTOFF).cast("timestamp")
     # Range-clustered on o_orderkey so the later range delete prunes at
-    # file granularity (tests pin n_carried > 0: most files carry over
-    # by reference, untouched).
+    # file granularity (tests pin n_carried > 0: most files carry over by
+    # reference, untouched). File COUNT scales with the data so file SIZE
+    # stays production-constant — what keeps a fixed-width delete/CDC
+    # O(changed files) while the table grows (measured in SCALE.md: the
+    # state-diff alternative scales with the table, this does not).
+    from nyc_analytics_database_platform_spark.catalog import footer_row_count
+
+    rows = footer_row_count(sf_dir, "orders")
+    n1 = max(8, rows // 150_000)
     txnlog.append(spark, root, orders.filter(F.col("o_orderdate") < cutoff),
-                  range_col="o_orderkey", n_files=8)
+                  range_col="o_orderkey", n_files=n1)
     txnlog.append(spark, root, orders.filter(F.col("o_orderdate") >= cutoff),
-                  range_col="o_orderkey", n_files=4)
+                  range_col="o_orderkey", n_files=max(4, n1 // 2))
     txnlog.delete_range_cow(spark, root, "o_orderkey", _DEL_LO, _DEL_HI)
     layouts.mark_fresh(marker, stamp)
     return root
