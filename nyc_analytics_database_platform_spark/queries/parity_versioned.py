@@ -350,12 +350,15 @@ def build_mor_chain(spark: SparkSession, sf_dir: str) -> str:
     (rewrite only footer-intersecting files, drop the delete set)."""
     root = _root(sf_dir, "mor")
     marker = root + "_done"
-    stamp = layouts.source_stamp(sf_dir, "orders", spec="mor:urgent:200-900")
+    stamp = layouts.source_stamp(sf_dir, "orders", spec="mor:urgent:200-900:sized")
     if layouts.is_fresh(marker, stamp) and txnlog.chain_intact(root):
         return root
     shutil.rmtree(root, ignore_errors=True)
+    from nyc_analytics_database_platform_spark.catalog import footer_row_count
+
     orders = load(spark, sf_dir, "orders")
-    txnlog.append(spark, root, orders, range_col="o_orderkey", n_files=8)
+    txnlog.append(spark, root, orders, range_col="o_orderkey",
+                  n_files=max(8, footer_row_count(sf_dir, "orders") // 150_000))
     txnlog.delete_where_mor(
         spark, root, ["o_orderkey"],
         (F.col("o_orderpriority") == "1-URGENT")
