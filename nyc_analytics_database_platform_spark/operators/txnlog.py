@@ -578,6 +578,33 @@ def _branch_versions(root: str) -> set[int]:
     return out
 
 
+def clone(src_root: str, dst_root: str, version: int | None = None) -> int:
+    """Zero-copy shallow clone: a NEW table whose v1 references the source
+    snapshot's bytes without copying them. Files are hard-linked into the
+    clone's own data directory, so the clone owns its lifetime: the
+    source vacuuming (or deleting) its files later cannot break the clone,
+    and the clone's own commits/vacuum never touch the source — the
+    isolation contract a table format's shallow clone provides, with
+    link-count playing the role of the shared object store's refcount.
+    Write cost is O(files) metadata regardless of data size."""
+    v = latest_version(src_root) if version is None else version
+    entry = read_entry(src_root, v)
+    linked = []
+    for key in ("files", "delete_files"):
+        for rel in entry.get(key, []):
+            dst_rel = os.path.join("data", "v00001-clone",
+                                   rel.replace(os.sep, "_"))
+            dst = os.path.join(dst_root, dst_rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(os.path.join(src_root, rel), dst)
+            linked.append((key, dst_rel))
+    files = [r for k, r in linked if k == "files"]
+    dv = [r for k, r in linked if k == "delete_files"]
+    extra = ({"delete_files": dv,
+              "delete_key_cols": entry["delete_key_cols"]} if dv else {})
+    return commit(dst_root, 0, files, f"clone:{src_root}@{v}", extra=extra)
+
+
 def catalog_commit(catalog_root: str, pins: dict[str, int],
                    parent: int) -> int:
     """Multi-table atomic snapshot: one catalog entry pins a VERSION PER

@@ -870,3 +870,53 @@ def atomic_multi_table_snapshot_join(
     return out.select(
         "snapshot_id", "o_orderstatus", "n_items", "item_cents"
     ).orderBy("snapshot_id", "o_orderstatus")
+
+
+@register(
+    "clone_divergence_revenue",
+    oracle=f"""
+        SELECT 'source' AS table_name, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders WHERE {_V3_PRED_SQL}
+        GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'clone', o_orderstatus,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders
+        WHERE {_V3_PRED_SQL} AND o_orderstatus <> 'F'
+        GROUP BY o_orderstatus
+        ORDER BY table_name, o_orderstatus
+    """,
+    tags=("txnlog", "clone", "lifecycle", "warehouse"),
+)
+def clone_divergence_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy clone then divergence: the clone hard-links the main
+    chain's v3 snapshot (O(files) metadata, no bytes copied), then takes
+    its OWN commit — a merge-on-read delete of status-'F' orders — while
+    the source stays untouched. Both rollups hash-match oracles over
+    their respective states: proof the clone shares bytes but not
+    lifetime or history (tests additionally vacuum the source and re-read
+    the clone — hard links keep the shared bytes alive, the shallow-clone
+    safety property)."""
+    main_root = build_orders_commit_chain(spark, sf_dir)
+    root = _root(sf_dir, "clone")
+    marker = root + "_done"
+    stamp = layouts.source_stamp(sf_dir, "orders", spec="clone:v3:dropF")
+    if not (layouts.is_fresh(marker, stamp) and txnlog.chain_intact(root)):
+        shutil.rmtree(root, ignore_errors=True)
+        txnlog.clone(main_root, root)
+        txnlog.delete_where_mor(spark, root, ["o_orderkey"],
+                                F.col("o_orderstatus") == "F")
+        layouts.mark_fresh(marker, stamp)
+    src = _status_rollup(
+        txnlog.read_version(spark, main_root)
+    ).withColumn("table_name", F.lit("source"))
+    cln = _status_rollup(
+        txnlog.read_version(spark, root)
+    ).withColumn("table_name", F.lit("clone"))
+    return src.unionByName(cln).select(
+        "table_name", "o_orderstatus", "n_orders", "revenue_cents"
+    ).orderBy("table_name", "o_orderstatus")

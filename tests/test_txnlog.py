@@ -358,3 +358,25 @@ def test_catalog_commit_atomic_pins(spark, root):
     assert txnlog.catalog_snapshot(root, 1) == {"a": 1, "b": 1}
     with pytest.raises(txnlog.CommitConflict):
         txnlog.catalog_commit(root, {"a": 2, "b": 2}, parent=1)
+
+
+def test_clone_shares_bytes_but_not_lifetime(spark, root):
+    src, cln = os.path.join(root, "src"), os.path.join(root, "cln")
+    txnlog.append(spark, src, _orders(spark, 80), range_col="k", n_files=4)
+    txnlog.delete_where_mor(spark, src, ["k"], F.col("k") < 10)
+    txnlog.clone(src, cln)
+    # Zero-copy: every clone data file is a hard link (same inode).
+    src_inodes = {os.stat(f).st_ino for f in txnlog.snapshot_files(src, 2)}
+    cln_inodes = {os.stat(f).st_ino for f in txnlog.snapshot_files(cln, 1)}
+    assert cln_inodes == src_inodes
+    # The clone carries the source's delete set: same visible rows.
+    assert txnlog.read_version(spark, cln).count() == 70
+    # Divergence is isolated in both directions.
+    txnlog.delete_range_cow(spark, cln, "k", 40, 80)
+    assert txnlog.read_version(spark, cln).count() == 30
+    assert txnlog.read_version(spark, src).count() == 70
+    # Source vacuum (even source DELETION) cannot break the clone.
+    txnlog.delete_range_cow(spark, src, "k", 0, 100)   # rewrites src files
+    txnlog.vacuum(src, keep_last=1)
+    shutil.rmtree(src)
+    assert txnlog.read_version(spark, cln).count() == 30
