@@ -920,3 +920,120 @@ def clone_divergence_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.unionByName(cln).select(
         "table_name", "o_orderstatus", "n_orders", "revenue_cents"
     ).orderBy("table_name", "o_orderstatus")
+
+
+def _consumer_pointer(consumer_dir: str) -> dict:
+    try:
+        import json as _json
+
+        with open(os.path.join(consumer_dir, "pointer.json")) as fh:
+            return _json.load(fh)
+    except OSError:
+        return {"offset": 0, "view": None}
+
+
+def consumer_advance(spark: SparkSession, root: str, consumer_dir: str,
+                     through: int | None = None) -> int:
+    """Advance a DOWNSTREAM incremental consumer of the change feed to the
+    table's head: apply each unconsumed version's feed to a persisted
+    monthly-revenue view (inserts merge, deletes merge negated), write the
+    new view into a fresh versioned directory, then atomically swap one
+    pointer file carrying BOTH the consumed offset and the view location.
+    Crash anywhere before the swap leaves the old pointer — old view, old
+    offset — so reprocessing resumes from a consistent pair and can never
+    double-apply a feed (the exactly-once-downstream contract; the sink
+    twin is txnlog.commit_stream_batch). Cost per refresh is
+    O(changed files + |view|); the table's history is never rescanned.
+    Returns the new offset."""
+    import json as _json
+
+    ptr = _consumer_pointer(consumer_dir)
+    offset = ptr["offset"]
+    head = txnlog.latest_version(root)
+    if through is not None:
+        head = min(head, through)
+    if head <= offset:
+        return offset
+    month = F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM")
+    cols = ["o_orderkey", "o_orderdate", "o_totalprice"]
+
+    def partials(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy(month.alias("month")).agg(
+            (F.lit(sign) * F.count("*")).alias("n"),
+            (F.lit(sign) * F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+             ).alias("sum_dec"),
+        )
+
+    parts = []
+    if ptr["view"] is not None:
+        parts.append(spark.read.parquet(os.path.join(consumer_dir, ptr["view"])))
+    for v in range(offset + 1, head + 1):
+        if v == 1:
+            parts.append(partials(
+                txnlog.read_version(spark, root, 1).select(*cols), 1))
+            continue
+        feed = txnlog.changes_between(spark, root, v - 1, v, cols)
+        parts.append(partials(feed.filter(F.col("change_type") == "insert"), 1))
+        parts.append(partials(feed.filter(F.col("change_type") == "delete"), -1))
+    view = parts[0]
+    for p in parts[1:]:
+        view = view.unionByName(p)
+    view = view.groupBy("month").agg(
+        F.sum("n").alias("n"), F.sum("sum_dec").alias("sum_dec")
+    ).filter(F.col("n") > 0)
+    view_name = f"view_v{head:05d}"
+    view.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(consumer_dir, view_name))
+    tmp = os.path.join(consumer_dir, f"pointer.tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        _json.dump({"offset": head, "view": view_name}, fh)
+    os.replace(tmp, os.path.join(consumer_dir, "pointer.json"))
+    return head
+
+
+@register(
+    "cdf_consumer_monthly_revenue",
+    oracle=f"""
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               COUNT(*) AS n,
+               {ORACLE_SUM.format(col="o_totalprice")} AS total
+        FROM orders
+        WHERE {_V3_PRED_SQL}
+        GROUP BY 1
+        ORDER BY month
+    """,
+    tags=("txnlog", "cdc", "consumer", "incremental", "materialized-view",
+          "warehouse"),
+)
+def cdf_consumer_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed's CONSUMER half (the sink half being the
+    exactly-once ingest): a downstream job holds a durable (offset, view)
+    pointer and refreshes its materialized monthly-revenue view from only
+    the versions it has not consumed — run here as two separate advances
+    (after the chain reaches v2, it is advanced once; the second advance
+    consumes only v3's delete feed), with the atomic pointer swap making
+    replays after a crash idempotent (pinned in tests by re-advancing and
+    by simulating a crash between view write and swap). The final view
+    hash-matches the from-scratch v3 oracle: offset bookkeeping lost
+    nothing and double-applied nothing."""
+    root = build_orders_commit_chain(spark, sf_dir)
+    consumer = _root(sf_dir, "cdfconsumer")
+    marker = consumer + "_done"
+    stamp = layouts.source_stamp(sf_dir, "orders", spec="cdf-consumer:v3")
+    if not (layouts.is_fresh(marker, stamp)
+            and _consumer_pointer(consumer)["offset"] == 3):
+        shutil.rmtree(consumer, ignore_errors=True)
+        os.makedirs(consumer, exist_ok=True)
+        # Two-step consumption: the consumer is mid-stream after v2 ...
+        consumer_advance(spark, root, consumer, through=2)
+        assert _consumer_pointer(consumer)["offset"] == 2
+        # ... and a later run picks up ONLY v3's feed.
+        consumer_advance(spark, root, consumer)
+        layouts.mark_fresh(marker, stamp)
+    ptr = _consumer_pointer(consumer)
+    view = spark.read.parquet(os.path.join(consumer, ptr["view"]))
+    return view.select(
+        "month",
+        F.col("n").alias("n"),
+        F.col("sum_dec").cast("double").alias("total"),
+    ).orderBy("month")

@@ -380,3 +380,36 @@ def test_clone_shares_bytes_but_not_lifetime(spark, root):
     txnlog.vacuum(src, keep_last=1)
     shutil.rmtree(src)
     assert txnlog.read_version(spark, cln).count() == 30
+
+
+def test_cdf_consumer_offsets_and_crash_replay(spark, sf_dir, tmp_path):
+    from nyc_analytics_database_platform_spark.queries.parity_versioned import (
+        _consumer_pointer,
+        consumer_advance,
+    )
+
+    root = build_orders_commit_chain(spark, sf_dir)
+    consumer = str(tmp_path / "consumer")
+    os.makedirs(consumer)
+    assert consumer_advance(spark, root, consumer, through=2) == 2
+    mid = _consumer_pointer(consumer)
+    # Idempotent: re-advancing with nothing new is a no-op.
+    assert consumer_advance(spark, root, consumer, through=2) == 2
+    assert _consumer_pointer(consumer) == mid
+    # Crash between view write and pointer swap: a stray view dir for the
+    # next offset exists, but the pointer still holds (v2, view_v2) - the
+    # replay must consume v3's feed exactly once on top of the OLD view.
+    (tmp_path / "consumer" / "view_v00003").mkdir()
+    assert consumer_advance(spark, root, consumer) == 3
+    ptr = _consumer_pointer(consumer)
+    assert ptr["offset"] == 3
+    got = spark.read.parquet(os.path.join(consumer, ptr["view"]))
+    want = (
+        txnlog.read_version(spark, root, 3)
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
+                               "yyyy-MM").alias("month"))
+        .agg(F.count("*").alias("n"))
+    )
+    gm = {(r["month"], r["n"]) for r in got.select("month", "n").collect()}
+    wm = {(r["month"], r["n"]) for r in want.collect()}
+    assert gm == wm
