@@ -2388,18 +2388,37 @@ def test_differential_random_txnlog_chain(spark, tmp_path, case_id, rng):
             mor_live = False
         model_states[txnlog.latest_version(root)] = dict(state)
 
+    # Mid-chain zero-copy clone: fork at a random committed version, let
+    # the source keep evolving (it already has), and the clone must still
+    # read the model state AS OF the fork - even after the source vacuums.
+    fork = rng.choice(sorted(model_states))
+    clone_root = str(tmp_path / "clone")
+    txnlog.clone(root, clone_root, version=fork)
+    # Branch pin at a random version: vacuum with retention 1 must keep it.
+    pin = rng.choice(sorted(model_states))
+    txnlog.set_branch(root, "pinned", pin)
+    txnlog.vacuum(root, keep_last=1)
+    got_clone = {(r["k"], r["v"])
+                 for r in txnlog.read_version(spark, clone_root).collect()}
+    assert got_clone == set(model_states[fork].items()), (case_id, fork)
+    got_pin = {(r["k"], r["v"])
+               for r in txnlog.read_branch(spark, root, "pinned").collect()}
+    assert got_pin == set(model_states[pin].items()), (case_id, pin)
+
     for v, want in model_states.items():
+        if v != txnlog.latest_version(root) and v != pin:
+            continue  # other versions may be vacuumed; head + pin survive
         got = {(r["k"], r["v"])
                for r in txnlog.read_version(spark, root, v).collect()}
         assert got == set(want.items()), (case_id, v)
 
-    versions = sorted(model_states)
-    if len(versions) >= 2:
-        a, b = sorted(rng.sample(versions, 2))
-        feed = txnlog.changes_between(spark, root, a, b, ["k", "v"]).collect()
-        sa = set(model_states[a].items())
-        sb = set(model_states[b].items())
+    head = txnlog.latest_version(root)
+    if pin < head:
+        feed = txnlog.changes_between(spark, root, pin, head,
+                                      ["k", "v"]).collect()
+        sa = set(model_states[pin].items())
+        sb = set(model_states[head].items())
         ins = {(r["k"], r["v"]) for r in feed if r["change_type"] == "insert"}
         dels = {(r["k"], r["v"]) for r in feed if r["change_type"] == "delete"}
-        assert ins == sb - sa, (case_id, a, b)
-        assert dels == sa - sb, (case_id, a, b)
+        assert ins == sb - sa, (case_id, pin, head)
+        assert dels == sa - sb, (case_id, pin, head)
