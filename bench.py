@@ -384,14 +384,37 @@ def _scale_crossover(spark, specs) -> dict | None:
             for n in (
                 "scd2_apply_persisted",
                 "scd2_apply_delta_commit",
-                # flat-absolute cost model (0.6s fixed + 0.12s/sf vs
-                # DuckDB's 0.082s/sf linear) predicts its <2x crossing at
-                # ~sf14 - measured here rather than extrapolated
+                # round 11: packed-long running-max payload (8B vs ~40B
+                # struct through the window's exchange+sort) - measured
+                # 2.58/1.97 -> 1.62/1.62 dual-pass at sf16
                 "scd2_point_in_time_join",
+                # round 11 (VERDICT r10 #2): the deepest point for the
+                # bucketed-histogram quintile path (engages >= 5M orders;
+                # sf16 = 24M). Measured 6.34x (window) -> 2.33x here;
+                # the remaining gap is the agg constant (SCALE.md).
+                "rfm_customer_segments",
             )
             if n in full
         }
         out["sf16.0"] = _interleaved_block(spark, sel16, big16, reps=3, passes=2)
+        # VERDICT r10 #3: the five sf0.5-only stragglers get one >=sf2
+        # interleaved dual-pass point each, so no scaling problem can hide
+        # behind the ~0.2s fixed job floor that dominates their sf0.5
+        # ratios.
+        sel_str = {
+            n: full[n]
+            for n in (
+                "session_top_paths",
+                "runtime_filter_part_revenue",
+                "weighted_sample_es_topk",
+                "ann_binary_hamming_rerank",
+                "zorder_box_scan_stats",
+            )
+            if n in full
+        }
+        out["sf2.0_stragglers"] = _interleaved_block(
+            spark, sel_str, big2, reps=3, passes=2
+        )
         return out
     except Exception as e:  # noqa: BLE001 - crossover is additive, never fatal
         return {"error": f"{type(e).__name__}: {e}"}

@@ -94,11 +94,13 @@ def curate_corpus(
         F.col("node").alias(id_col)
     )
     curated = rep_survivors.join(drops, id_col, "left_anti").cache()
-    n_near = curated.count()
-
-    total_tokens = int(
-        curated.agg(F.sum(F.size("_toks")).alias("t")).collect()[0]["t"] or 0
-    )
+    # Final-stage count and token total in ONE aggregate pass over the
+    # cached survivors — the report stays single-pass per stage.
+    final = curated.agg(
+        F.count("*").alias("n"), F.sum(F.size("_toks")).alias("t")
+    ).collect()[0]
+    n_near = final["n"]
+    total_tokens = int(final["t"] or 0)
     return curated.drop("_toks"), CurationReport(
         n_input=n_input,
         n_after_quality=n_quality,

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from nyc_analytics_database_platform_spark.catalog import load
 from nyc_analytics_database_platform_spark.functions.text import ws_tokens
 from nyc_analytics_database_platform_spark.operators.dedup import (
+    banded_buckets,
     lsh_candidate_pairs,
     minhash_signatures,
 )
@@ -460,3 +461,173 @@ def cluster_topic_terms_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "rk")
     )
+
+
+# --- CDC-driven dedup maintenance (round 11) --------------------------------
+#
+# The two halves existed separately: table_changes_feed (the txnlog CDC
+# feed, parity_versioned.py) and dedup_incremental_clusters (warm-start
+# component maintenance, above). This query closes the 100 TB curation
+# loop END-TO-END: the LSH cluster state is maintained purely from the
+# version-to-version change feed of a versioned documents table — inserts
+# extend the band index and merge via star-edge warm start, deletes
+# (a takedown / license retraction) retract the removed docs' band rows
+# and re-resolve ONLY the touched components. No step rescans the corpus.
+
+_CDF_DEL_LO, _CDF_DEL_HI = 100, 200  # v3 retracts this doc_id range
+
+
+def build_documents_commit_chain(
+    spark: SparkSession, sf_dir: str, variant: str = "docs"
+) -> str:
+    """Three-commit documents chain: v1 = history (doc_id < _SPLIT_ID,
+    the already-clustered corpus), v2 = the increment (doc_id >=
+    _SPLIT_ID), v3 = copy-on-write retraction of [_CDF_DEL_LO,
+    _CDF_DEL_HI). Freshness-stamped + chain_intact-gated like the orders
+    chain (parity_versioned.build_orders_commit_chain)."""
+    import shutil
+
+    from nyc_analytics_database_platform_spark import layouts
+    from nyc_analytics_database_platform_spark.operators import txnlog
+
+    root = layouts.scratch(sf_dir, "txnlog", variant)
+    marker = root + "_done"
+    stamp = layouts.source_stamp(
+        sf_dir, "documents",
+        spec=f"docchain:{_SPLIT_ID}:{_CDF_DEL_LO}:{_CDF_DEL_HI}:{variant}",
+    )
+    if layouts.is_fresh(marker, stamp) and txnlog.chain_intact(root):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents")
+    txnlog.append(spark, root, docs.filter(F.col("doc_id") < _SPLIT_ID),
+                  range_col="doc_id", n_files=4)
+    txnlog.append(spark, root, docs.filter(F.col("doc_id") >= _SPLIT_ID),
+                  range_col="doc_id", n_files=2)
+    txnlog.delete_range_cow(spark, root, "doc_id", _CDF_DEL_LO, _CDF_DEL_HI)
+    layouts.mark_fresh(marker, stamp)
+    return root
+
+
+def _band_pairs(bb: DataFrame, other: DataFrame | None = None) -> DataFrame:
+    """Distinct candidate edges (a_id < b_id) between `bb`'s docs and
+    `other`'s (default: bb itself) — docs sharing any (band, bucket)."""
+    a = bb.select(F.col("doc_id").alias("a_id"), "band", "bucket")
+    b = (other if other is not None else bb).select(
+        F.col("doc_id").alias("b_id"), "band", "bucket"
+    )
+    lo = F.least("a_id", "b_id")
+    hi = F.greatest("a_id", "b_id")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(lo.alias("a_id"), hi.alias("b_id"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_maintain_from_cdf",
+    # full recompute at the HEAD version: the recursive-CTE components over
+    # candidate edges of exactly the docs visible at v3 — a hash match
+    # proves the CDC-driven incremental maintenance (insert merge + delete
+    # retraction) lost nothing and resurrected nothing.
+    oracle=(
+        lambda edges_sql: f"""
+        WITH RECURSIVE edges AS ({edges_sql}),
+        und AS (
+            SELECT a_id AS src, b_id AS dst FROM edges
+            UNION
+            SELECT b_id AS src, a_id AS dst FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM und
+            UNION
+            SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+        ),
+        members AS (
+            SELECT src AS node, dst FROM reach
+            UNION
+            SELECT src AS node, src AS dst FROM und
+        )
+        SELECT node, MIN(dst) AS component
+        FROM members
+        GROUP BY node
+        ORDER BY node
+    """
+    )(
+        _minhash_oracle(
+            where=f"WHERE NOT (doc_id >= {_CDF_DEL_LO} "
+                  f"AND doc_id < {_CDF_DEL_HI})"
+        ).rsplit("ORDER BY", 1)[0]
+    ),
+    tags=("llm", "dedup", "incremental", "txnlog", "cdc", "iterative"),
+)
+def dedup_maintain_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH dedup index + cluster assignment maintained FROM THE CHANGE
+    FEED of a versioned documents table — the end-to-end 100 TB curation
+    loop (VERDICT r10 #4).
+
+    v1 state stands for the persisted artifacts (band index + component
+    assignment; recomputed here because driver testdata is read-only).
+    Advance to v2 reads ONLY the feed's inserted docs: signatures for the
+    increment alone, new band rows appended to the index, new edges =
+    increment bands probed against the updated index, merged via
+    star-edge warm start over touched components
+    (operators/graph.incremental_components). Advance to v3 reads ONLY
+    the feed's deleted docs: their band rows retract from the index, and
+    ONLY components containing a deleted doc re-resolve (from the
+    surviving members' band rows); every untouched component passes
+    through by reference. Work per advance is O(changed docs + touched
+    components) — the corpus is never rescanned.
+
+    Oracle: from-scratch recursive-CTE components over the docs visible
+    at the HEAD version, so the driver attests exact equivalence of the
+    incremental path and the full recompute."""
+    from nyc_analytics_database_platform_spark.operators import txnlog
+
+    root = build_documents_commit_chain(spark, sf_dir)
+    cols = ["doc_id", "text"]
+
+    # v1: the persisted state (band index + assignment).
+    v1 = txnlog.read_version(spark, root, 1).select(*cols)
+    band = banded_buckets(minhash_signatures(v1, num_perm=12, k=5),
+                          num_perm=12, rows_per_band=2)
+    assign = connected_components(_band_pairs(band))
+
+    # v1 -> v2: pure-insert feed. Index grows by the increment's bands;
+    # edges touching the increment merge via star-edge warm start.
+    feed12 = txnlog.changes_between(spark, root, 1, 2, cols)
+    inserted = feed12.filter(F.col("change_type") == "insert").select(*cols)
+    new_bands = banded_buckets(minhash_signatures(inserted, num_perm=12, k=5),
+                               num_perm=12, rows_per_band=2)
+    band = band.unionByName(new_bands)
+    new_edges = _band_pairs(new_bands, band)
+    assign = incremental_components(assign, new_edges)
+
+    # v2 -> v3: pure-delete feed (CoW retraction; carried-over survivor
+    # rows cancel in the log diff). Touched components re-resolve from
+    # their surviving members' band rows; everything else passes through.
+    feed23 = txnlog.changes_between(spark, root, 2, 3, cols)
+    deleted = (
+        feed23.filter(F.col("change_type") == "delete")
+        .select(F.col("doc_id").alias("node")).distinct()
+    )
+    touched_comps = (
+        assign.join(deleted, "node", "left_semi")
+        .select("component").distinct()
+    )
+    touched_nodes = (
+        assign.join(F.broadcast(touched_comps), "component", "left_semi")
+        .select(F.col("node").alias("doc_id"))
+    )
+    surviving_bands = (
+        band.join(touched_nodes, "doc_id", "left_semi")
+        .join(deleted.withColumnRenamed("node", "doc_id"),
+              "doc_id", "left_anti")
+    )
+    relabeled = connected_components(_band_pairs(surviving_bands))
+    final = assign.join(
+        F.broadcast(touched_comps), "component", "left_anti"
+    ).unionByName(relabeled)
+    return final.select("node", "component").orderBy("node")

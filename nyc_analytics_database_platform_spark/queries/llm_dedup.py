@@ -32,11 +32,11 @@ from nyc_analytics_database_platform_spark.registry import register
 # Shared oracle fragment: lowercased whitespace tokens and distinct k-shingles.
 
 
-def _shingle_cte(k: int) -> str:
+def _shingle_cte(k: int, where: str = "") -> str:
     return f"""
         toks AS (
             SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-            FROM documents
+            FROM documents {where}
         ),
         sh AS (
             SELECT DISTINCT doc_id, array_to_string(t[i:i+{k - 1}], ' ') AS s
@@ -102,7 +102,8 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, _JACCARD_T, k=5).orderBy("a_id", "b_id")
 
 
-def _minhash_oracle(num_perm: int = 12, rows_per_band: int = 2) -> str:
+def _minhash_oracle(num_perm: int = 12, rows_per_band: int = 2,
+                    where: str = "") -> str:
     sig_cols = ", ".join(
         f"MIN(md5('{p}:' || s)) AS m{p}" for p in range(num_perm)
     )
@@ -115,7 +116,7 @@ def _minhash_oracle(num_perm: int = 12, rows_per_band: int = 2) -> str:
         for b in range(num_bands)
     )
     return f"""
-        WITH {_shingle_cte(5)},
+        WITH {_shingle_cte(5, where)},
         sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
         bands AS (
             SELECT doc_id, bnd, CASE bnd {cases} END AS bucket

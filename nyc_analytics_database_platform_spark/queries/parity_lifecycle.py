@@ -337,24 +337,46 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a DIFFERENT table see pit_external_facts_asof (the general union-as-of
     form); for the zero-Exchange layout twin see
     scd2_point_in_time_bucketed. No final ORDER BY and sink-mode benching,
-    same rationale as sessionize_event_stats."""
-    orders = load(spark, sf_dir, "orders")
+    same rationale as sessionize_event_stats.
+
+    Round 11: the running-max payload is a PACKED LONG, not a struct.
+    Catalyst already prunes the scan to the 4 live columns, but the
+    window's pre-projected aggregate input used to be
+    struct(date, key, status) — ~40 bytes per row duplicating three of
+    the four carried columns through the exchange AND the sort, plus a
+    field-by-field struct comparison per running-max step. Packing
+    (epoch_day << 47) | (o_orderkey << 7) | ascii(status) preserves the
+    exact (date, key) lexicographic order (day < 2^16 covers year 2149,
+    orderkey < 2^40 covers TPC-H sf100000 ≈ 100 TB, status is one ASCII
+    byte; orderkey uniqueness makes ties impossible, so the status bits
+    never decide a comparison) and shrinks the carried payload to 8
+    bytes with a single long compare per row. Measured at sf16
+    interleaved dual-pass: 2.58/1.97 (struct) -> 1.62/1.62 (packed) vs
+    DuckDB."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    )
+    packed = (
+        F.shiftleft(
+            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long"), 47
+        )
+        + F.shiftleft(F.col("o_orderkey"), 7)
+        + F.ascii("o_orderstatus")
+    )
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    asof = F.max(F.struct("o_orderdate", "o_orderkey", "o_orderstatus")).over(w)
+    status_asof = F.expr("char(_asof & 127)")
     return (
-        orders.withColumn("_asof", asof)
+        orders.withColumn("_asof", F.max(packed).over(w))
         .filter(F.col("o_orderkey") % 5 == 0)
         .select(
             F.col("o_orderkey").alias("orderkey"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-            F.col("_asof.o_orderstatus").alias("status_asof"),
-            (F.col("_asof.o_orderstatus") == F.col("o_orderstatus")).alias(
-                "consistent"
-            ),
+            status_asof.alias("status_asof"),
+            (status_asof == F.col("o_orderstatus")).alias("consistent"),
         )
     )
 

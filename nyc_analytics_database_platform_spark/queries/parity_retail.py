@@ -35,15 +35,16 @@ def _cents(col) -> F.Column:
 
 
 # RFM quintile path switch: below this |orders| (|customers| ~ |orders|/10)
-# the single-task NTILE sort beats the sharded rank scan's ~9-job dispatch
-# overhead (measured: 0.78s vs 2.74s at sf0.5, 0.91s vs 3.11s at sf1.0);
-# above it the sharded path's flat cost wins and the window path's
-# single-partition sort becomes the bottleneck. Round 9 re-measured the
-# crossover with deeper points: window 2.93s at sf4.0 (6M orders) and
-# growing ~linearly in |customers|, prefixsum FLAT 4.1s (sf2.0) -> 4.6s
-# (sf4.0); extrapolated intersection ~20M orders, so the switch now sits
-# there instead of the old 50M guess.
-_RFM_PREFIXSUM_MIN_ORDERS = 20_000_000
+# the single-task NTILE sort beats the scale path's multi-job dispatch
+# overhead; above it the window path's single-partition sorts become the
+# bottleneck. Round 11 replaced the sampled order-statistic scan with the
+# bucketed-histogram form (operators/prefixsum.histogram_exact_ntiles)
+# and re-measured the crossover interleaved vs DuckDB: window 1.5s /
+# hist 2.9s at sf2 (3M orders), 2.77s / 2.73s at sf4 (6M orders — the
+# intersection), 10.4s / 3.8s at sf16 (24M orders, the deepest point:
+# 6.34x vs 2.33x against DuckDB). The switch sits at the measured
+# intersection.
+_RFM_PREFIXSUM_MIN_ORDERS = 5_000_000
 
 
 _RFM_ORACLE = """
@@ -92,14 +93,15 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two numerically identical physical forms behind a row-count switch
     (the PCA pattern): below _RFM_PREFIXSUM_MIN_ORDERS the textbook
     unpartitioned-NTILE windows run (3 windows over one pass — |customers|
-    at bench scales sorts in one task faster than the sharded path's 9
-    jobs dispatch: 0.78s vs 2.74s at sf0.5); above it, ALL THREE exact
-    quintile assignments come from ONE fused two-phase order-statistic
-    scan (operators/prefixsum.exact_ntiles, round 10): shared sample ->
-    per-metric shard trees -> one joint counts aggregate -> sliver sorts
-    of only the boundary shards -> comparison-tree tile assignment. No
-    global window, no full-frame sort, 4 bounded jobs instead of the
-    former 3x(range shuffle + counts + window) chain.
+    at bench scales sorts in one task faster than the scale path's job
+    dispatch: 1.0s vs 2.3s at sf0.5); above it, ALL THREE exact quintile
+    assignments come from the bucketed-histogram order-statistic plan
+    (operators/prefixsum.histogram_exact_ntiles, round 11): one narrow
+    per-customer parquet materialization, one joint value-histogram job,
+    one boundary-sliver job, then tile assignment as 12 comparisons
+    riding the final rollup scan. No global window, no full-frame sort
+    anywhere; measured at sf16 interleaved dual-pass the ratio drops
+    6.34x (window) -> 2.33x vs DuckDB.
     SPARK_GRAFT_RFM_QUINTILE=window|prefixsum forces a path;
     tests/test_round7_ops.py locks the two bit-identical at
     sf0.001+sf0.01, and plan_audit labels the small-scale window
@@ -158,16 +160,43 @@ def _rfm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     else:
-        scored, _n = exact_ntiles(
-            base,
+        from nyc_analytics_database_platform_spark import layouts
+        from nyc_analytics_database_platform_spark.operators.prefixsum import (
+            histogram_exact_ntiles,
+        )
+
+        # Round 11 (VERDICT r10 #2): the integer-metric histogram form of
+        # the fused scan. Materialize the narrow per-customer frame ONCE
+        # as parquet (a per-run scratch, overwritten every execution — the
+        # from-scratch query does its work each run; measured cheaper than
+        # cache(): 2.2s agg+write + 3 sub-second rescans vs 3.3s columnar
+        # cache build at sf16), negate the DESC metrics so every order is
+        # ASC, then 3 bounded jobs assign all three exact quintiles.
+        # Measured sf16 interleaved dual-pass: 5.72x -> ~2.3x vs DuckDB.
+        pc = base.select(
+            "o_custkey",
+            F.col("recency_days").cast("long").alias("_vr"),
+            (-F.col("frequency")).alias("_vf"),
+            (-F.col("monetary_cents")).alias("_vm"),
+        )
+        path = layouts.scratch(sf_dir, "rfm", "percust_run")
+        pc.write.mode("overwrite").parquet(path)
+        pc = spark.read.parquet(path)
+        scored = histogram_exact_ntiles(
+            pc,
             [
-                ("r_score", [("recency_days", False), ("o_custkey", False)]),
-                ("f_score", [("frequency", True), ("o_custkey", False)]),
-                ("m_score", [("monetary_cents", True), ("o_custkey", False)]),
+                ("r_score", "_vr", 1),
+                ("f_score", "_vf", 1),
+                ("m_score", "_vm", 4096),
             ],
+            tie_col="o_custkey",
         )
         scored = scored.select(
-            "r_score", "f_score", "m_score", "frequency", "monetary_cents"
+            "r_score",
+            "f_score",
+            "m_score",
+            (-F.col("_vf")).alias("frequency"),
+            (-F.col("_vm")).alias("monetary_cents"),
         )
     return scored
 

@@ -199,3 +199,48 @@ def test_exact_ntiles_matches_window_ntile(spark):
         got = {(r["tb"], r["qa"], r["qb"]) for r in out.select("tb", "qa", "qb").collect()}
         want = {(r["tb"], r["qa"], r["qb"]) for r in exp.collect()}
         assert got == want, f"n={n} tiles={tiles}"
+
+
+def test_histogram_exact_ntiles_matches_window_ntile(spark, tmp_path):
+    """histogram_exact_ntiles (round 11: bucketed-histogram order
+    statistics with tie sub-bucketing) must be bit-identical to window
+    NTILE for mixed widths, negated (DESC) metrics, HEAVY ties (every cut
+    inside a tie set), and n < tiles."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nyc_analytics_database_platform_spark.operators.prefixsum import (
+        histogram_exact_ntiles,
+    )
+
+    rng = random.Random(7)
+    for case, (n, tiles) in enumerate(
+        ((1, 5), (4, 5), (97, 5), (2000, 5), (2000, 7))
+    ):
+        # a: ~3 distinct values (every cut lands inside a tie set);
+        # b: near-unique, negated to exercise DESC + negative buckets.
+        rows = [(i, rng.randint(0, 2), -rng.randint(0, 10**6))
+                for i in range(n)]
+        df = spark.createDataFrame(rows, "tb long, a long, nb long")
+        path = str(tmp_path / f"pc{case}")
+        df.write.mode("overwrite").parquet(path)
+        pc = spark.read.parquet(path)
+        out = histogram_exact_ntiles(
+            pc,
+            [("qa", "a", 1), ("qb", "nb", 4096)],
+            tie_col="tb",
+            tiles=tiles,
+        )
+        exp = df.select(
+            "tb",
+            F.ntile(tiles).over(Window.orderBy("a", "tb")).alias("qa"),
+            F.ntile(tiles)
+            .over(Window.orderBy(F.desc(-F.col("nb")), "tb"))
+            .alias("qb"),
+        )
+        got = {(r["tb"], r["qa"], r["qb"])
+               for r in out.select("tb", "qa", "qb").collect()}
+        want = {(r["tb"], r["qa"], r["qb"]) for r in exp.collect()}
+        assert got == want, (case, n, tiles)

@@ -413,3 +413,116 @@ def test_cdf_consumer_offsets_and_crash_replay(spark, sf_dir, tmp_path):
     gm = {(r["month"], r["n"]) for r in got.select("month", "n").collect()}
     wm = {(r["month"], r["n"]) for r in want.collect()}
     assert gm == wm
+    # Superseded view dirs are pruned once the pointer swap commits
+    # (ADVICE r10: advances used to leak one abandoned view per refresh).
+    views = [n for n in os.listdir(consumer) if n.startswith("view_v")]
+    assert views == [ptr["view"]]
+
+
+def test_batch_id_watermark_survives_vacuum(spark, root):
+    """Exactly-once dedup after retention: vacuum expires the individual
+    stream-append entries, but the cumulative batch-id set rides forward
+    in every head entry, so a post-vacuum redelivery is still skipped
+    (ADVICE r10: vacuum used to lose the dedup set)."""
+    df = _orders(spark, 30)
+    txnlog.commit_stream_batch(spark, root, df.filter("k < 10"), batch_id=0)
+    txnlog.commit_stream_batch(spark, root,
+                               df.filter("(k >= 10) and (k < 20)"), batch_id=1)
+    # Non-stream commits in between must carry the watermark too.
+    txnlog.append(spark, root, df.filter("k >= 20"), range_col="k", n_files=1)
+    txnlog.delete_range_cow(spark, root, "k", 0, 5)
+    stats = txnlog.vacuum(root, keep_last=1)
+    assert stats["n_versions_expired"] == 3  # stream entries are expendable
+    assert txnlog.committed_batch_ids(root) == {0, 1}
+    assert txnlog.commit_stream_batch(
+        spark, root, df.filter("(k >= 10) and (k < 20)"), batch_id=1) is None
+    assert txnlog.read_version(spark, root).count() == 25
+
+
+def test_vacuum_grace_window_protects_staged_files(spark, root):
+    """grace_seconds: files staged by a concurrent writer (unreferenced
+    until its commit links) survive a vacuum whose grace window covers
+    them; with grace 0 they are collected as before."""
+    txnlog.append(spark, root, _orders(spark, 20), n_files=1)
+    # Stage files the way append does, without committing.
+    staged = txnlog._write_version_dir(
+        root, 2, _orders(spark, 5), None, 1)
+    stats = txnlog.vacuum(root, keep_last=1, grace_seconds=3600)
+    assert stats["n_files_removed"] == 0
+    # The staged write can still commit: every file it references exists.
+    head = txnlog.latest_version(root)
+    base = txnlog.read_entry(root, head)["files"]
+    v = txnlog.commit(root, head, base + staged, "append")
+    assert txnlog.read_version(spark, root, v).count() == 25
+    # Without the grace window, the same staged files would have been
+    # collected and the commit must fail loudly, not publish a broken
+    # snapshot (ADVICE r10 medium).
+    orphan = txnlog._write_version_dir(root, 9, _orders(spark, 3), None, 1)
+    txnlog.vacuum(root, keep_last=1, grace_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        txnlog.commit(root, txnlog.latest_version(root),
+                      txnlog.read_entry(root, v)["files"] + orphan, "append")
+
+
+def test_vacuum_entry_only_table_and_extra_pins(spark, tmp_path):
+    """A catalog root (entries with files=[], no data directory) must
+    vacuum without error; extra_pins retains catalog-pinned versions of a
+    member table that its own retention would expire."""
+    cat = str(tmp_path / "cat")
+    tbl = str(tmp_path / "tbl")
+    v1 = txnlog.append(spark, tbl, _orders(spark, 10), n_files=1)
+    txnlog.catalog_commit(cat, {"tbl": v1}, parent=0)
+    txnlog.append(spark, tbl, _orders(spark, 5).withColumn(
+        "k", F.col("k") + 100), n_files=1)
+    # Entry-only root: no data dir, must not raise (ADVICE r10 low).
+    stats = txnlog.vacuum(cat, keep_last=1)
+    assert stats["n_files_removed"] == 0
+    pins = txnlog.catalog_snapshot(cat)
+    stats = txnlog.vacuum(tbl, keep_last=1, extra_pins=set(pins.values()))
+    assert stats["n_versions_expired"] == 0  # v1 is catalog-pinned
+    assert txnlog.read_version(spark, tbl, pins["tbl"]).count() == 10
+
+
+def test_latest_version_past_five_digits(root):
+    """v100000.json must parse as 100000, not a truncated 10000
+    (ADVICE r10 low: fixed-width slice)."""
+    os.makedirs(os.path.join(root, "log"), exist_ok=True)
+    for v in (99999, 100000):
+        with open(os.path.join(root, "log", f"v{v:05d}.json"), "w") as fh:
+            fh.write('{"version": %d, "files": []}' % v)
+    assert txnlog.latest_version(root) == 100000
+
+
+def test_stream_delete_batch_idempotent_and_purgeable(spark, root):
+    """commit_stream_delete_batch: exactly-once delete registration under
+    redelivery, visibility through read_version, empty CDC across the
+    later purge, and dedup state surviving vacuum."""
+    txnlog.append(spark, root, _orders(spark, 100), range_col="k", n_files=4)
+    v2 = txnlog.commit_stream_delete_batch(
+        spark, root, _orders(spark, 100).filter("k < 10").select("k"),
+        batch_id=0, key_cols=["k"])
+    assert v2 == 2
+    assert txnlog.read_version(spark, root).count() == 90
+    # Redelivery of batch 0 (restart replay): no new version.
+    assert txnlog.commit_stream_delete_batch(
+        spark, root, _orders(spark, 100).filter("k < 10").select("k"),
+        batch_id=0, key_cols=["k"]) is None
+    assert txnlog.latest_version(root) == 2
+    # Second batch accumulates on the same delete set.
+    txnlog.commit_stream_delete_batch(
+        spark, root, _orders(spark, 100).filter("(k >= 50) and (k < 60)")
+        .select("k"), batch_id=1, key_cols=["k"])
+    assert txnlog.read_version(spark, root).count() == 80
+    # Purge rewrites the affected files, drops the set, changes no rows,
+    # and the CDC feed across the purge is EMPTY.
+    head = txnlog.latest_version(root)
+    pv, stats = txnlog.purge_deletes(spark, root, "k")
+    assert stats["n_rewritten"] > 0
+    assert txnlog.read_version(spark, root, pv).count() == 80
+    assert txnlog.changes_between(spark, root, head, pv, ["k", "v"]).count() == 0
+    # Vacuum expires the stream-delete entries; the batch-id watermark in
+    # the head entry still dedupes a late redelivery.
+    txnlog.vacuum(root, keep_last=1)
+    assert txnlog.commit_stream_delete_batch(
+        spark, root, _orders(spark, 100).filter("k < 10").select("k"),
+        batch_id=1, key_cols=["k"]) is None
