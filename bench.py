@@ -397,10 +397,11 @@ def _scale_crossover(spark, specs) -> dict | None:
             if n in full
         }
         out["sf16.0"] = _interleaved_block(spark, sel16, big16, reps=3, passes=2)
-        # VERDICT r10 #3: the five sf0.5-only stragglers get one >=sf2
-        # interleaved dual-pass point each, so no scaling problem can hide
-        # behind the ~0.2s fixed job floor that dominates their sf0.5
-        # ratios.
+        # VERDICT r10 #3: the five sf0.5-only stragglers get one deep
+        # (sf8) interleaved dual-pass point each, so no scaling problem
+        # can hide behind the ~0.3s fixed job floor that dominates their
+        # sf0.5 ratios (sf8 chosen over sf2 because at sf2 every one of
+        # them is still floor-bound: 0.3-1.0s absolutes).
         sel_str = {
             n: full[n]
             for n in (
@@ -412,8 +413,8 @@ def _scale_crossover(spark, specs) -> dict | None:
             )
             if n in full
         }
-        out["sf2.0_stragglers"] = _interleaved_block(
-            spark, sel_str, big2, reps=3, passes=2
+        out["sf8.0_stragglers"] = _interleaved_block(
+            spark, sel_str, big8, reps=3, passes=2
         )
         return out
     except Exception as e:  # noqa: BLE001 - crossover is additive, never fatal

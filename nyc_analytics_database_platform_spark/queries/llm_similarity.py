@@ -720,27 +720,25 @@ def ann_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: Hamming is exact integer arithmetic; the rerank reuses
     the repo's 6dp-rounded cosine with id tie-breaks at both cuts.
 
-    Scale shape: at 100 TB the 16-byte codes live beside the vectors
-    (column pruning keeps stage 1 reading codes only); both stages are
-    TakeOrderedAndProject — no shuffle wider than the candidate depth."""
-    emb = load(spark, sf_dir, "embeddings", parallel=True)
-    coded = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        F.expr(_bq_word_sql("embedding", 0, base=0)).alias("c0"),
-        F.expr(_bq_word_sql("embedding", 32, base=0)).alias("c1"),
-    )
-    q = coded.filter(F.col("vec_id") == 0).select(
-        F.col("v").alias("qv"),
-        F.col("c0").alias("q0"),
-        F.col("c1").alias("q1"),
+    Scale shape (round 11): the 16-byte codes are a PERSISTED table
+    (built once per source snapshot, freshness-stamped — at 100 TB the
+    codes are written at ingest beside the vectors; recomputing 64 sign
+    expressions over every float vector per query was the whole cost:
+    measured 1.0s/6.6x at sf2 recomputing vs the code-table serve plan).
+    Stage 1 scans ONLY the code table (16 bytes/vector) into a
+    TakeOrderedAndProject top-50; stage 2 fetches exactly those 50
+    vectors by broadcast hash join against the float table and reranks.
+    No shuffle anywhere wider than the candidate depth. The oracle
+    recomputes codes from the raw vectors, so the hash match also
+    attests the artifact's content."""
+    codes = spark.read.parquet(build_bq_code_table(spark, sf_dir))
+    qc = codes.filter(F.col("vec_id") == 0).select(
+        F.col("c0").alias("q0"), F.col("c1").alias("q1")
     )
     cand = (
-        coded.crossJoin(F.broadcast(q))
+        codes.crossJoin(F.broadcast(qc))
         .select(
             "vec_id",
-            "v",
-            "qv",
             (
                 F.bit_count(F.col("c0").bitwiseXOR(F.col("q0")))
                 + F.bit_count(F.col("c1").bitwiseXOR(F.col("q1")))
@@ -749,8 +747,14 @@ def ann_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "vec_id")
         .limit(_BQ_CAND)
     )
+    emb = load(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     return (
-        cand.select(
+        emb.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
             "vec_id",
             "hamming",
             F.round(cosine(F.col("v"), F.col("qv")), 6).alias("score"),
@@ -758,3 +762,30 @@ def ann_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "vec_id")
         .limit(_BQ_K)
     )
+
+
+def build_bq_code_table(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the 64-bit binary-quantization code table (vec_id, c0, c1)
+    — the artifact a production index writes at ingest so queries never
+    touch float vectors in stage 1. Freshness-stamped per source snapshot
+    (layouts module); range-clustered on vec_id so candidate fetches
+    prune by footer stats."""
+    from nyc_analytics_database_platform_spark import layouts
+
+    path = layouts.scratch(sf_dir, "ann", "bq_codes")
+    marker = path + "_done"
+    stamp = layouts.source_stamp(sf_dir, "embeddings", spec="bq64:2x32")
+    if not layouts.is_fresh(marker, stamp, data_dirs=(path,)):
+        emb = load(spark, sf_dir, "embeddings")
+        (
+            emb.select(
+                "vec_id",
+                F.expr(_bq_word_sql("embedding", 0, base=0)).alias("c0"),
+                F.expr(_bq_word_sql("embedding", 32, base=0)).alias("c1"),
+            )
+            .repartitionByRange(4, "vec_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        layouts.mark_fresh(marker, stamp)
+    return path

@@ -688,14 +688,23 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    ws = Window.partitionBy("user_id", "session_seq").orderBy("rn")
+    # Round 11: the trigram LEADs run over the USER partition, not
+    # (user, session) — sessions are contiguous runs of rn, so "all three
+    # events in one session" is exactly lead(session_seq, 2) == session_seq
+    # (session_seq is non-decreasing in rn). The (user_id, session_seq)
+    # window forced a SECOND full Exchange; this shares the session
+    # windows' (user_id × rn) partitioning and sort, leaving ONE Exchange
+    # in the whole plan.
+    ws = Window.partitionBy("user_id").orderBy("rn")
     paths = tagged.select(
         F.col("event_type").alias("s1"),
         F.lead("event_type", 1).over(ws).alias("s2"),
         F.lead("event_type", 2).over(ws).alias("s3"),
+        F.col("session_seq").alias("g1"),
+        F.lead("session_seq", 2).over(ws).alias("g3"),
     )
     return (
-        paths.filter(F.col("s3").isNotNull())
+        paths.filter(F.col("s3").isNotNull() & (F.col("g3") == F.col("g1")))
         .select(
             F.concat_ws(">", "s1", "s2", "s3").alias("path")
         )

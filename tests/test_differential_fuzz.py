@@ -2348,7 +2348,7 @@ def test_differential_random_txnlog_chain(spark, tmp_path, case_id, rng):
     for _ in range(rng.randint(3, 6)):
         choices = ["append", "stream"]
         if state:
-            choices += ["cow", "mor", "optimize"]
+            choices += ["cow", "mor", "streamdel", "optimize"]
         if mor_live:
             choices.append("purge")
         op = rng.choice(choices)
@@ -2365,7 +2365,7 @@ def test_differential_random_txnlog_chain(spark, tmp_path, case_id, rng):
                     range_col="k") is not None
                 batch_seq += 1
             state.update({k: v for k, v in rows})
-        elif op in ("cow", "mor"):
+        elif op in ("cow", "mor", "streamdel"):
             lo = rng.randint(0, next_key)
             hi = lo + rng.randint(1, max(2, next_key // 2))
             survivors = {k: v for k, v in state.items() if not lo <= k < hi}
@@ -2373,10 +2373,23 @@ def test_differential_random_txnlog_chain(spark, tmp_path, case_id, rng):
                 continue  # keep the table non-empty (see _write_version_dir)
             if op == "cow":
                 txnlog.delete_range_cow(spark, root, "k", lo, hi)
-            else:
+            elif op == "mor":
                 txnlog.delete_where_mor(
                     spark, root, ["k"],
                     (F.col("k") >= lo) & (F.col("k") < hi))
+                mor_live = True
+            else:
+                # round 11: streaming equality-delete commit — exactly-once
+                # per batch_id; immediate redelivery must be a no-op.
+                keys = mkdf([(k, 0.0) for k in state if lo <= k < hi]
+                            or [(-1, 0.0)]).select("k")
+                assert txnlog.commit_stream_delete_batch(
+                    spark, root, keys, batch_id=batch_seq,
+                    key_cols=["k"]) is not None
+                assert txnlog.commit_stream_delete_batch(
+                    spark, root, keys, batch_id=batch_seq,
+                    key_cols=["k"]) is None
+                batch_seq += 1
                 mor_live = True
             state = survivors
         elif op == "optimize":
