@@ -523,6 +523,35 @@ def optimize(spark: SparkSession, root: str, cluster_col,
                   extra=_bid_extra(entry))
 
 
+def optimize_files(spark: SparkSession, root: str, rels: list[str],
+                   range_col: str, n_files: int = 2) -> int:
+    """Targeted OPTIMIZE: rewrite ONLY the given files (a compaction
+    planner's selected set — see queries/parity_versioned.
+    _compaction_manifest_plan) into `n_files` range-clustered files and
+    publish head+1 referencing rewrite + every unselected file BY
+    REFERENCE. The planner/executor split of every table service:
+    selection is O(manifest) metadata arithmetic, execution is
+    O(selected bytes) — healthy files are never opened. Pending
+    merge-on-read delete keys hidden in the selected files are applied
+    during the rewrite; the delete set itself carries forward (it may
+    still hide rows in unselected files). Like optimize()/purge, the
+    commit is logically SILENT: rewritten survivor rows cancel in the
+    change feed."""
+    head = latest_version(root)
+    entry = read_entry(root, head)
+    unknown = set(rels) - set(entry["files"])
+    if unknown:
+        raise ValueError(f"not in head snapshot: {sorted(unknown)[:3]}")
+    kept = [f for f in entry["files"] if f not in set(rels)]
+    df = spark.read.parquet(*[os.path.join(root, f) for f in rels])
+    keys = _delete_keys(spark, root, entry)
+    if keys is not None:
+        df = df.join(keys, on=entry["delete_key_cols"], how="left_anti")
+    new_files = _write_version_dir(root, head + 1, df, range_col, n_files)
+    return commit(root, head, kept + new_files, "optimize-files",
+                  extra={**_dv_extra(entry), **_bid_extra(entry)})
+
+
 def committed_batch_ids(root: str) -> set[int]:
     """Stream batch ids already durably committed — the dedup set behind
     exactly-once ingest. The head entry carries the cumulative set

@@ -1201,20 +1201,30 @@ def txnlog_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the emitted DataFrame is the plan itself. Cites
     operators/compaction.manifest_rows (the shared footer-stats reader
     shape) and txnlog.optimize (the EXECUTION half, judge-green r10)."""
-    import pyarrow.parquet as pq
+    root, plan, _sel = _compaction_manifest_plan(spark, sf_dir)
+    return spark.createDataFrame(
+        sorted(plan),
+        "file_set string, bucket long, n_rows long, kmin long, kmax long, "
+        "overlap_depth long, compact boolean",
+    ).orderBy("file_set", "bucket")
 
+
+def _build_compactplan_chain(spark: SparkSession, sf_dir: str,
+                             variant: str = "compactplan") -> tuple:
+    """The deterministic coarse/fine bucketed chain behind the compaction
+    queries; returns (root, w1, w2). See txnlog_compaction_plan."""
     from nyc_analytics_database_platform_spark.catalog import (
         footer_column_minmax,
-        footer_row_count,
     )
 
-    kmin_all, kmax_all = footer_column_minmax(sf_dir, "orders", "o_orderkey")
+    _kmin_all, kmax_all = footer_column_minmax(sf_dir, "orders", "o_orderkey")
     w1 = kmax_all // 4 + 1
     w2 = kmax_all // 16 + 1
     half = kmax_all // 2
-    root = _root(sf_dir, "compactplan")
+    root = _root(sf_dir, variant)
     marker = root + "_done"
-    stamp = layouts.source_stamp(sf_dir, "orders", spec="compactplan:4:16:half")
+    stamp = layouts.source_stamp(
+        sf_dir, "orders", spec=f"compactplan:4:16:half:{variant}")
     if not (layouts.is_fresh(marker, stamp) and txnlog.chain_intact(root)):
         shutil.rmtree(root, ignore_errors=True)
         orders = load(spark, sf_dir, "orders")
@@ -1252,31 +1262,81 @@ def txnlog_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         txnlog.commit(root, 1, f1 + f2, "append")
         layouts.mark_fresh(marker, stamp)
+    return root, w1, w2
 
+
+def _compaction_manifest_plan(spark: SparkSession, sf_dir: str,
+                              variant: str = "compactplan") -> tuple:
+    """Compute the size/overlap compaction plan from the HEAD manifest's
+    footer stats (driver-side metadata arithmetic, O(files)). Returns
+    (root, plan_rows, selected_rels) so the planner (the registered
+    query) and the executor (txnlog_compaction_executed) derive the SAME
+    file set from the same manifest read."""
+    import pyarrow.parquet as pq
+
+    from nyc_analytics_database_platform_spark.catalog import footer_row_count
+
+    root, w1, w2 = _build_compactplan_chain(spark, sf_dir, variant)
+    head = txnlog.latest_version(root)
     e1 = txnlog.read_entry(root, 1)
-    e2 = txnlog.read_entry(root, 2)
+    entry = txnlog.read_entry(root, head)
     v1_files = set(e1["files"])
     total = footer_row_count(sf_dir, "orders")
     manifest = []
-    for rel in e2["files"]:
+    for rel in entry["files"]:
         path = os.path.join(root, rel)
         n_rows = pq.ParquetFile(path).metadata.num_rows
         kmin, kmax = txnlog._footer_minmax(path, "o_orderkey")
         file_set = "coarse" if rel in v1_files else "fine"
         width = w1 if file_set == "coarse" else w2
-        manifest.append((file_set, kmin // width, n_rows, kmin, kmax))
-    plan = []
-    for fs, b, n_rows, kmin, kmax in manifest:
+        manifest.append((rel, file_set, kmin // width, n_rows, kmin, kmax))
+    plan, selected = [], []
+    for rel, fs, b, n_rows, kmin, kmax in manifest:
         depth = sum(
-            1 for _, _, _, gmin, gmax in manifest
+            1 for _, _, _, _, gmin, gmax in manifest
             if gmin <= kmax and gmax >= kmin
         )
-        plan.append(
-            (fs, b, n_rows, kmin, kmax, depth,
-             n_rows < total // 10 or depth > 1)
-        )
-    return spark.createDataFrame(
-        sorted(plan),
-        "file_set string, bucket long, n_rows long, kmin long, kmax long, "
-        "overlap_depth long, compact boolean",
-    ).orderBy("file_set", "bucket")
+        compact = n_rows < total // 10 or depth > 1
+        plan.append((fs, b, n_rows, kmin, kmax, depth, compact))
+        if compact:
+            selected.append(rel)
+    return root, plan, selected
+
+
+@register(
+    "txnlog_compaction_executed",
+    oracle="""
+        WITH k AS (SELECT MAX(o_orderkey) AS kx FROM orders)
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders
+        WHERE o_orderkey % 4 <> 0
+           OR o_orderkey < (SELECT kx // 2 FROM k)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("txnlog", "compaction", "manifest", "lifecycle", "warehouse"),
+)
+def txnlog_compaction_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan → execute, closed loop: the size/overlap policy's selected
+    file set (_compaction_manifest_plan — the same manifest arithmetic
+    the registered planner emits) drives txnlog.optimize_files, which
+    rewrites ONLY those files into range-clustered replacements and
+    carries every healthy file by reference. The post-compaction head is
+    read back and rolled up against the unchanged head-state oracle: a
+    hash match proves the targeted rewrite lost and duplicated nothing.
+    File-level discrimination (selected gone, unselected carried, change
+    feed across the commit EMPTY) is pinned in tests/test_txnlog.py.
+    Runs on its own chain variant so the planner query's manifest stays
+    two-commit deterministic."""
+    root, _plan, selected = _compaction_manifest_plan(
+        spark, sf_dir, variant="compactexec")
+    head = txnlog.latest_version(root)
+    if txnlog.read_entry(root, head).get("op") != "optimize-files":
+        txnlog.optimize_files(spark, root, selected, "o_orderkey",
+                              n_files=2)
+    return _status_rollup(txnlog.read_version(spark, root)).select(
+        "o_orderstatus", "n_orders", "revenue_cents"
+    ).orderBy("o_orderstatus")

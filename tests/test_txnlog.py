@@ -526,3 +526,30 @@ def test_stream_delete_batch_idempotent_and_purgeable(spark, root):
     assert txnlog.commit_stream_delete_batch(
         spark, root, _orders(spark, 100).filter("k < 10").select("k"),
         batch_id=1, key_cols=["k"]) is None
+
+
+def test_optimize_files_targets_only_selected(spark, sf_dir):
+    """Plan -> execute discrimination: the policy-selected files are
+    rewritten, every healthy file carries by reference, the change feed
+    across the compaction commit is empty, and the planner re-run on the
+    compacted head no longer selects the rewrite output wholesale."""
+    from nyc_analytics_database_platform_spark.queries.parity_versioned import (
+        _compaction_manifest_plan,
+    )
+
+    root, plan, selected = _compaction_manifest_plan(
+        spark, sf_dir, variant="compacttest")
+    head = txnlog.latest_version(root)
+    before = set(txnlog.read_entry(root, head)["files"])
+    assert selected and set(selected) < before   # discriminates
+    n_rows_before = txnlog.read_version(spark, root).count()
+    v = txnlog.optimize_files(spark, root, selected, "o_orderkey", n_files=2)
+    after = set(txnlog.read_entry(root, v)["files"])
+    assert not (set(selected) & after)           # selected gone
+    assert (before - set(selected)) < after      # healthy carried by ref
+    assert txnlog.read_version(spark, root, v).count() == n_rows_before
+    feed = txnlog.changes_between(
+        spark, root, head, v, ["o_orderkey", "o_totalprice"])
+    assert feed.count() == 0                     # logically silent
+    with pytest.raises(ValueError):
+        txnlog.optimize_files(spark, root, ["data/nope.parquet"], "o_orderkey")
