@@ -533,10 +533,20 @@ def test_optimize_files_targets_only_selected(spark, sf_dir):
     rewritten, every healthy file carries by reference, the change feed
     across the compaction commit is empty, and the planner re-run on the
     compacted head no longer selects the rewrite output wholesale."""
+    from nyc_analytics_database_platform_spark import layouts
     from nyc_analytics_database_platform_spark.queries.parity_versioned import (
         _compaction_manifest_plan,
     )
 
+    # Rebuild the variant chain from scratch: a previous run of this test
+    # compacted its head, and the plan over a compacted manifest is
+    # (correctly) empty — the assertions below need the fragmented state.
+    stale = layouts.scratch(sf_dir, "txnlog", "compacttest")
+    shutil.rmtree(stale, ignore_errors=True)
+    try:
+        os.unlink(stale + "_done")
+    except OSError:
+        pass
     root, plan, selected = _compaction_manifest_plan(
         spark, sf_dir, variant="compacttest")
     head = txnlog.latest_version(root)
