@@ -180,7 +180,7 @@ def _rfm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("monetary_cents")).alias("_vm"),
         )
         path = layouts.scratch(sf_dir, "rfm", "percust_run")
-        pc.write.mode("overwrite").parquet(path)
+        pc.write.mode("overwrite").option("compression", "zstd").parquet(path)
         pc = spark.read.parquet(path)
         scored = histogram_exact_ntiles(
             pc,
