@@ -416,6 +416,30 @@ def _scale_crossover(spark, specs) -> dict | None:
         out["sf8.0_stragglers"] = _interleaved_block(
             spark, sel_str, big8, reps=3, passes=2
         )
+        # sf32 for the three job-floor-bound members: their Spark
+        # absolutes are dominated by fixed dispatch, so depth is what
+        # resolves them — measured weighted_sample flips UNDER DuckDB
+        # (0.27x/0.69x: the single-node sort degrades past ~50M rows
+        # while the distributed top-K stays flat), and the other two
+        # record their floor-vs-zonemap curves instead of hiding at
+        # small SF.
+        big32 = build_scaled(
+            "/root/testdata/sf0.1",
+            os.path.join(repo, ".scaledata", "sf32.0"),
+            factor=320,
+        )
+        sel32 = {
+            n: full[n]
+            for n in (
+                "runtime_filter_part_revenue",
+                "weighted_sample_es_topk",
+                "zorder_box_scan_stats",
+            )
+            if n in full
+        }
+        out["sf32.0_stragglers"] = _interleaved_block(
+            spark, sel32, big32, reps=2, passes=2
+        )
         return out
     except Exception as e:  # noqa: BLE001 - crossover is additive, never fatal
         return {"error": f"{type(e).__name__}: {e}"}
