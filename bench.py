@@ -509,6 +509,22 @@ def main() -> None:
         if n in duck and duck[n] > 0
     }
     duck_total = round(sum(duck.values()), 4)
+    # Print the contract line BEFORE the (long, optional) crossover as
+    # well as after: the driver parses the LAST JSON line from the output
+    # tail, so if a constrained harness kills the process mid-crossover
+    # the round still records a complete headline result instead of a
+    # failed bench. The final print (richer: crossover ratios) simply
+    # supersedes this one when the run finishes.
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(t, 3) for n, t in timings.items()},
+        "duckdb_total": duck_total,
+        "vs_duckdb_total": round(total / duck_total, 2) if duck_total else None,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "note": "pre-crossover checkpoint line",
+    }), flush=True)
     # Crossover adds ~3-4 min (build + 10 queries x 2 engines at sf0.5);
     # skip it when the main block already ran unusually slow - a sign of a
     # constrained environment where risking the harness timeout for the
@@ -583,6 +599,11 @@ def main() -> None:
         compact["crossover_sf2.0_vs_duckdb"] = crossover["sf2.0"]["vs_duckdb"]
     if crossover is not None and "sf8.0" in crossover:
         compact["crossover_sf8.0_vs_duckdb"] = crossover["sf8.0"]["vs_duckdb"]
+    for deep in ("sf16.0", "sf8.0_stragglers", "sf32.0_stragglers"):
+        if crossover is not None and deep in crossover:
+            compact[f"crossover_{deep}_vs_duckdb"] = crossover[deep][
+                "vs_duckdb"
+            ]
     print(json.dumps(compact))
     spark.stop()
 
