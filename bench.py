@@ -551,11 +551,12 @@ def main() -> None:
         "methodology": (
             "warm min-of-3 per query, both engines (run 1 absorbs codegen/"
             "JIT; state cleared between queries); crossover min-of-2 at "
-            "sf0.5; deep points (sf1-sf8) run the INTERLEAVED protocol - "
+            "sf0.5; deep points (sf1-sf32) run the INTERLEAVED protocol - "
             "engines alternate per rep, two full passes recorded at "
-            "sf4/sf8 (pass_vs_duckdb) so one noisy run can't flip a perf "
-            "mark; result-proportional queries (sink_mode) measured via "
-            "distributed parquet sink vs DuckDB COPY"
+            "sf4/sf8/sf16 and the straggler blocks (pass_vs_duckdb) so "
+            "one noisy run can't flip a perf mark; result-proportional "
+            "queries (sink_mode) measured via distributed parquet sink "
+            "vs DuckDB COPY"
         ),
         "sink_mode": sorted(_SINK_MODE),
         "queries": timings,
