@@ -595,39 +595,66 @@ def dedup_maintain_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
                           num_perm=12, rows_per_band=2)
     assign = connected_components(_band_pairs(band))
 
-    # v1 -> v2: pure-insert feed. Index grows by the increment's bands;
-    # edges touching the increment merge via star-edge warm start.
-    feed12 = txnlog.changes_between(spark, root, 1, 2, cols)
-    inserted = feed12.filter(F.col("change_type") == "insert").select(*cols)
-    new_bands = banded_buckets(minhash_signatures(inserted, num_perm=12, k=5),
-                               num_perm=12, rows_per_band=2)
-    band = band.unionByName(new_bands)
-    new_edges = _band_pairs(new_bands, band)
-    assign = incremental_components(assign, new_edges)
+    # Each version's feed advances (index, assignment) through the SAME
+    # general step (maintain_clusters_from_feed): v1 -> v2 is pure-insert
+    # (star-edge warm start), v2 -> v3 pure-delete (touched-component
+    # retraction); the step handles mixed feeds too, and the randomized
+    # chain fuzzer drives it through arbitrary interleavings
+    # (tests/test_differential_fuzz.py, incremental == full recompute).
+    for v in (2, 3):
+        feed = txnlog.changes_between(spark, root, v - 1, v, cols)
+        band, assign = maintain_clusters_from_feed(spark, band, assign, feed)
+    return assign.select("node", "component").orderBy("node")
 
-    # v2 -> v3: pure-delete feed (CoW retraction; carried-over survivor
-    # rows cancel in the log diff). Touched components re-resolve from
-    # their surviving members' band rows; everything else passes through.
-    feed23 = txnlog.changes_between(spark, root, 2, 3, cols)
+
+def maintain_clusters_from_feed(
+    spark: SparkSession,
+    band: DataFrame,
+    assign: DataFrame,
+    feed: DataFrame,
+    num_perm: int = 12,
+    k: int = 5,
+    rows_per_band: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Advance the persisted dedup state — (band index, component
+    assignment) — by ONE change-feed version. Deletes retract the removed
+    docs' band rows and re-resolve ONLY the components containing a
+    removed doc (from their surviving members' band rows; a component may
+    split, and members left edge-less drop, exactly as a full recompute
+    would). Inserts compute signatures for the increment alone, append
+    its band rows to the index, and merge the edges they introduce via
+    star-edge warm start (operators/graph.incremental_components). Work
+    per advance is O(changed docs + touched components); the corpus is
+    never rescanned. Returns (band', assign')."""
     deleted = (
-        feed23.filter(F.col("change_type") == "delete")
-        .select(F.col("doc_id").alias("node")).distinct()
+        feed.filter(F.col("change_type") == "delete")
+        .select("doc_id").distinct()
     )
+    inserted = feed.filter(F.col("change_type") == "insert").select(
+        "doc_id", "text"
+    )
+    new_bands = banded_buckets(
+        minhash_signatures(inserted, num_perm=num_perm, k=k),
+        num_perm=num_perm, rows_per_band=rows_per_band,
+    )
+    band2 = band.join(deleted, "doc_id", "left_anti").unionByName(new_bands)
+    # Retraction: components holding a deleted doc re-resolve from the
+    # updated index (already minus deleted rows, plus the increment's —
+    # so an insert that bridges INTO a touched component resolves here).
     touched_comps = (
-        assign.join(deleted, "node", "left_semi")
+        assign.join(deleted.withColumnRenamed("doc_id", "node"),
+                    "node", "left_semi")
         .select("component").distinct()
     )
     touched_nodes = (
         assign.join(F.broadcast(touched_comps), "component", "left_semi")
         .select(F.col("node").alias("doc_id"))
     )
-    surviving_bands = (
-        band.join(touched_nodes, "doc_id", "left_semi")
-        .join(deleted.withColumnRenamed("node", "doc_id"),
-              "doc_id", "left_anti")
-    )
+    surviving_bands = band2.join(touched_nodes, "doc_id", "left_semi")
     relabeled = connected_components(_band_pairs(surviving_bands))
-    final = assign.join(
-        F.broadcast(touched_comps), "component", "left_anti"
-    ).unionByName(relabeled)
-    return final.select("node", "component").orderBy("node")
+    kept = assign.join(F.broadcast(touched_comps), "component", "left_anti")
+    assign2 = kept.unionByName(relabeled)
+    # Insert merge: edges the increment introduces against the updated
+    # index, folded in with star edges over touched components only.
+    new_edges = _band_pairs(new_bands, band2)
+    return band2, incremental_components(assign2, new_edges)

@@ -2435,3 +2435,85 @@ def test_differential_random_txnlog_chain(spark, tmp_path, case_id, rng):
         dels = {(r["k"], r["v"]) for r in feed if r["change_type"] == "delete"}
         assert ins == sb - sa, (case_id, pin, head)
         assert dels == sa - sb, (case_id, pin, head)
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:4])
+def test_differential_random_cdc_dedup_maintenance(
+    spark, sf_dir, tmp_path, case_id, rng
+):
+    """CDC-driven dedup maintenance fuzz (round 11): a random documents
+    commit chain (appends of unseen doc batches, copy-on-write doc_id
+    range deletions) advances the persisted dedup state — LSH band index
+    + component assignment — one change-feed version at a time through
+    maintain_clusters_from_feed. After the walk, the incrementally
+    maintained assignment must equal the from-scratch connected
+    components over the LIVE corpus exactly (labels included) — the
+    equivalence dedup_maintain_from_cdf attests on one fixed chain,
+    here across arbitrary insert/delete interleavings where retraction
+    bugs (stale edges, resurrected members, unsplit components) hide."""
+    from nyc_analytics_database_platform_spark.operators import txnlog
+    from nyc_analytics_database_platform_spark.operators.dedup import (
+        banded_buckets,
+        minhash_signatures,
+    )
+    from nyc_analytics_database_platform_spark.operators.graph import (
+        connected_components,
+    )
+    from nyc_analytics_database_platform_spark.queries.llm_clusters import (
+        _band_pairs,
+        maintain_clusters_from_feed,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    root = str(tmp_path / "docs")
+    cols = ["doc_id", "text"]
+
+    def bands_of(df):
+        return banded_buckets(minhash_signatures(df, num_perm=12, k=5),
+                              num_perm=12, rows_per_band=2)
+
+    # v1: a random prefix of the corpus (planted near-dups included).
+    cut0 = rng.randint(100, 350)
+    live = set(range(cut0))
+    txnlog.append(spark, root, docs.filter(F.col("doc_id") < cut0),
+                  range_col="doc_id", n_files=3)
+    state_b = bands_of(docs.filter(F.col("doc_id") < cut0))
+    state_a = connected_components(_band_pairs(state_b))
+    next_id = cut0
+    for _ in range(rng.randint(2, 4)):
+        prev = txnlog.latest_version(root)
+        if next_id < 500 and (not live or rng.random() < 0.6):
+            hi = min(500, next_id + rng.randint(20, 120))
+            txnlog.append(
+                spark, root,
+                docs.filter((F.col("doc_id") >= next_id)
+                            & (F.col("doc_id") < hi)),
+                range_col="doc_id", n_files=2)
+            live |= set(range(next_id, hi))
+            next_id = hi
+        else:
+            lo = rng.randint(0, next_id)
+            hi = lo + rng.randint(10, max(20, next_id // 3))
+            survivors = {d for d in live if not lo <= d < hi}
+            if not survivors:
+                continue  # table must stay non-empty
+            txnlog.delete_range_cow(spark, root, "doc_id", lo, hi)
+            live = survivors
+        feed = txnlog.changes_between(
+            spark, root, prev, txnlog.latest_version(root), cols)
+        state_b, state_a = maintain_clusters_from_feed(
+            spark, state_b, state_a, feed)
+        # The production state is a PERSISTED table between advances;
+        # checkpointing models that and keeps each step's plan bounded
+        # (chained lazy feeds made the walk quadratic in steps).
+        state_b = state_b.localCheckpoint()
+        state_a = state_a.localCheckpoint()
+    got = {(r["node"], r["component"]) for r in state_a.collect()}
+    live_docs = docs.filter(
+        F.col("doc_id").isin([int(d) for d in live]))
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(_band_pairs(bands_of(live_docs)))
+        .collect()
+    }
+    assert got == want, (case_id, cut0, len(live))
