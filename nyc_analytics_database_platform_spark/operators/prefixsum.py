@@ -451,6 +451,10 @@ def histogram_exact_ntiles(
     for t in range(1, tiles):
         acc += q + (1 if t <= rem else 0)
         cut_ranks.append(acc)
+    if not cut_ranks:  # tiles=1: everyone is tile 1, no boundary to locate
+        return pc.select(
+            "*", *[F.lit(1).alias(out) for out, _, _ in specs]
+        )
 
     # Place every cut rank inside a (metric, bucket, tie-sub-bucket,
     # residual) — duplicate cut ranks (n < tiles) repeat their boundary,

@@ -128,6 +128,13 @@ def commit(root: str, parent: int, files: list[str], op: str,
     already written stay usable (they are content, not log state).
     `extra` carries op-specific entry fields (delete_files, batch_id).
 
+    The cumulative stream batch-id watermark (`batch_ids`) is carried
+    forward from the PARENT entry here, inside commit() itself, rather
+    than relying on every caller to thread _bid_extra: a raw commit()
+    at the head (chain-building helpers, ad-hoc maintenance) must not
+    drop the watermark, or a vacuum after it would silently lose
+    exactly-once dedup state.
+
     Every referenced file is verified to exist BEFORE the entry links:
     a vacuum racing a writer may have collected files staged by
     _write_version_dir before this commit made them reachable, and
@@ -146,11 +153,25 @@ def commit(root: str, parent: int, files: list[str], op: str,
             f"staged?): {missing[:3]}"
         )
     os.makedirs(_log_dir(root), exist_ok=True)
+    entry_extra = dict(extra or {})
+    carried = set(entry_extra.get("batch_ids", []))
+    if "batch_id" in entry_extra:
+        carried.add(entry_extra["batch_id"])
+    if parent:
+        try:
+            pent = read_entry(root, parent)
+            carried |= set(pent.get("batch_ids", []))
+            if "batch_id" in pent:
+                carried.add(pent["batch_id"])
+        except OSError:
+            pass  # parent expired by vacuum; head's set already rode forward
+    if carried:
+        entry_extra["batch_ids"] = sorted(carried)
     final = _entry_path(root, version)
     tmp = final + f".tmp.{os.getpid()}.{id(files)}"
     with open(tmp, "w") as fh:
         json.dump({"version": version, "parent": parent, "op": op,
-                   "files": sorted(files), **(extra or {})}, fh)
+                   "files": sorted(files), **entry_extra}, fh)
     try:
         os.link(tmp, final)
     except FileExistsError:
@@ -621,6 +642,10 @@ def commit_stream_delete_batch(spark: SparkSession, root: str,
     if batch_id in committed_batch_ids(root):
         return None
     head = latest_version(root)
+    if head == 0:
+        raise ValueError(
+            "cannot register stream deletes against an empty table: no "
+            "snapshot exists for the delete set to apply to")
     entry = read_entry(root, head)
     if entry.get("delete_key_cols") not in (None, key_cols):
         raise ValueError("delete key columns must be stable per table")
@@ -643,6 +668,14 @@ def commit_stream_delete_batch(spark: SparkSession, root: str,
                 return None  # a concurrent attempt of THIS batch won
             head = latest_version(root)
             entry = read_entry(root, head)
+            # Re-validate against the WINNER's head: if the racing writer
+            # committed MoR deletes keyed on different columns, silently
+            # carrying its delete_files forward under OUR key schema would
+            # make read_version's anti-join drop wrong rows.
+            if entry.get("delete_key_cols") not in (None, key_cols):
+                raise ValueError(
+                    "delete key columns must be stable per table "
+                    "(concurrent writer committed a different key set)")
 
 
 def _branch_path(root: str, name: str) -> str:

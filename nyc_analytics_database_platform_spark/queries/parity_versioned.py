@@ -988,12 +988,16 @@ def consumer_advance(spark: SparkSession, root: str, consumer_dir: str,
     with open(tmp, "w") as fh:
         _json.dump({"offset": head, "view": view_name}, fh)
     os.replace(tmp, os.path.join(consumer_dir, "pointer.json"))
-    # The swap is the commit; every other view_v* directory is now
-    # unreachable (a crash before this point left the OLD pointer, whose
-    # view we must not have touched) — drop them so repeated advances
-    # don't accumulate one abandoned parquet view per refresh.
+    # The swap is the commit; older view_v* directories are unreachable
+    # (a crash before this point left the OLD pointer, whose view we must
+    # not have touched) — prune them so repeated advances don't accumulate
+    # one abandoned parquet view per refresh. The IMMEDIATELY-previous
+    # view survives one generation: Spark reads lazily, so a caller may
+    # still hold an unexecuted DataFrame over it, and deleting it at swap
+    # time would fail that plan at action time with a missing path.
+    survivors = {view_name, ptr["view"]}
     for name in os.listdir(consumer_dir):
-        if name.startswith("view_v") and name != view_name:
+        if name.startswith("view_v") and name not in survivors:
             shutil.rmtree(os.path.join(consumer_dir, name),
                           ignore_errors=True)
     return head

@@ -217,7 +217,10 @@ def test_histogram_exact_ntiles_matches_window_ntile(spark, tmp_path):
 
     rng = random.Random(7)
     for case, (n, tiles) in enumerate(
-        ((1, 5), (4, 5), (97, 5), (2000, 5), (2000, 7))
+        # (50, 1): tiles=1 leaves no cut ranks — used to raise TypeError
+        # in the boundary filter instead of assigning everyone tile 1
+        # (ADVICE r11).
+        ((1, 5), (4, 5), (97, 5), (2000, 5), (2000, 7), (50, 1))
     ):
         # a: ~3 distinct values (every cut lands inside a tie set);
         # b: near-unique, negated to exercise DESC + negative buckets.

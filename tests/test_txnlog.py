@@ -414,9 +414,12 @@ def test_cdf_consumer_offsets_and_crash_replay(spark, sf_dir, tmp_path):
     wm = {(r["month"], r["n"]) for r in want.collect()}
     assert gm == wm
     # Superseded view dirs are pruned once the pointer swap commits
-    # (ADVICE r10: advances used to leak one abandoned view per refresh).
-    views = [n for n in os.listdir(consumer) if n.startswith("view_v")]
-    assert views == [ptr["view"]]
+    # (ADVICE r10: advances used to leak one abandoned view per refresh),
+    # EXCEPT the immediately-previous view, which survives one generation
+    # because lazy readers may still hold unexecuted plans over it
+    # (ADVICE r11).
+    views = sorted(n for n in os.listdir(consumer) if n.startswith("view_v"))
+    assert views == sorted({ptr["view"], mid["view"]})
 
 
 def test_batch_id_watermark_survives_vacuum(spark, root):
@@ -563,3 +566,57 @@ def test_optimize_files_targets_only_selected(spark, sf_dir):
     assert feed.count() == 0                     # logically silent
     with pytest.raises(ValueError):
         txnlog.optimize_files(spark, root, ["data/nope.parquet"], "o_orderkey")
+
+
+def test_stream_delete_on_empty_table_raises(spark, root):
+    """ADVICE r11: head==0 used to fall into read_entry(root, 0) (OSError)
+    then KeyError; now it is a loud, typed refusal."""
+    with pytest.raises(ValueError, match="empty table"):
+        txnlog.commit_stream_delete_batch(
+            spark, root, _orders(spark, 5).select("k"),
+            batch_id=0, key_cols=["k"])
+
+
+def test_stream_delete_retry_revalidates_key_cols(spark, root, monkeypatch):
+    """ADVICE r11 (medium): after a CommitConflict the retry loop must
+    re-check delete_key_cols against the WINNER's head — a racing writer
+    that registered deletes under different key columns would otherwise
+    have its delete files silently reinterpreted under our key schema.
+    Simulated race: the first commit attempt is intercepted, a rival
+    MoR-delete keyed on a DIFFERENT column lands, then the original
+    attempt conflicts and retries."""
+    txnlog.append(spark, root, _orders(spark, 20), range_col="k", n_files=2)
+    real_commit = txnlog.commit
+    state = {"raced": False}
+
+    def racing_commit(r, parent, files, op, extra=None):
+        if not state["raced"] and op == "stream-delete-mor":
+            state["raced"] = True
+            # Rival wins version parent+1 with a DIFFERENT key column.
+            real_commit(r, parent, files, "stream-delete-mor", extra={
+                "delete_files": extra["delete_files"],
+                "delete_key_cols": ["v"], "batch_id": 99})
+        return real_commit(r, parent, files, op, extra)
+
+    monkeypatch.setattr(txnlog, "commit", racing_commit)
+    with pytest.raises(ValueError, match="stable per table"):
+        txnlog.commit_stream_delete_batch(
+            spark, root, _orders(spark, 20).filter("k < 5").select("k"),
+            batch_id=0, key_cols=["k"])
+
+
+def test_raw_commit_carries_batch_id_watermark(spark, root):
+    """ADVICE r11: commit() itself unions the parent's batch_ids forward,
+    so a chain-building helper issuing a raw commit() at the head cannot
+    drop the exactly-once watermark — vacuum after such a commit used to
+    lose dedup state despite the round-11 _bid_extra fix."""
+    df = _orders(spark, 20)
+    txnlog.commit_stream_batch(spark, root, df.filter("k < 10"), batch_id=7)
+    # Raw commit at head WITHOUT threading _bid_extra (the hazard case).
+    head = txnlog.latest_version(root)
+    files = txnlog.read_entry(root, head)["files"]
+    txnlog.commit(root, head, files, "manual-maintenance")
+    txnlog.vacuum(root, keep_last=1)
+    assert 7 in txnlog.committed_batch_ids(root)
+    assert txnlog.commit_stream_batch(
+        spark, root, df.filter("k < 10"), batch_id=7) is None
