@@ -615,3 +615,187 @@ def ivf_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("probe_blowup"),
     )
+
+
+# --- CDC-driven ANN index maintenance (round 12) ----------------------------
+#
+# The retrieval half of the curation loop (VERDICT r11 #7), mirroring
+# round 11's dedup_maintain_from_cdf: the IVF cell lists of a versioned
+# embeddings table are maintained purely from the version-to-version
+# change feed — inserted vectors are assigned against the FROZEN coarse
+# quantizer (one broadcast pass over the increment), deleted vectors
+# retract from the cell lists by anti-join on the feed's keys. No advance
+# rescans the corpus; work is O(changed vectors). The PQ-code twin lives
+# in llm_pq.pq_maintain_from_cdf over the same chain.
+
+_ANN_SPLIT_VEC = 400         # vec_id >= this is the v2 increment
+_ANN_DEL_LO, _ANN_DEL_HI = 100, 200  # v3 retracts this vec_id range
+
+
+def build_embeddings_commit_chain(
+    spark: SparkSession, sf_dir: str, variant: str = "emb"
+) -> str:
+    """Three-commit embeddings chain: v1 = history (vec_id <
+    _ANN_SPLIT_VEC, the already-indexed corpus), v2 = the increment, v3 =
+    copy-on-write retraction of [_ANN_DEL_LO, _ANN_DEL_HI). Freshness-
+    stamped + chain_intact-gated like the orders/documents chains
+    (parity_versioned.build_orders_commit_chain)."""
+    import shutil
+
+    from nyc_analytics_database_platform_spark import layouts
+    from nyc_analytics_database_platform_spark.operators import txnlog
+
+    root = layouts.scratch(sf_dir, "txnlog", variant)
+    marker = root + "_done"
+    stamp = layouts.source_stamp(
+        sf_dir, "embeddings",
+        spec=f"embchain:{_ANN_SPLIT_VEC}:{_ANN_DEL_LO}:{_ANN_DEL_HI}:{variant}",
+    )
+    if layouts.is_fresh(marker, stamp) and txnlog.chain_intact(root):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    emb = load(spark, sf_dir, "embeddings")
+    txnlog.append(spark, root, emb.filter(F.col("vec_id") < _ANN_SPLIT_VEC),
+                  range_col="vec_id", n_files=4)
+    txnlog.append(spark, root, emb.filter(F.col("vec_id") >= _ANN_SPLIT_VEC),
+                  range_col="vec_id", n_files=2)
+    txnlog.delete_range_cow(spark, root, "vec_id", _ANN_DEL_LO, _ANN_DEL_HI)
+    layouts.mark_fresh(marker, stamp)
+    return root
+
+
+def _ivf_hist_assign_oracle() -> str:
+    """Frozen-quantizer oracle: k-means (k=4, 2 Lloyd rounds, hash-
+    deterministic seeds, 6dp-rounded means — operators/kmeans.py stage
+    for stage) trained on the HISTORY ONLY, then one assign pass over the
+    vectors visible at the head version. Mirrors _kmeans_oracle with the
+    training relation restricted to vec_id < _ANN_SPLIT_VEC."""
+
+    def assign(name: str, cents: str, src: str) -> str:
+        return f"""
+        d_{name} AS (
+            SELECT s.vec_id, c.c_id,
+                   SUM((s.v[c.dim + 1] - c.cv) * (s.v[c.dim + 1] - c.cv)) AS d2
+            FROM {src} s CROSS JOIN {cents} c
+            GROUP BY s.vec_id, c.c_id
+        ),
+        {name} AS (
+            SELECT vec_id, c_id FROM (
+                SELECT vec_id, c_id,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS r
+                FROM d_{name}
+            ) WHERE r = 1
+        )"""
+
+    def update(name: str, assignment: str) -> str:
+        return f"""
+        {name} AS (
+            SELECT a.c_id, i - 1 AS dim, round(avg(h.v[i]), 6) AS cv
+            FROM {assignment} a JOIN h USING (vec_id),
+                 unnest(generate_series(1, len(h.v))) AS g(i)
+            GROUP BY a.c_id, dim
+        )"""
+
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        h AS (SELECT * FROM e WHERE vec_id < {_ANN_SPLIT_VEC}),
+        vis AS (
+            SELECT * FROM e
+            WHERE NOT (vec_id >= {_ANN_DEL_LO} AND vec_id < {_ANN_DEL_HI})
+        ),
+        ranked AS (
+            SELECT vec_id, v,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rn
+            FROM h
+        ),
+        c0 AS (
+            SELECT rn AS c_id, i - 1 AS dim, v[i] AS cv
+            FROM ranked, unnest(generate_series(1, len(v))) AS g(i)
+            WHERE rn < {_K}
+        ),{assign("a1", "c0", "h")},{update("c1", "a1")},{assign("a2", "c1", "h")},{update("c2", "a2")},{assign("fin", "c2", "vis")}
+        SELECT vec_id, CAST(c_id AS INT) AS cell
+        FROM fin
+        ORDER BY vec_id
+    """
+
+
+@register(
+    "ann_maintain_from_cdf",
+    # full re-assign at the HEAD version against the same frozen history-
+    # trained quantizer: a hash match proves the CDC-driven maintenance
+    # (insert assign + delete retraction) lost nothing and resurrected
+    # nothing.
+    oracle=_ivf_hist_assign_oracle(),
+    tags=("llm", "similarity", "ivf", "incremental", "txnlog", "cdc"),
+)
+def ann_maintain_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell lists maintained FROM THE CHANGE FEED of a versioned
+    embeddings table — the retrieval twin of dedup_maintain_from_cdf
+    (VERDICT r11 #7).
+
+    v1 state stands for the persisted index artifacts (coarse quantizer +
+    cell lists; recomputed here because driver testdata is read-only):
+    k-means (k=4, 2 Lloyd rounds) trained on the history, cell lists =
+    its final assignment. Advance to v2 reads ONLY the feed's inserted
+    vectors and assigns them against the FROZEN quantizer — one broadcast
+    pass over the increment, the production posture for an ANN store
+    (codebooks are retrained on drift audits, not per batch). Advance to
+    v3 reads ONLY the feed's deleted keys and retracts them from the cell
+    lists by anti-join. Work per advance is O(changed vectors); the
+    corpus is never rescanned. At 100 TB the cell lists are the IVF
+    posting lists: this is how takedowns leave the index without a
+    rebuild.
+
+    Oracle: from-scratch assignment of every head-visible vector against
+    the same frozen history-trained quantizer, so the driver attests
+    exact equivalence of the incremental path and the full recompute."""
+    from nyc_analytics_database_platform_spark.operators import txnlog
+    from nyc_analytics_database_platform_spark.operators.kmeans import (
+        kmeans_fit,
+    )
+
+    root = build_embeddings_commit_chain(spark, sf_dir)
+    cols = ["vec_id", "embedding"]
+
+    def vecs(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+
+    v1 = vecs(txnlog.read_version(spark, root, 1).select(*cols))
+    cents, state = kmeans_fit(v1, _K, _ITERS)
+    # Freeze the quantizer: k x dims values, one collect-sized frame. A
+    # production store persists it; pinning it here keeps every later
+    # assign pass off the training lineage (and off the corpus).
+    cents = cents.localCheckpoint(eager=True)
+    for v in (2, 3):
+        feed = txnlog.changes_between(spark, root, v - 1, v, cols)
+        state = maintain_cells_from_feed(state, cents, feed)
+    return state.select(
+        "vec_id", F.col("c_id").cast("int").alias("cell")
+    ).orderBy("vec_id")
+
+
+def maintain_cells_from_feed(
+    state: DataFrame, cents: DataFrame, feed: DataFrame
+) -> DataFrame:
+    """Advance the IVF cell lists by ONE change-feed version: deletes
+    retract by anti-join on the feed's keys, inserts are assigned against
+    the frozen quantizer (broadcast, k rows) and appended. Handles mixed
+    feeds; work is O(feed rows)."""
+    from nyc_analytics_database_platform_spark.operators.kmeans import (
+        assign_clusters,
+    )
+
+    deleted = (
+        feed.filter(F.col("change_type") == "delete")
+        .select("vec_id").distinct()
+    )
+    inserted = feed.filter(F.col("change_type") == "insert").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return (
+        state.join(deleted, "vec_id", "left_anti")
+        .unionByName(assign_clusters(inserted, cents))
+    )

@@ -436,3 +436,94 @@ def pq_encode_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --- CDC-driven PQ code maintenance (round 12) -------------------------------
+
+def _pq_maintain_oracle() -> str:
+    """Frozen-codebook oracle over the versioned chain's HEAD: history-
+    trained codebooks (the same CTE chain as pq_encode_increment), one
+    assign pass over every head-visible subvector. The chain's delete
+    range is imported from llm_ivf so the two maintenance twins cannot
+    drift apart."""
+    from nyc_analytics_database_platform_spark.queries.llm_ivf import (
+        _ANN_DEL_HI,
+        _ANN_DEL_LO,
+        _ANN_SPLIT_VEC,
+    )
+
+    assert _ANN_SPLIT_VEC == _SPLIT_VEC  # one history definition
+    return f"""
+        WITH {_hist_trained()},
+        subvis AS (
+            SELECT * FROM sub
+            WHERE NOT (vec_id >= {_ANN_DEL_LO} AND vec_id < {_ANN_DEL_HI})
+        ),{_assign("av", "hb2", "subvis")}
+        SELECT vec_id, string_agg(CAST(c_id AS VARCHAR), '|' ORDER BY j) AS codes
+        FROM av GROUP BY vec_id ORDER BY vec_id
+    """
+
+
+@register(
+    "pq_maintain_from_cdf",
+    oracle=_pq_maintain_oracle(),
+    tags=("llm", "pq", "incremental", "txnlog", "cdc"),
+)
+def pq_maintain_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code store maintained FROM THE CHANGE FEED of a versioned
+    embeddings table — the compressed-codes half of the retrieval
+    maintenance loop (VERDICT r11 #7; the cell-list half is
+    llm_ivf.ann_maintain_from_cdf over the same chain). Codebooks are
+    trained on the v1 history and FROZEN (pq_encode_increment's
+    production posture); each change-feed advance encodes ONLY the
+    inserted vectors against them and retracts deleted vec_ids from the
+    code store by anti-join. Work per advance is O(changed vectors); the
+    corpus is never re-encoded. Oracle: from-scratch encoding of every
+    head-visible vector under the same frozen codebooks."""
+    from nyc_analytics_database_platform_spark.operators import txnlog
+    from nyc_analytics_database_platform_spark.operators.pq import (
+        assign_codes,
+        subvectors,
+    )
+    from nyc_analytics_database_platform_spark.queries.llm_ivf import (
+        build_embeddings_commit_chain,
+    )
+
+    root = build_embeddings_commit_chain(spark, sf_dir)
+    cols = ["vec_id", "embedding"]
+
+    def vecs(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+
+    def encode(df: DataFrame, books: DataFrame) -> DataFrame:
+        return (
+            assign_codes(subvectors(df, _M), books)
+            .groupBy("vec_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("j", "c_id"))),
+                        lambda s: s["c_id"].cast("string"),
+                    ),
+                    "|",
+                ).alias("codes")
+            )
+        )
+
+    v1 = vecs(txnlog.read_version(spark, root, 1).select(*cols))
+    books, _ = pq_fit(v1, _M, _K, _ITERS)
+    books = books.localCheckpoint(eager=True)  # the persisted artifact
+    state = encode(v1, books)
+    for v in (2, 3):
+        feed = txnlog.changes_between(spark, root, v - 1, v, cols)
+        deleted = (
+            feed.filter(F.col("change_type") == "delete")
+            .select("vec_id").distinct()
+        )
+        inserted = vecs(feed.filter(F.col("change_type") == "insert"))
+        state = state.join(deleted, "vec_id", "left_anti").unionByName(
+            encode(inserted, books)
+        )
+    return state.orderBy("vec_id")

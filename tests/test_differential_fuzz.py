@@ -2517,3 +2517,70 @@ def test_differential_random_cdc_dedup_maintenance(
         .collect()
     }
     assert got == want, (case_id, cut0, len(live))
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:3])
+def test_differential_random_cdc_ann_maintenance(
+    spark, sf_dir, tmp_path, case_id, rng
+):
+    """CDC-driven ANN index maintenance fuzz (round 12): a random
+    embeddings commit chain (appends of unseen vec_id batches,
+    copy-on-write range deletions) advances the IVF cell lists one
+    change-feed version at a time through maintain_cells_from_feed,
+    against a quantizer frozen on the initial prefix. After the walk the
+    incrementally maintained lists must equal a from-scratch assignment
+    of the live vectors under the SAME frozen quantizer — the
+    equivalence ann_maintain_from_cdf attests on one fixed chain, here
+    across arbitrary insert/delete interleavings."""
+    from nyc_analytics_database_platform_spark.operators import txnlog
+    from nyc_analytics_database_platform_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from nyc_analytics_database_platform_spark.queries.llm_ivf import (
+        maintain_cells_from_feed,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = str(tmp_path / "emb")
+    cols = ["vec_id", "embedding"]
+
+    def vecs(df):
+        return df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    cut0 = rng.randint(100, 350)
+    live = set(range(cut0))
+    txnlog.append(spark, root, emb.filter(F.col("vec_id") < cut0),
+                  range_col="vec_id", n_files=3)
+    cents, state = kmeans_fit(vecs(emb.filter(F.col("vec_id") < cut0)), 4, 2)
+    cents = cents.localCheckpoint(eager=True)
+    next_id = cut0
+    for _ in range(rng.randint(2, 4)):
+        prev = txnlog.latest_version(root)
+        if next_id < 500 and (not live or rng.random() < 0.6):
+            hi = min(500, next_id + rng.randint(20, 120))
+            txnlog.append(
+                spark, root,
+                emb.filter((F.col("vec_id") >= next_id)
+                           & (F.col("vec_id") < hi)),
+                range_col="vec_id", n_files=2)
+            live |= set(range(next_id, hi))
+            next_id = hi
+        else:
+            lo = rng.randint(0, next_id)
+            hi = lo + rng.randint(10, max(20, next_id // 3))
+            survivors = {d for d in live if not lo <= d < hi}
+            if not survivors:
+                continue  # table must stay non-empty
+            txnlog.delete_range_cow(spark, root, "vec_id", lo, hi)
+            live = survivors
+        feed = txnlog.changes_between(
+            spark, root, prev, txnlog.latest_version(root), cols)
+        state = maintain_cells_from_feed(state, cents, feed)
+        state = state.localCheckpoint()  # the persisted index between advances
+    got = {(r["vec_id"], r["c_id"]) for r in state.collect()}
+    live_vecs = vecs(emb.filter(F.col("vec_id").isin([int(d) for d in live])))
+    want = {(r["vec_id"], r["c_id"])
+            for r in assign_clusters(live_vecs, cents).collect()}
+    assert got == want, (case_id, cut0, len(live))
