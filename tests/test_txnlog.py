@@ -620,3 +620,54 @@ def test_raw_commit_carries_batch_id_watermark(spark, root):
     assert 7 in txnlog.committed_batch_ids(root)
     assert txnlog.commit_stream_batch(
         spark, root, df.filter("k < 10"), batch_id=7) is None
+
+
+def test_stream_delete_compaction_boundary_invariants(spark, root):
+    """Streamed MoR deletes -> delete-aware compaction (round 12): the
+    policy selects exactly the files whose key ranges intersect the
+    pending delete set, the optimize commit is logically silent (CDC
+    across the boundary EMPTY, time-travel to the pre-compaction head
+    identical), clean files carry by reference, and the batch-id
+    watermark rides through the optimize commit so a late replay of a
+    streamed batch still dedupes after vacuum."""
+    from nyc_analytics_database_platform_spark.queries.parity_versioned import (
+        _mor_delete_compaction_plan,
+    )
+
+    txnlog.append(spark, root, _orders(spark, 1000), range_col="k", n_files=8)
+    # Two streamed delete batches confined to the low key range.
+    for bid, (lo, hi) in enumerate(((0, 40), (40, 80))):
+        txnlog.commit_stream_delete_batch(
+            spark, root,
+            _orders(spark, 1000).filter(f"k >= {lo} and k < {hi}").select("k"),
+            batch_id=bid, key_cols=["k"])
+    pre = txnlog.latest_version(root)
+    pre_rows = sorted(map(tuple, txnlog.read_version(spark, root, pre)
+                          .collect()))
+    selected, manifest = _mor_delete_compaction_plan(root)
+    # Discrimination: some files intersect the deletes, most don't.
+    assert selected
+    assert len(selected) < len(manifest)
+    post = txnlog.optimize_files(spark, root, selected, "k", n_files=1)
+    # Logically silent: empty feed across the boundary, identical reads.
+    assert txnlog.changes_between(spark, root, pre, post, ["k", "v"]).count() == 0
+    assert sorted(map(tuple, txnlog.read_version(spark, root, post)
+                      .collect())) == pre_rows
+    # Time travel to the pre-compaction head still answers.
+    assert txnlog.read_version(spark, root, pre).count() == len(pre_rows)
+    # Clean files carried by reference; selected files gone from the head.
+    e_pre = set(txnlog.read_entry(root, pre)["files"])
+    e_post = set(txnlog.read_entry(root, post)["files"])
+    assert not (set(selected) & e_post)
+    assert (e_pre - set(selected)) < e_post
+    # A re-run of the policy on the compacted head selects nothing: the
+    # rewrite folded the hidden deletes in (survivor key ranges no longer
+    # intersect the delete set, which still rides until purge), so
+    # re-selection keyed off actual intersection converges.
+    sel2, _ = _mor_delete_compaction_plan(root)
+    assert sel2 == []
+    # Watermark through the optimize commit + vacuum: replay still dedupes.
+    txnlog.vacuum(root, keep_last=1)
+    assert txnlog.commit_stream_delete_batch(
+        spark, root, _orders(spark, 1000).filter("k < 40").select("k"),
+        batch_id=0, key_cols=["k"]) is None
