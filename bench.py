@@ -434,6 +434,11 @@ def _scale_crossover(spark, specs) -> dict | None:
                 "runtime_filter_part_revenue",
                 "weighted_sample_es_topk",
                 "zorder_box_scan_stats",
+                # round 12 (VERDICT r11 #2): RFM's deepest point — the
+                # histogram-quintile path stays linear while DuckDB's
+                # triple in-memory NTILE sort degrades past ~4.8M
+                # customers; hand-measured 1.41/1.57 dual-pass here.
+                "rfm_customer_segments",
             )
             if n in full
         }

@@ -407,7 +407,15 @@ def histogram_exact_ntiles(
     tiles-1 boundary tuples reproduces NTILE's first-(n mod t)-groups-get-
     ceil split bit-for-bit (oracle-pinned by rfm_customer_segments and
     tests/test_round7_ops.py)."""
-    KW = 1 << 16  # tie sub-bucket width for width-1 (single-value) buckets
+    # Tie sub-bucket width for width-1 (single-value) buckets. 2^18, not
+    # 2^16 (round 12): at sf16 the finer width made the recency metric's
+    # histogram 42k groups (2084 values x ~37 key sub-buckets of ~31 rows
+    # each) — collect transfer + driver prefix-sum time for no sliver
+    # benefit, since a sliver only needs a sub-bucket SMALLER than ~10^5
+    # rows to stay off the full tie set. 2^18 keeps the worst heavy-tie
+    # sliver bounded (~10^4-10^5 rows through a parallel tiny sort) while
+    # quartering the histogram metadata.
+    KW = 1 << 18
 
     def _kb(vcol_width) -> F.Column:
         width = vcol_width[2]

@@ -340,43 +340,54 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     same rationale as sessionize_event_stats.
 
     Round 11: the running-max payload is a PACKED LONG, not a struct.
-    Catalyst already prunes the scan to the 4 live columns, but the
-    window's pre-projected aggregate input used to be
-    struct(date, key, status) — ~40 bytes per row duplicating three of
-    the four carried columns through the exchange AND the sort, plus a
-    field-by-field struct comparison per running-max step. Packing
-    (epoch_day << 47) | (o_orderkey << 7) | ascii(status) preserves the
-    exact (date, key) lexicographic order (day < 2^16 covers year 2149,
-    orderkey < 2^40 covers TPC-H sf100000 ≈ 100 TB, status is one ASCII
-    byte; orderkey uniqueness makes ties impossible, so the status bits
-    never decide a comparison) and shrinks the carried payload to 8
-    bytes with a single long compare per row. Measured at sf16
+    Packing (epoch_day << 47) | (o_orderkey << 7) | ascii(status)
+    preserves the exact (date, key) lexicographic order (day < 2^16
+    covers year 2149, orderkey < 2^40 covers TPC-H sf100000 ≈ 100 TB,
+    status is one ASCII byte; orderkey uniqueness makes ties impossible,
+    so the status bits never decide a comparison) and makes the
+    running max a single long compare per row. Measured at sf16
     interleaved dual-pass: 2.58/1.97 (struct) -> 1.62/1.62 (packed) vs
-    DuckDB."""
+    DuckDB.
+
+    Round 12 (VERDICT r11 #3): the exchange + sort now carry ONLY
+    (o_custkey, packed) — every output column (orderkey, date, status,
+    and the as-of comparison) is reconstructed FROM the packed long
+    after the window, so the shuffled row shrinks from the 4 base
+    columns + window input (~40 B) to two longs + the projected sort
+    key (~24 B). The RANGE frame orders by the day bits
+    (shiftright 47 == the epoch day), which is value-identical to
+    ordering by o_orderdate, so same-date peers stay inside the frame
+    and the oracle semantics are unchanged."""
+    _day = F.shiftright("_pk", 47)
+    _okey = F.shiftright("_pk", 7).bitwiseAND(F.lit((1 << 40) - 1))
     orders = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
-    )
-    packed = (
-        F.shiftleft(
-            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long"), 47
-        )
-        + F.shiftleft(F.col("o_orderkey"), 7)
-        + F.ascii("o_orderstatus")
+        "o_custkey",
+        (
+            F.shiftleft(
+                F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long"),
+                47,
+            )
+            + F.shiftleft(F.col("o_orderkey"), 7)
+            + F.ascii("o_orderstatus")
+        ).alias("_pk"),
     )
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate")
+        .orderBy(_day)
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     status_asof = F.expr("char(_asof & 127)")
     return (
-        orders.withColumn("_asof", F.max(packed).over(w))
-        .filter(F.col("o_orderkey") % 5 == 0)
+        orders.select("_pk", F.max("_pk").over(w).alias("_asof"))
+        .filter(_okey % 5 == 0)
         .select(
-            F.col("o_orderkey").alias("orderkey"),
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            _okey.alias("orderkey"),
+            F.date_format(
+                F.expr("date_from_unix_date(cast(shiftright(_pk, 47) as int))"),
+                "yyyy-MM-dd",
+            ).alias("order_date"),
             status_asof.alias("status_asof"),
-            (status_asof == F.col("o_orderstatus")).alias("consistent"),
+            (status_asof == F.expr("char(_pk & 127)")).alias("consistent"),
         )
     )
 
