@@ -664,12 +664,17 @@ def build_embeddings_commit_chain(
     return root
 
 
-def _ivf_hist_assign_oracle() -> str:
+def _ivf_hist_assign_oracle(
+    visible_pred: str = (
+        f"NOT (vec_id >= {_ANN_DEL_LO} AND vec_id < {_ANN_DEL_HI})"
+    ),
+) -> str:
     """Frozen-quantizer oracle: k-means (k=4, 2 Lloyd rounds, hash-
     deterministic seeds, 6dp-rounded means — operators/kmeans.py stage
     for stage) trained on the HISTORY ONLY, then one assign pass over the
-    vectors visible at the head version. Mirrors _kmeans_oracle with the
-    training relation restricted to vec_id < _ANN_SPLIT_VEC."""
+    vectors satisfying `visible_pred` (default: the CDC chain's head
+    visibility). Mirrors _kmeans_oracle with the training relation
+    restricted to vec_id < _ANN_SPLIT_VEC."""
 
     def assign(name: str, cents: str, src: str) -> str:
         return f"""
@@ -701,7 +706,7 @@ def _ivf_hist_assign_oracle() -> str:
         h AS (SELECT * FROM e WHERE vec_id < {_ANN_SPLIT_VEC}),
         vis AS (
             SELECT * FROM e
-            WHERE NOT (vec_id >= {_ANN_DEL_LO} AND vec_id < {_ANN_DEL_HI})
+            WHERE {visible_pred}
         ),
         ranked AS (
             SELECT vec_id, v,
@@ -799,3 +804,98 @@ def maintain_cells_from_feed(
         state.join(deleted, "vec_id", "left_anti")
         .unionByName(assign_clusters(inserted, cents))
     )
+
+
+@register(
+    "stream_ann_ingest_cells",
+    oracle=_ivf_hist_assign_oracle(visible_pred="TRUE"),
+    tags=("llm", "similarity", "ivf", "streaming", "exactly-once",
+          "txnlog"),
+)
+def stream_ann_ingest_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITER side of streaming ANN index maintenance, executed
+    end-to-end: embedding vectors arrive as chronological micro-batches
+    (three staged files draining through availableNow), each batch is
+    assigned against the FROZEN history-trained coarse quantizer — one
+    broadcast pass over the batch, never the corpus — and lands in a
+    versioned cell-list table via the exactly-once foreachBatch sink
+    (txnlog.commit_stream_batch, idempotent per batch_id), so Structured
+    Streaming's replay-after-restart cannot double-index a vector. The
+    composition this attests: streaming delivery (at-least-once) x
+    transactional sink (exactly-once) x frozen-quantizer assignment
+    (O(batch)) = the ingestion half of a 100 TB vector store, with
+    ann_maintain_from_cdf as its CDC/read-side twin. Oracle:
+    from-scratch assignment of EVERY vector under the same frozen
+    quantizer — a hash match proves no batch was lost, duplicated, or
+    assigned against drifted centroids."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from nyc_analytics_database_platform_spark import layouts
+    from nyc_analytics_database_platform_spark.operators import txnlog
+    from nyc_analytics_database_platform_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from nyc_analytics_database_platform_spark.queries.streaming_stateful import (
+        _stage_ordered_files,
+        drain_or_raise,
+    )
+
+    root = layouts.scratch(sf_dir, "txnlog", "annstream")
+    marker = root + "_done"
+    stamp = layouts.source_stamp(
+        sf_dir, "embeddings",
+        spec=f"annstream:{_ANN_SPLIT_VEC}:{_K}:{_ITERS}")
+    if not (layouts.is_fresh(marker, stamp) and txnlog.chain_intact(root)):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        hist = emb.filter(F.col("vec_id") < _ANN_SPLIT_VEC).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        cents, _ = kmeans_fit(hist, _K, _ITERS)
+        cents = cents.localCheckpoint(eager=True)  # the persisted artifact
+        n_max = emb.agg(F.max("vec_id")).collect()[0][0]
+        c1, c2 = n_max // 3, 2 * n_max // 3
+        stages = [
+            emb.filter(F.col("vec_id") <= c1),
+            emb.filter((F.col("vec_id") > c1) & (F.col("vec_id") <= c2)),
+            emb.filter(F.col("vec_id") > c2),
+        ]
+        tag = _hl.md5((sf_dir + ":annstream").encode()).hexdigest()[:8]
+        scratch = os.path.join(tempfile.gettempdir(), "spark_graft_stream",
+                               tag)
+        src_dir = os.path.join(scratch, "files")
+        _stage_ordered_files(scratch, src_dir, stages)
+
+        def sink(bdf: DataFrame, bid: int) -> None:
+            cells = assign_clusters(
+                bdf.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("v"),
+                ),
+                cents,
+            ).select("vec_id", F.col("c_id").cast("int").alias("cell"))
+            txnlog.commit_stream_batch(spark, root, cells, bid,
+                                       range_col="vec_id", n_files=1)
+
+        q = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            drain_or_raise(q, "streaming ANN cell ingest")
+        finally:
+            import shutil
+
+            shutil.rmtree(scratch, ignore_errors=True)
+        layouts.mark_fresh(marker, stamp)
+    return txnlog.read_version(spark, root).orderBy("vec_id")

@@ -1366,7 +1366,12 @@ def _mor_delete_compaction_plan(root: str) -> tuple[list[str], list[tuple]]:
     manifest, selected = [], []
     for rel in entry["files"]:
         lo, hi = txnlog._footer_minmax(os.path.join(root, rel), key)
-        hit = any(dlo <= hi and dhi >= lo for dlo, dhi in dv_ranges)
+        # A file without key stats cannot be proven clean — select it
+        # (conservative: compaction may only over-rewrite, never miss a
+        # hidden delete).
+        hit = lo is None or any(
+            dlo <= hi and dhi >= lo for dlo, dhi in dv_ranges
+        )
         manifest.append((rel, lo, hi, hit))
         if hit:
             selected.append(rel)
