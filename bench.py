@@ -606,8 +606,11 @@ def main() -> None:
         "detail": detail_name,
     }
     if isinstance(crossover, dict):
-        if "skipped" in crossover:
-            compact["crossover"] = crossover
+        if "skipped" in crossover or "error" in crossover:
+            compact["crossover"] = {
+                k: v for k, v in crossover.items()
+                if k in ("skipped", "error")
+            }
         deepest: dict[str, list] = {}
         blocks = [("0.5", crossover)] + [
             (k.split("_")[0][2:], v) for k, v in crossover.items()
