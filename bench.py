@@ -587,22 +587,36 @@ def main() -> None:
     with open(os.path.join(repo, detail_name), "w") as f:
         json.dump(detail, f, indent=1)
 
-    # The driver keeps only the LAST 2000 chars of output and parses the
-    # last complete JSON line out of that tail. Rounds 9-11 recorded
-    # "parsed": null because the final line (per-block crossover dicts)
-    # outgrew the window and arrived truncated. The final line is now (a)
-    # collapsed to ONE deepest crossover mark per tracked query instead of
-    # one dict per sf block, and (b) passed through a hard size guard that
-    # drops optional fields until the line fits — the full data is always
-    # in BENCH_DETAIL.json; this line exists to parse.
+    print(build_compact_line(total, timings, duck_total,
+                             detail["vs_duckdb_total"], detail["sf"],
+                             detail_name, crossover))
+    spark.stop()
+
+
+# The driver keeps only the LAST 2000 chars of output and parses the last
+# complete JSON line out of that tail; TAIL_BUDGET leaves headroom for the
+# trailing newline and any stray progress byte sharing the window.
+TAIL_BUDGET = 1900
+
+
+def build_compact_line(total, timings, duck_total, vs_total, sf,
+                       detail_name, crossover) -> str:
+    """The bench contract's FINAL stdout line. Rounds 9-11 recorded
+    "parsed": null because the final line (per-block crossover dicts)
+    outgrew the driver's 2000-char tail and arrived truncated. The line is
+    now (a) collapsed to ONE deepest crossover mark per tracked query
+    instead of one dict per sf block, and (b) passed through a hard size
+    guard that drops optional fields until the line fits — the full data
+    is always in BENCH_DETAIL.json; this line exists to parse.
+    Pure function, pinned by tests/test_bench_contract.py."""
     compact = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": {n: round(t, 2) for n, t in timings.items()},
         "duckdb_total": duck_total,
-        "vs_duckdb_total": detail["vs_duckdb_total"],
-        "sf": detail["sf"],
+        "vs_duckdb_total": vs_total,
+        "sf": sf,
         "detail": detail_name,
     }
     if isinstance(crossover, dict):
@@ -629,15 +643,25 @@ def main() -> None:
             compact.pop("deepest_xover_sf_ratio", None)
             if deep:
                 compact["deepest_xover_sf_ratio"] = deep
-            if len(json.dumps(compact)) <= 1900:
+            if len(json.dumps(compact)) <= TAIL_BUDGET:
                 break
     line = json.dumps(compact)
-    if len(line) > 1900:  # last resort: coarser per-query rounding
+    if len(line) > TAIL_BUDGET:  # coarser per-query rounding
         compact["queries"] = {n: round(t, 1)
                               for n, t in timings.items()}
         line = json.dumps(compact)
-    print(line)
-    spark.stop()
+    # Final fallback for a headline set that has outgrown the tail window
+    # entirely (names alone can exceed the budget): keep the largest-time
+    # queries and say how many were cut — a truncated DICT that parses
+    # beats a complete line that doesn't.
+    keep = len(timings)
+    while len(line) > TAIL_BUDGET and keep > 1:
+        keep //= 2
+        top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:keep])
+        compact["queries"] = {n: round(t, 1) for n, t in top.items()}
+        compact["queries_omitted"] = len(timings) - keep
+        line = json.dumps(compact)
+    return line
 
 
 if __name__ == "__main__":
