@@ -638,7 +638,10 @@ def build_compact_line(total, timings, duck_total, vs_total, sf,
         # marks are filtered to progressively deeper sf floors until the
         # whole line fits — deep marks (the tracked stragglers) are the
         # ones the shallow headline can't show, so they are kept last.
-        for floor in (1.0, 4.0, 8.0, 16.0, float("inf")):
+        # 0.0 first: a run whose crossover produced only the sf0.5 block
+        # (the default shape) should still emit its marks when they fit;
+        # the deeper floors remain the shrink path when they don't.
+        for floor in (0.0, 1.0, 4.0, 8.0, 16.0, float("inf")):
             deep = {q: v for q, v in deepest.items() if v[0] >= floor}
             compact.pop("deepest_xover_sf_ratio", None)
             if deep:

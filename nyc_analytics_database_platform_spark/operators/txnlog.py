@@ -163,8 +163,13 @@ def commit(root: str, parent: int, files: list[str], op: str,
             carried |= set(pent.get("batch_ids", []))
             if "batch_id" in pent:
                 carried.add(pent["batch_id"])
-        except OSError:
-            pass  # parent expired by vacuum; head's set already rode forward
+        except (OSError, ValueError):
+            # OSError: parent expired by vacuum; ValueError (incl.
+            # JSONDecodeError): parent entry truncated/corrupt on disk.
+            # Either way the head's cumulative set already rode forward in
+            # `extra`, so degrading to "no parent carry" is the same safe
+            # behavior a vacuumed parent gets — not a chain-killing error.
+            pass
     if carried:
         entry_extra["batch_ids"] = sorted(carried)
     final = _entry_path(root, version)
@@ -214,16 +219,22 @@ def _rel_parquet_files(root: str, subdir: str) -> list[str]:
 
 
 def _write_version_dir(root: str, version: int, df: DataFrame,
-                       range_col: str | None, n_files: int) -> list[str]:
+                       range_col: str | None, n_files: int,
+                       tag: str = "") -> list[str]:
     """Write `df` into a writer-private staging directory and return the
     new files root-relative. The directory name carries a per-writer token
     (pid + random) so two writers racing for the same version number never
     clobber each other's staged files — only the log link decides who wins.
     Range-clustering on `range_col` gives each file a disjoint stat range,
     so later predicate deletes/reads prune at file granularity (the reason
-    table formats cluster on write)."""
+    table formats cluster on write). `tag` rides in the directory name the
+    same way delete files carry `-dv-`: provenance that survives vacuum
+    expiring the log entry that would otherwise record it (optimize
+    rewrites stamp `-opt-` so delete-aware compaction can prove a file
+    clean from the manifest alone)."""
     token = os.urandom(4).hex()
-    subdir = os.path.join("data", f"v{version:05d}-{os.getpid()}-{token}")
+    subdir = os.path.join(
+        "data", f"v{version:05d}-{os.getpid()}-{tag}{token}")
     if range_col is not None:
         df = df.repartitionByRange(n_files, range_col)
     elif n_files:
@@ -568,9 +579,33 @@ def optimize_files(spark: SparkSession, root: str, rels: list[str],
     keys = _delete_keys(spark, root, entry)
     if keys is not None:
         df = df.join(keys, on=entry["delete_key_cols"], how="left_anti")
-    new_files = _write_version_dir(root, head + 1, df, range_col, n_files)
+    # `-opt-` in the directory name marks these files as rewritten with
+    # every delete key pending at version head+1 already applied — the
+    # provenance delete-aware compaction needs to prove them clean without
+    # reading log entries (which vacuum may have expired).
+    new_files = _write_version_dir(root, head + 1, df, range_col, n_files,
+                                   tag="opt-")
     return commit(root, head, kept + new_files, "optimize-files",
                   extra={**_dv_extra(entry), **_bid_extra(entry)})
+
+
+def rewrite(spark: SparkSession, root: str, df: DataFrame, op: str,
+            range_col: str | None = None, n_files: int = 4) -> int:
+    """Full-content rewrite as ONE commit — the re-encode shape (a
+    quantizer/codebook refresh re-assigning every row of an index table,
+    a schema backfill, a re-scoring pass). Unlike optimize(), the commit
+    is NOT logically silent: changes_between across it is exactly the
+    rows whose values changed — unchanged rows cancel in the multiset
+    diff — which is the explicit re-encode change feed downstream
+    consumers replay instead of rescanning the table. Any pending
+    merge-on-read delete set is consumed (the caller derives `df` from
+    read_version, which already applied it) and NOT carried forward; the
+    exactly-once batch-id watermark does carry, so streamed ingest
+    replayed after a refresh still dedupes."""
+    head = latest_version(root)
+    entry = read_entry(root, head)
+    new_files = _write_version_dir(root, head + 1, df, range_col, n_files)
+    return commit(root, head, new_files, op, extra=_bid_extra(entry))
 
 
 def committed_batch_ids(root: str) -> set[int]:

@@ -526,14 +526,18 @@ def _band_pairs(bb: DataFrame, other: DataFrame | None = None) -> DataFrame:
     )
 
 
-@register(
-    "dedup_maintain_from_cdf",
-    # full recompute at the HEAD version: the recursive-CTE components over
-    # candidate edges of exactly the docs visible at v3 — a hash match
-    # proves the CDC-driven incremental maintenance (insert merge + delete
-    # retraction) lost nothing and resurrected nothing.
-    oracle=(
-        lambda edges_sql: f"""
+def _dedup_maintain_oracle() -> str:
+    """Full recompute at the HEAD version: recursive-CTE components over
+    candidate edges of exactly the docs visible at v3 — a hash match
+    proves the CDC-driven incremental maintenance (insert merge + delete
+    retraction) lost nothing and resurrected nothing. Module-level so the
+    multi-index capstone (llm_curation) composes the SAME component
+    oracle instead of restating it."""
+    edges_sql = _minhash_oracle(
+        where=f"WHERE NOT (doc_id >= {_CDF_DEL_LO} "
+              f"AND doc_id < {_CDF_DEL_HI})"
+    ).rsplit("ORDER BY", 1)[0]
+    return f"""
         WITH RECURSIVE edges AS ({edges_sql}),
         und AS (
             SELECT a_id AS src, b_id AS dst FROM edges
@@ -555,12 +559,11 @@ def _band_pairs(bb: DataFrame, other: DataFrame | None = None) -> DataFrame:
         GROUP BY node
         ORDER BY node
     """
-    )(
-        _minhash_oracle(
-            where=f"WHERE NOT (doc_id >= {_CDF_DEL_LO} "
-                  f"AND doc_id < {_CDF_DEL_HI})"
-        ).rsplit("ORDER BY", 1)[0]
-    ),
+
+
+@register(
+    "dedup_maintain_from_cdf",
+    oracle=_dedup_maintain_oracle(),
     tags=("llm", "dedup", "incremental", "txnlog", "cdc", "iterative"),
 )
 def dedup_maintain_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,4 +660,15 @@ def maintain_clusters_from_feed(
     # Insert merge: edges the increment introduces against the updated
     # index, folded in with star edges over touched components only.
     new_edges = _band_pairs(new_bands, band2)
-    return band2, incremental_components(assign2, new_edges)
+    assign3 = incremental_components(assign2, new_edges)
+    # Truncate lineage before handing the state to the next advance: in
+    # production (band', assign') are PERSISTED artifacts re-read from
+    # storage each advance, so each step's plan is O(step). Returning the
+    # lazy frames instead compounds every prior advance into the next
+    # plan — the regenerated PLAN_AUDIT caught this query at 3172
+    # exchanges (ADVICE r12) — so planning cost grew multiplicatively
+    # with chain depth. localCheckpoint materializes the (small,
+    # O(corpus-bands)) state and cuts the plan back to a leaf; at real
+    # scale this is the parquet write of the maintained index.
+    return (band2.localCheckpoint(eager=True),
+            assign3.localCheckpoint(eager=True))

@@ -56,10 +56,13 @@ from nyc_analytics_database_platform_spark.queries.llm_similarity import (  # no
 _K, _ITERS = 4, 2
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_oracle(where: str = "", emit: str = "centroids") -> str:
     """Lloyd's unrolled as chained CTEs: seeds -> (assign -> update) x 2 ->
     final assign for member counts. Mirrors operators/kmeans.kmeans_fit
-    stage for stage (6dp-rounded means each round pin the values)."""
+    stage for stage (6dp-rounded means each round pin the values).
+    `where` restricts the training relation (the quantizer-refresh oracle
+    trains on the head-visible set); `emit` selects centroids+counts
+    (default) or the final per-vector assignment."""
 
     def assign(name: str, cents: str) -> str:
         return f"""
@@ -86,8 +89,25 @@ def _kmeans_oracle() -> str:
             GROUP BY a.c_id, dim
         )"""
 
+    final = {
+        "centroids": f"""
+        counts AS (
+            SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM a3 GROUP BY c_id
+        )
+        SELECT CAST(c2.c_id AS INT) AS c_id, CAST(c2.dim AS INT) AS dim,
+               c2.cv AS centroid_v, counts.n_members
+        FROM c2 JOIN counts USING (c_id)
+        ORDER BY c_id, dim""",
+        "assign": """
+        fin AS (SELECT * FROM a3)
+        SELECT vec_id, CAST(c_id AS INT) AS cell
+        FROM fin
+        ORDER BY vec_id""",
+    }[emit]
     return f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings {where}),
         ranked AS (
             SELECT vec_id, v,
                    row_number() OVER (
@@ -98,15 +118,7 @@ def _kmeans_oracle() -> str:
             SELECT rn AS c_id, i - 1 AS dim, v[i] AS cv
             FROM ranked, unnest(generate_series(1, len(v))) AS g(i)
             WHERE rn < {_K}
-        ),{assign("a1", "c0")},{update("c1", "a1")},{assign("a2", "c1")},{update("c2", "a2")},{assign("a3", "c2")},
-        counts AS (
-            SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_members
-            FROM a3 GROUP BY c_id
-        )
-        SELECT CAST(c2.c_id AS INT) AS c_id, CAST(c2.dim AS INT) AS dim,
-               c2.cv AS centroid_v, counts.n_members
-        FROM c2 JOIN counts USING (c_id)
-        ORDER BY c_id, dim
+        ),{assign("a1", "c0")},{update("c1", "a1")},{assign("a2", "c1")},{update("c2", "a2")},{assign("a3", "c2")},{final}
     """
 
 
@@ -899,3 +911,145 @@ def stream_ann_ingest_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(scratch, ignore_errors=True)
         layouts.mark_fresh(marker, stamp)
     return txnlog.read_version(spark, root).orderBy("vec_id")
+
+
+# --- quantizer refresh as an OPTIMIZE-commit (round 13) ----------------------
+
+def _refresh_oracle() -> str:
+    """Both sides of the refresh boundary from scratch: cell_before =
+    assignment of every head-visible vector under the FROZEN history-
+    trained quantizer (exactly the pre-refresh index the time-travel read
+    must return), cell_after = assignment under a quantizer RETRAINED on
+    the head-visible set (the refresh commit's content), changed = value
+    diff (exactly the re-encode change feed). One hash gate attests all
+    three claims."""
+    vis_where = (f"WHERE NOT (vec_id >= {_ANN_DEL_LO} "
+                 f"AND vec_id < {_ANN_DEL_HI})")
+    return f"""
+        SELECT o.vec_id, o.cell AS cell_before, n.cell AS cell_after,
+               o.cell <> n.cell AS changed
+        FROM ({_ivf_hist_assign_oracle()}) o
+        JOIN ({_kmeans_oracle(where=vis_where, emit="assign")}) n
+          USING (vec_id)
+        ORDER BY o.vec_id
+    """
+
+
+@register(
+    "ann_quantizer_refresh_commit",
+    oracle=_refresh_oracle(),
+    tags=("llm", "similarity", "ivf", "txnlog", "lifecycle", "cdc",
+          "incremental"),
+)
+def ann_quantizer_refresh_commit(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Coarse-quantizer RETRAIN as one OPTIMIZE-commit on a versioned
+    cell-list index (VERDICT r12 #3) — the lifecycle step the frozen-
+    quantizer maintenance family defers: when the drift audit
+    (ivf_cell_balance_audit's imbalance statistic, computed on the live
+    index) crosses threshold, retrain on the head-visible vectors and
+    re-encode the whole index as ONE commit.
+
+    The index chain: v1 = history assignment under quantizer Q1 (trained
+    on the embeddings chain's v1, then FROZEN), v2 = the increment
+    assigned under frozen Q1 from the change feed, v3 = takedown keys as
+    a merge-on-read equality-delete commit (also from the feed), v4 = the
+    refresh — Q2 retrained on every head-visible vector, full re-assign
+    published via txnlog.rewrite, which consumes the pending delete set
+    and carries the batch-id watermark. The refresh commit is NOT
+    logically silent: its change feed is exactly the assignments that
+    moved, which is what downstream consumers (e.g. a PQ re-encoder or a
+    cache invalidator) replay instead of rescanning the index.
+
+    Output per visible vector: cell_before (TIME-TRAVEL read of v3 — the
+    pre-refresh index must still answer from frozen Q1), cell_after (the
+    head), changed (derived from the ACTUAL change feed across the
+    refresh commit, not by comparing the columns). Oracle: both
+    assignments recomputed from scratch plus their value diff — the hash
+    gate attests time travel, the re-encode, and the feed at once."""
+    import shutil
+
+    from nyc_analytics_database_platform_spark import layouts
+    from nyc_analytics_database_platform_spark.operators import txnlog
+    from nyc_analytics_database_platform_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    emb_root = build_embeddings_commit_chain(spark, sf_dir)
+    root = layouts.scratch(sf_dir, "txnlog", "annrefresh")
+    marker = root + "_done"
+    stamp = layouts.source_stamp(
+        sf_dir, "embeddings",
+        spec=(f"annrefresh:{_ANN_SPLIT_VEC}:{_ANN_DEL_LO}:{_ANN_DEL_HI}"
+              f":{_K}:{_ITERS}"),
+    )
+
+    def vecs(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+
+    def as_cells(assignment: DataFrame) -> DataFrame:
+        return assignment.select(
+            "vec_id", F.col("c_id").cast("int").alias("cell")
+        )
+
+    if not (layouts.is_fresh(marker, stamp) and txnlog.chain_intact(root)):
+        shutil.rmtree(root, ignore_errors=True)
+        hist = vecs(txnlog.read_version(spark, emb_root, 1)
+                    .select("vec_id", "embedding"))
+        cents1, assign1 = kmeans_fit(hist, _K, _ITERS)
+        cents1 = cents1.localCheckpoint(eager=True)  # frozen Q1
+        txnlog.append(spark, root, as_cells(assign1),
+                      range_col="vec_id", n_files=4)
+        # v2: the increment, assigned under FROZEN Q1 — O(feed).
+        feed2 = txnlog.changes_between(spark, emb_root, 1, 2,
+                                       ["vec_id", "embedding"])
+        inc = vecs(feed2.filter(F.col("change_type") == "insert"))
+        txnlog.append(spark, root, as_cells(assign_clusters(inc, cents1)),
+                      range_col="vec_id", n_files=2)
+        # v3: takedowns from the feed as an equality-delete commit.
+        feed3 = txnlog.changes_between(spark, emb_root, 2, 3,
+                                       ["vec_id", "embedding"])
+        txnlog.commit_stream_delete_batch(
+            spark, root,
+            feed3.filter(F.col("change_type") == "delete")
+            .select("vec_id").distinct(),
+            batch_id=0, key_cols=["vec_id"])
+        # Drift audit on the LIVE index (imbalance = max cell / mean
+        # cell). A freshly split/deleted index drifts past 1; production
+        # would use a higher threshold tuned to probe-cost tolerance —
+        # the trigger mechanics, not the constant, are what this attests.
+        sizes = txnlog.read_version(spark, root).groupBy("cell").count()
+        imbalance = sizes.agg(
+            (F.max("count") * F.count("*") / F.sum("count")).alias("i")
+        ).collect()[0]["i"]
+        if imbalance > 1.0:
+            vis = vecs(txnlog.read_version(spark, emb_root)
+                       .select("vec_id", "embedding"))
+            _cents2, assign2 = kmeans_fit(vis, _K, _ITERS)
+            txnlog.rewrite(spark, root, as_cells(assign2),
+                           "optimize:quantizer-refresh",
+                           range_col="vec_id", n_files=4)
+        layouts.mark_fresh(marker, stamp)
+
+    head = txnlog.latest_version(root)
+    before = txnlog.read_version(spark, root, head - 1).select(
+        "vec_id", F.col("cell").alias("cell_before"))
+    after = txnlog.read_version(spark, root, head).select(
+        "vec_id", F.col("cell").alias("cell_after"))
+    refeed = txnlog.changes_between(spark, root, head - 1, head,
+                                    ["vec_id", "cell"])
+    moved = (
+        refeed.filter(F.col("change_type") == "insert")
+        .select("vec_id").distinct()
+        .withColumn("changed", F.lit(True))
+    )
+    return (
+        before.join(after, "vec_id")
+        .join(moved, "vec_id", "left")
+        .select("vec_id", "cell_before", "cell_after",
+                F.coalesce("changed", F.lit(False)).alias("changed"))
+        .orderBy("vec_id")
+    )

@@ -481,10 +481,6 @@ def pq_maintain_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is never re-encoded. Oracle: from-scratch encoding of every
     head-visible vector under the same frozen codebooks."""
     from nyc_analytics_database_platform_spark.operators import txnlog
-    from nyc_analytics_database_platform_spark.operators.pq import (
-        assign_codes,
-        subvectors,
-    )
     from nyc_analytics_database_platform_spark.queries.llm_ivf import (
         build_embeddings_commit_chain,
     )
@@ -497,33 +493,56 @@ def pq_maintain_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
 
-    def encode(df: DataFrame, books: DataFrame) -> DataFrame:
-        return (
-            assign_codes(subvectors(df, _M), books)
-            .groupBy("vec_id")
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("j", "c_id"))),
-                        lambda s: s["c_id"].cast("string"),
-                    ),
-                    "|",
-                ).alias("codes")
-            )
-        )
-
     v1 = vecs(txnlog.read_version(spark, root, 1).select(*cols))
     books, _ = pq_fit(v1, _M, _K, _ITERS)
     books = books.localCheckpoint(eager=True)  # the persisted artifact
-    state = encode(v1, books)
+    state = encode_code_strings(v1, books)
     for v in (2, 3):
         feed = txnlog.changes_between(spark, root, v - 1, v, cols)
-        deleted = (
-            feed.filter(F.col("change_type") == "delete")
-            .select("vec_id").distinct()
-        )
-        inserted = vecs(feed.filter(F.col("change_type") == "insert"))
-        state = state.join(deleted, "vec_id", "left_anti").unionByName(
-            encode(inserted, books)
-        )
+        state = maintain_codes_from_feed(state, books, feed)
     return state.orderBy("vec_id")
+
+
+def encode_code_strings(df: DataFrame, books: DataFrame) -> DataFrame:
+    """(vec_id, codes): each vector's m subvector code ids under frozen
+    `books`, joined 'c0|c1|...|cm-1' in subspace order — the compact,
+    engine-portable code-store row format the PQ maintenance family
+    persists and the DuckDB oracles reproduce with string_agg."""
+    from nyc_analytics_database_platform_spark.operators.pq import (
+        assign_codes,
+        subvectors,
+    )
+
+    return (
+        assign_codes(subvectors(df, _M), books)
+        .groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "c_id"))),
+                    lambda s: s["c_id"].cast("string"),
+                ),
+                "|",
+            ).alias("codes")
+        )
+    )
+
+
+def maintain_codes_from_feed(
+    state: DataFrame, books: DataFrame, feed: DataFrame
+) -> DataFrame:
+    """Advance the PQ code store by ONE change-feed version: deletes
+    retract by anti-join on the feed's keys, inserts are encoded against
+    the frozen codebooks and appended. Handles mixed feeds; work is
+    O(feed rows) — the twin of llm_ivf.maintain_cells_from_feed on the
+    compressed-codes side."""
+    deleted = (
+        feed.filter(F.col("change_type") == "delete")
+        .select("vec_id").distinct()
+    )
+    inserted = feed.filter(F.col("change_type") == "insert").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return state.join(deleted, "vec_id", "left_anti").unionByName(
+        encode_code_strings(inserted, books)
+    )

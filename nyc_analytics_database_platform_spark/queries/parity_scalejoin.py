@@ -358,9 +358,27 @@ def build_zorder_orders(spark: SparkSession, sf_dir: str) -> str:
             "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
         )
         try:
-            src_bytes = os.path.getsize(
-                os.path.join(sf_dir, "orders.parquet")
-            )
+            src = os.path.join(sf_dir, "orders.parquet")
+            if os.path.isdir(src):
+                # A directory layout's inode size is meaningless — sum the
+                # part files (recursively, to cover partitioned layouts) or
+                # the block target silently collapses to the 64 KB floor
+                # and reintroduces the linear-footer problem this layout
+                # exists to avoid.
+                src_bytes = sum(
+                    os.path.getsize(os.path.join(dirpath, f))
+                    for dirpath, _dirs, fnames in os.walk(src)
+                    for f in fnames
+                    if f.endswith(".parquet")
+                )
+            else:
+                src_bytes = os.path.getsize(src)
+            # Approximation, by design: src_bytes is *compressed* source
+            # bytes while parquet.block.size bounds the writer's in-flight
+            # row-group buffer, so the realized group count only lands near
+            # _ZORDER_TARGET_RGS (within ~2x). That's fine — the invariant
+            # that matters (footer count constant in data size) only needs
+            # block size to scale with input, not to hit the target exactly.
             block = max(64 * 1024, src_bytes // _ZORDER_TARGET_RGS)
             (
                 zorder_by(

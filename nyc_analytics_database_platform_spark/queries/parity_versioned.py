@@ -1352,12 +1352,35 @@ def _mor_delete_compaction_plan(root: str) -> tuple[list[str], list[tuple]]:
     """Delete-aware compaction policy over the HEAD manifest: a data file
     is selected for rewrite when its key range (parquet footer min/max)
     intersects any pending equality-delete file's key range — those are
-    the files paying the merge-on-read anti-join at every read. Pure
-    driver-side metadata arithmetic, O(files + delete files); no data
-    file is opened. Returns (selected rels, manifest rows)."""
+    the files paying the merge-on-read anti-join at every read — UNLESS
+    the file is provably clean by provenance: an `-opt-` rewrite whose
+    writing version is newer than every pending delete file had all those
+    delete keys applied during the rewrite, so re-selecting it can never
+    change a row. Without the provenance skip, sparse delete sets (e.g.
+    every-7th key) make rewritten survivors span the delete key ranges
+    forever — the delete files ride until purge — and the policy would
+    re-rewrite already-clean files on every maintenance pass instead of
+    converging. Pure driver-side metadata arithmetic, O(files + delete
+    files); no data file is opened. Returns (selected rels, manifest
+    rows)."""
     head = txnlog.latest_version(root)
     entry = txnlog.read_entry(root, head)
     key = (entry.get("delete_key_cols") or ["o_orderkey"])[0]
+
+    def _written_version(rel: str) -> int:
+        # data/v00007-<pid>-[tag]<token>/part-*.parquet — the version is
+        # baked into the directory name at write time (txnlog.
+        # _write_version_dir), so provenance survives vacuum.
+        try:
+            return int(os.path.basename(os.path.dirname(rel))
+                       .split("-", 1)[0][1:])
+        except ValueError:
+            return -1
+
+    newest_dv = max(
+        (_written_version(rel) for rel in entry.get("delete_files", [])),
+        default=-1,
+    )
     dv_ranges = []
     for rel in entry.get("delete_files", []):
         lo, hi = txnlog._footer_minmax(os.path.join(root, rel), key)
@@ -1365,6 +1388,15 @@ def _mor_delete_compaction_plan(root: str) -> tuple[list[str], list[tuple]]:
             dv_ranges.append((lo, hi))
     manifest, selected = [], []
     for rel in entry["files"]:
+        # An optimize at version V rewrote with every delete key pending at
+        # V-1 applied, so strictly-newer-than-every-delete-file proves clean.
+        clean_by_provenance = (
+            "-opt-" in os.path.dirname(rel)
+            and _written_version(rel) > newest_dv
+        )
+        if clean_by_provenance:
+            manifest.append((rel, None, None, False))
+            continue
         lo, hi = txnlog._footer_minmax(os.path.join(root, rel), key)
         # A file without key stats cannot be proven clean — select it
         # (conservative: compaction may only over-rewrite, never miss a

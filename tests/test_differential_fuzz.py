@@ -2584,3 +2584,134 @@ def test_differential_random_cdc_ann_maintenance(
     want = {(r["vec_id"], r["c_id"])
             for r in assign_clusters(live_vecs, cents).collect()}
     assert got == want, (case_id, cut0, len(live))
+
+
+@pytest.mark.parametrize("case_id,rng", _cases()[:3])
+def test_differential_random_cdc_multi_index_maintenance(
+    spark, sf_dir, tmp_path, case_id, rng
+):
+    """Multi-index curation maintenance fuzz (round 13, VERDICT r12 #1):
+    a PAIRED documents+embeddings commit chain — the same random
+    insert/delete interleaving applied to both tables, ids shared — is
+    advanced one change-feed version at a time through ALL THREE
+    maintenance steps (dedup clusters, IVF cells, PQ codes) in one loop,
+    the shape curation_multi_index_advance registers on a fixed chain.
+    After the walk: each state must equal its from-scratch recompute over
+    the live corpus under the frozen quantizer/codebooks, AND the indexes
+    must agree cross-wise — cells and codes cover exactly the live ids
+    (an orphan is a leaked takedown, a hole is silent data loss) and
+    every clustered node is live."""
+    from nyc_analytics_database_platform_spark.operators import txnlog
+    from nyc_analytics_database_platform_spark.operators.dedup import (
+        banded_buckets,
+        minhash_signatures,
+    )
+    from nyc_analytics_database_platform_spark.operators.graph import (
+        connected_components,
+    )
+    from nyc_analytics_database_platform_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from nyc_analytics_database_platform_spark.operators.pq import pq_fit
+    from nyc_analytics_database_platform_spark.queries.llm_clusters import (
+        _band_pairs,
+        maintain_clusters_from_feed,
+    )
+    from nyc_analytics_database_platform_spark.queries.llm_ivf import (
+        maintain_cells_from_feed,
+    )
+    from nyc_analytics_database_platform_spark.queries.llm_pq import (
+        encode_code_strings,
+        maintain_codes_from_feed,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doc_root = str(tmp_path / "docs")
+    emb_root = str(tmp_path / "emb")
+
+    def bands_of(df):
+        return banded_buckets(minhash_signatures(df, num_perm=12, k=5),
+                              num_perm=12, rows_per_band=2)
+
+    def vecs(df):
+        return df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    cut0 = rng.randint(100, 350)
+    live = set(range(cut0))
+    txnlog.append(spark, doc_root, docs.filter(F.col("doc_id") < cut0),
+                  range_col="doc_id", n_files=3)
+    txnlog.append(spark, emb_root, emb.filter(F.col("vec_id") < cut0),
+                  range_col="vec_id", n_files=3)
+    band = bands_of(docs.filter(F.col("doc_id") < cut0))
+    assign = connected_components(_band_pairs(band))
+    emb1 = vecs(emb.filter(F.col("vec_id") < cut0))
+    cents, cells = kmeans_fit(emb1, 4, 2)
+    cents = cents.localCheckpoint(eager=True)
+    books, _ = pq_fit(emb1, 4, 8, 2)
+    books = books.localCheckpoint(eager=True)
+    codes = encode_code_strings(emb1, books)
+    next_id = cut0
+    for _ in range(rng.randint(2, 4)):
+        dprev = txnlog.latest_version(doc_root)
+        eprev = txnlog.latest_version(emb_root)
+        if next_id < 500 and (not live or rng.random() < 0.6):
+            hi = min(500, next_id + rng.randint(20, 120))
+            txnlog.append(
+                spark, doc_root,
+                docs.filter((F.col("doc_id") >= next_id)
+                            & (F.col("doc_id") < hi)),
+                range_col="doc_id", n_files=2)
+            txnlog.append(
+                spark, emb_root,
+                emb.filter((F.col("vec_id") >= next_id)
+                           & (F.col("vec_id") < hi)),
+                range_col="vec_id", n_files=2)
+            live |= set(range(next_id, hi))
+            next_id = hi
+        else:
+            lo = rng.randint(0, next_id)
+            hi = lo + rng.randint(10, max(20, next_id // 3))
+            survivors = {d for d in live if not lo <= d < hi}
+            if not survivors:
+                continue  # table must stay non-empty
+            txnlog.delete_range_cow(spark, doc_root, "doc_id", lo, hi)
+            txnlog.delete_range_cow(spark, emb_root, "vec_id", lo, hi)
+            live = survivors
+        dfeed = txnlog.changes_between(
+            spark, doc_root, dprev, txnlog.latest_version(doc_root),
+            ["doc_id", "text"])
+        efeed = txnlog.changes_between(
+            spark, emb_root, eprev, txnlog.latest_version(emb_root),
+            ["vec_id", "embedding"])
+        band, assign = maintain_clusters_from_feed(spark, band, assign,
+                                                   dfeed)
+        cells = maintain_cells_from_feed(cells, cents, efeed) \
+            .localCheckpoint()
+        codes = maintain_codes_from_feed(codes, books, efeed) \
+            .localCheckpoint()
+    live_ids = [int(d) for d in live]
+    # Per-index equivalence with the from-scratch recompute.
+    got_assign = {(r["node"], r["component"]) for r in assign.collect()}
+    want_assign = {
+        (r["node"], r["component"])
+        for r in connected_components(_band_pairs(bands_of(
+            docs.filter(F.col("doc_id").isin(live_ids))))).collect()
+    }
+    assert got_assign == want_assign, (case_id, cut0, len(live))
+    live_vecs = vecs(emb.filter(F.col("vec_id").isin(live_ids)))
+    got_cells = {(r["vec_id"], r["c_id"]) for r in cells.collect()}
+    want_cells = {(r["vec_id"], r["c_id"])
+                  for r in assign_clusters(live_vecs, cents).collect()}
+    assert got_cells == want_cells, (case_id, cut0, len(live))
+    got_codes = {(r["vec_id"], r["codes"]) for r in codes.collect()}
+    want_codes = {(r["vec_id"], r["codes"])
+                  for r in encode_code_strings(live_vecs, books).collect()}
+    assert got_codes == want_codes, (case_id, cut0, len(live))
+    # Cross-index consistency: every index covers exactly the live ids
+    # (no leaked takedown, no lost survivor); every clustered node lives.
+    assert {v for v, _ in got_cells} == live
+    assert {v for v, _ in got_codes} == live
+    assert {n for n, _ in got_assign} <= live

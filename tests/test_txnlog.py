@@ -661,9 +661,10 @@ def test_stream_delete_compaction_boundary_invariants(spark, root):
     assert not (set(selected) & e_post)
     assert (e_pre - set(selected)) < e_post
     # A re-run of the policy on the compacted head selects nothing: the
-    # rewrite folded the hidden deletes in (survivor key ranges no longer
-    # intersect the delete set, which still rides until purge), so
-    # re-selection keyed off actual intersection converges.
+    # rewrite folded the hidden deletes in. Here the contiguous low-range
+    # deletes make even plain range intersection converge; the provenance
+    # skip (`-opt-` + newer than every delete file) covers the sparse case
+    # — see test_mor_compaction_converges_on_sparse_deletes.
     sel2, _ = _mor_delete_compaction_plan(root)
     assert sel2 == []
     # Watermark through the optimize commit + vacuum: replay still dedupes.
@@ -671,3 +672,94 @@ def test_stream_delete_compaction_boundary_invariants(spark, root):
     assert txnlog.commit_stream_delete_batch(
         spark, root, _orders(spark, 1000).filter("k < 40").select("k"),
         batch_id=0, key_cols=["k"]) is None
+
+
+def test_mor_compaction_converges_on_sparse_deletes(spark, root):
+    """Sparse (every-7th-key) deletes: the rewritten survivors still SPAN
+    the delete key ranges — equality-delete files ride until purge — so
+    range intersection alone would re-select the optimize output on every
+    maintenance pass, rewriting already-clean files forever. Provenance
+    (`-opt-` dir marker + writing version strictly newer than every
+    pending delete file) proves them clean: the policy converges after
+    one pass, and a NEW delete landing after the optimize re-dirties the
+    head so selection resumes on exactly the intersecting rewrite."""
+    from nyc_analytics_database_platform_spark.queries.parity_versioned import (
+        _mor_delete_compaction_plan,
+    )
+
+    txnlog.append(spark, root, _orders(spark, 1000), range_col="k", n_files=8)
+    txnlog.commit_stream_delete_batch(
+        spark, root, _orders(spark, 1000).filter("k % 7 = 0").select("k"),
+        batch_id=0, key_cols=["k"])
+    sel1, man1 = _mor_delete_compaction_plan(root)
+    assert sel1  # every file's range contains some multiple of 7
+    pre_rows = sorted(map(tuple,
+                          txnlog.read_version(spark, root).collect()))
+    txnlog.optimize_files(spark, root, sel1, "k", n_files=2)
+    head = txnlog.latest_version(root)
+    # The delete set still pends (not purged) ...
+    assert txnlog.read_entry(root, head).get("delete_files")
+    # ... yet nothing is re-selected: convergence by provenance, where
+    # intersection arithmetic alone could not converge for sparse keys.
+    sel2, man2 = _mor_delete_compaction_plan(root)
+    assert sel2 == []
+    assert any("-opt-" in rel for rel, *_ in man2)
+    assert sorted(map(tuple,
+                      txnlog.read_version(spark, root).collect())) == pre_rows
+    # A delete committed AFTER the optimize outranks its provenance: the
+    # rewrite never saw key 3, so the intersecting opt file is selected
+    # again while any non-intersecting one stays carried.
+    txnlog.commit_stream_delete_batch(
+        spark, root, _orders(spark, 1000).filter("k = 3").select("k"),
+        batch_id=1, key_cols=["k"])
+    sel3, _ = _mor_delete_compaction_plan(root)
+    assert sel3 and all("-opt-" in rel for rel in sel3)
+
+
+def test_rewrite_commit_reencode_feed_and_time_travel(spark, root):
+    """txnlog.rewrite (round 13, the quantizer-refresh commit shape): a
+    full-content rewrite lands as ONE commit whose change feed is exactly
+    the rows whose values changed — unchanged rows cancel — while
+    time-travel to the pre-rewrite head still answers with the OLD
+    values, the pending MoR delete set is consumed (not carried), and the
+    exactly-once batch watermark rides through vacuum."""
+    df = _orders(spark, 200)
+    txnlog.commit_stream_batch(spark, root, df, batch_id=5,
+                               range_col="k", n_files=4)
+    txnlog.commit_stream_delete_batch(
+        spark, root, df.filter("k < 20").select("k"),
+        batch_id=6, key_cols=["k"])
+    pre = txnlog.latest_version(root)
+    pre_rows = sorted(map(tuple,
+                          txnlog.read_version(spark, root, pre).collect()))
+    assert len(pre_rows) == 180  # MoR deletes applied at read
+    # The re-encode: even keys get a new value, odd keys are unchanged.
+    new = txnlog.read_version(spark, root).withColumn(
+        "v", F.when(F.col("k") % 2 == 0, F.col("v") + 1.0)
+              .otherwise(F.col("v")))
+    post = txnlog.rewrite(spark, root, new, "optimize:reencode",
+                          range_col="k", n_files=3)
+    # Feed across the rewrite = exactly the changed rows, both sides.
+    feed = txnlog.changes_between(spark, root, pre, post, ["k", "v"])
+    ins = {(r["k"], r["v"]) for r in
+           feed.filter("change_type = 'insert'").collect()}
+    dels = {(r["k"], r["v"]) for r in
+            feed.filter("change_type = 'delete'").collect()}
+    evens = {k for k in range(20, 200) if k % 2 == 0}
+    assert ins == {(k, k * 2.0 + 1.0) for k in evens}
+    assert dels == {(k, k * 2.0) for k in evens}
+    # Time travel: the pre-rewrite head still answers with old values.
+    assert sorted(map(tuple, txnlog.read_version(spark, root, pre)
+                      .collect())) == pre_rows
+    # The rewrite consumed the delete set: head carries no delete files
+    # and the deleted keys stay gone.
+    e_post = txnlog.read_entry(root, post)
+    assert not e_post.get("delete_files")
+    assert txnlog.read_version(spark, root, post).count() == 180
+    # Watermark survives the rewrite + vacuum: replay still dedupes.
+    txnlog.vacuum(root, keep_last=1)
+    assert txnlog.commit_stream_batch(
+        spark, root, df, batch_id=5) is None
+    assert txnlog.commit_stream_delete_batch(
+        spark, root, df.filter("k < 20").select("k"),
+        batch_id=6, key_cols=["k"]) is None
