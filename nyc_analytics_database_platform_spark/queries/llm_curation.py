@@ -168,3 +168,156 @@ def curation_multi_index_advance(spark: SparkSession,
         .select("doc_id", "live", "component", "cell", "codes")
         .orderBy("doc_id")
     )
+
+
+# --- embedding model migration (round 13) ------------------------------------
+
+_MIG_WAVE1, _MIG_WAVE2 = 250, 400  # ids < W1 migrate in v2, [W1, W2) in v3
+
+
+def _model_migration_oracle() -> str:
+    """Routed dual-read recompute: m2 = the deterministic stand-in
+    re-embedding (adjacent-pair means, 64 -> 32 dims, 6dp per component —
+    a real deployment calls the new model here; the routing/commit
+    machinery is what this query attests), routed over m1 for every
+    migrated id. `wave` mirrors which migration commit produced the row —
+    the Spark side derives it from the ACTUAL change feeds, so a hash
+    match proves the waves landed as their own commits."""
+    return f"""
+        WITH m1 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        mig AS (
+            SELECT vec_id,
+                   list_transform(
+                       generate_series(1, len(v) // 2),
+                       i -> round((v[2*i - 1] + v[2*i]) / 2, 6)
+                   ) AS v
+            FROM m1 WHERE vec_id < {_MIG_WAVE2}
+        ),
+        routed AS (
+            SELECT vec_id, 'm2' AS model_id, v,
+                   CASE WHEN vec_id < {_MIG_WAVE1} THEN 2 ELSE 3 END AS wave
+            FROM mig
+            UNION ALL
+            SELECT vec_id, 'm1' AS model_id, v, NULL AS wave
+            FROM m1
+            WHERE vec_id NOT IN (SELECT vec_id FROM mig)
+        )
+        SELECT vec_id, model_id, CAST(len(v) AS INT) AS dim,
+               round(list_sum(v), 6) AS emb_sum,
+               CAST(wave AS INT) AS wave
+        FROM routed
+        ORDER BY vec_id
+    """
+
+
+def reembed_m2(df: DataFrame) -> DataFrame:
+    """The deterministic stand-in for 'call the new embedding model':
+    64-dim m1 vectors become 32-dim m2 vectors by adjacent-pair means,
+    each component rounded at 6dp so both engines agree exactly. Input
+    and output carry (vec_id, v)."""
+    n2 = F.floor(F.size("v") / F.lit(2)).cast("int")
+    return df.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(1), n2),
+            lambda i: F.round(
+                (F.element_at("v", (i * 2 - 1).cast("int"))
+                 + F.element_at("v", (i * 2).cast("int"))) / 2, 6),
+        ).alias("v"),
+    )
+
+
+@register(
+    "embedding_model_migration_routed",
+    oracle=_model_migration_oracle(),
+    tags=("llm", "similarity", "txnlog", "cdc", "lifecycle", "migration"),
+)
+def embedding_model_migration_routed(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Embedding MODEL UPGRADE mid-transition (VERDICT r12 #6): the last
+    vector-store lifecycle gap — a new embedding model changes dimension
+    and semantics, and 100 TB of vectors cannot re-embed in one commit.
+
+    The versioned store carries (vec_id, model_id, embedding). v1 = the
+    whole corpus under the old model m1. Each migration WAVE re-embeds
+    one id-slice — reading ONLY that slice's m1 rows (file-pruned range
+    scan of the index table, not a corpus rescan) — and commits the m2
+    rows as ONE append whose change feed is exactly the wave (v2 = ids
+    < _MIG_WAVE1, v3 = [_MIG_WAVE1, _MIG_WAVE2); ids >= _MIG_WAVE2 are
+    still un-migrated at head, the realistic mid-transition state).
+
+    The query returns the DUAL-READ ROUTED VIEW consumers use during the
+    transition: per id, the m2 row when it exists else the m1 row
+    (anti-join routing — no window, no driver-side state), plus `wave`
+    derived from the ACTUAL change feeds across the migration commits —
+    so the oracle hash gate attests the routing AND that each wave
+    landed as its own CDC-visible commit. Per-model index maintenance
+    stays feed-driven (tests/test_model_migration.py maintains an
+    m2-only IVF index purely from these feeds). Mirrors
+    schema_evolution_merged_read (parity_etl.py) on the vector side."""
+    import shutil
+
+    from nyc_analytics_database_platform_spark import layouts
+    from nyc_analytics_database_platform_spark.catalog import load
+    from nyc_analytics_database_platform_spark.operators import txnlog
+
+    root = layouts.scratch(sf_dir, "txnlog", "embmigrate")
+    marker = root + "_done"
+    stamp = layouts.source_stamp(
+        sf_dir, "embeddings",
+        spec=f"embmigrate:{_MIG_WAVE1}:{_MIG_WAVE2}")
+    if not (layouts.is_fresh(marker, stamp) and txnlog.chain_intact(root)):
+        shutil.rmtree(root, ignore_errors=True)
+        m1 = load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        txnlog.append(
+            spark, root,
+            m1.select("vec_id", F.lit("m1").alias("model_id"), "v"),
+            range_col="vec_id", n_files=4)
+        # Migration waves: each reads ONLY its slice's m1 rows back from
+        # the store (range-pruned) and appends the re-embedded m2 rows.
+        for lo, hi in ((0, _MIG_WAVE1), (_MIG_WAVE1, _MIG_WAVE2)):
+            src = (
+                txnlog.read_version(spark, root)
+                .filter((F.col("model_id") == "m1")
+                        & (F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+                .select("vec_id", "v")
+            )
+            txnlog.append(
+                spark, root,
+                reembed_m2(src).select(
+                    "vec_id", F.lit("m2").alias("model_id"), "v"),
+                range_col="vec_id", n_files=2)
+        layouts.mark_fresh(marker, stamp)
+
+    head_df = txnlog.read_version(spark, root)
+    m2_rows = head_df.filter(F.col("model_id") == "m2")
+    routed = m2_rows.unionByName(
+        head_df.filter(F.col("model_id") == "m1")
+        .join(m2_rows.select("vec_id"), "vec_id", "left_anti")
+    )
+    # Wave attribution from the actual feeds — not from the id ranges.
+    waves = None
+    for v in (2, 3):
+        feed = (
+            txnlog.changes_between(spark, root, v - 1, v,
+                                   ["vec_id", "model_id"])
+            .filter((F.col("change_type") == "insert")
+                    & (F.col("model_id") == "m2"))
+            .select("vec_id", F.lit(v).cast("int").alias("wave"),
+                    F.lit("m2").alias("model_id"))
+        )
+        waves = feed if waves is None else waves.unionByName(feed)
+    return (
+        routed.join(waves, ["vec_id", "model_id"], "left")
+        .select(
+            "vec_id", "model_id",
+            F.size("v").cast("int").alias("dim"),
+            F.round(
+                F.aggregate("v", F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("emb_sum"),
+            "wave",
+        )
+        .orderBy("vec_id")
+    )
