@@ -484,35 +484,26 @@ def main() -> None:
     # alphabet as resident blocks accumulate).
     _clear_state(spark)
 
-    # Each query runs THREE times; the reported time is the min (warm
-    # steady state - round-6 vs round-7 comparisons burned ~10% on ambient
-    # machine noise with min-of-2, VERDICT r7 #6). Run 1 pays one-time
-    # whole-stage-codegen (Janino) compilation of the physical plan
-    # (measured 4-10s for the widest aggregate plans) and populates the
-    # operator-internal cached intermediates (e.g. minhash signatures - at
-    # production scale those are durable artifacts, not per-query
-    # recomputation). Runs 2-3 sample the sustained cost of the workload.
-    timings: dict[str, float] = {}
-    for name, spec in sorted(specs.items()):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _materialize(spec.fn(spark, sf_dir), name)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        # Isolate queries from each other: run 1 populated any
-        # operator-internal cache, run 2 measured the cache-warm steady
-        # state; dropping the blocks afterwards keeps query N's resident
-        # cache from inflating query N+1's time.
-        _clear_state(spark)
-
+    # The headline block runs the INTERLEAVED dual-engine protocol
+    # (VERDICT r12 #4): per query the engines alternate S,D,S,D,S,D and
+    # the reported time is each engine's min-of-3 (warm steady state -
+    # run 1 pays one-time whole-stage-codegen compilation, measured 4-10s
+    # for the widest plans, and populates operator-internal cached
+    # intermediates that are durable artifacts at production scale).
+    # Interleaving is what makes the RATIO drift-robust: the official
+    # non-interleaved headline swung 1.15x -> 1.35x across rounds purely
+    # with box state (every Spark absolute moved ~20-30% while DuckDB
+    # moved 2% - SCALE.md), because the two engines' blocks sampled the
+    # machine an hour apart. Alternating per rep makes ambient drift hit
+    # both sides of every per-query ratio equally - the same protocol
+    # that stabilized the deep-scale marks (VERDICT r9 #1a).
+    # _interleaved_block also clears engine state between queries, so
+    # query N's resident cache never inflates query N+1.
+    blk = _interleaved_block(spark, specs, sf_dir, reps=3, passes=1)
+    timings = blk["queries"]
+    duck = blk["duckdb_queries"]
+    vs = blk["vs_duckdb"]
     total = round(sum(timings.values()), 4)
-    duck = _duckdb_timings(specs, sf_dir, runs=3)
-    vs = {
-        n: round(timings[n] / duck[n], 2)
-        for n in timings
-        if n in duck and duck[n] > 0
-    }
     duck_total = round(sum(duck.values()), 4)
     # Print the contract line BEFORE the (long, optional) crossover as
     # well as after: the driver parses the LAST JSON line from the output
@@ -554,9 +545,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "methodology": (
-            "warm min-of-3 per query, both engines (run 1 absorbs codegen/"
-            "JIT; state cleared between queries); crossover min-of-2 at "
-            "sf0.5; deep points (sf1-sf32) run the INTERLEAVED protocol - "
+            "headline: INTERLEAVED warm min-of-3 per query - engines "
+            "alternate S,D per rep so ambient drift hits both sides of "
+            "every ratio (run 1 absorbs codegen/JIT; state cleared "
+            "between queries); crossover min-of-2 at "
+            "sf0.5; deep points (sf1-sf32) run the same protocol - "
             "engines alternate per rep, two full passes recorded at "
             "sf4/sf8/sf16 and the straggler blocks (pass_vs_duckdb) so "
             "one noisy run can't flip a perf mark; result-proportional "

@@ -57,6 +57,14 @@ def customer_summary(
     keys = customers.select("c_custkey", "c_name")
     if custkeys is not None:
         keys = keys.filter(F.col("c_custkey").isin(custkeys))
+        # Mirror the IN-list onto the orders side: Spark cannot infer it
+        # through a LEFT join's null-producing side, so without this the
+        # plan scans EVERY order to probe a 6-row hash table. With it the
+        # predicate reaches the parquet scan (PushedFilters: In(o_custkey,
+        # ...)) and row-group stats prune the fact — the difference
+        # between O(bookmarks) and O(table) at 100 TB. Semantics are
+        # unchanged: rows with other custkeys can never match the join.
+        orders = orders.filter(F.col("o_custkey").isin(custkeys))
     cond = orders.o_custkey == keys.c_custkey
     if start is not None:
         cond = cond & (orders.o_orderdate >= F.lit(start).cast("timestamp"))
