@@ -95,29 +95,39 @@ def _interleaved_block(
     con = _duck_connect(sf_dir)
     t_min: dict[str, float] = {}
     d_min: dict[str, float] = {}
+    errors: dict[str, str] = {}
     pass_ratios: list[dict[str, float]] = [dict() for _ in range(passes)]
     try:
         for name, spec in sorted(specs.items()):
             if not spec.oracle:
                 continue
-            for p in range(passes):
-                ts, ds = [], []
-                for _ in range(reps):
-                    t0 = time.perf_counter()
-                    _materialize(spec.fn(spark, sf_dir), name)
-                    ts.append(time.perf_counter() - t0)
-                    ds.append(_duck_once(con, name, spec.oracle))
-                sp, dk = min(ts), min(ds)
-                if dk > 0:
-                    pass_ratios[p][name] = round(sp / dk, 2)
-                t_min[name] = round(min(t_min.get(name, sp), sp), 4)
-                d_min[name] = round(min(d_min.get(name, dk), dk), 4)
+            # One broken query (either engine) must not abort the block:
+            # the bench contract is "the final line always parses", so a
+            # failure is recorded per query and the sweep continues.
+            try:
+                for p in range(passes):
+                    ts, ds = [], []
+                    for _ in range(reps):
+                        t0 = time.perf_counter()
+                        _materialize(spec.fn(spark, sf_dir), name)
+                        ts.append(time.perf_counter() - t0)
+                        ds.append(_duck_once(con, name, spec.oracle))
+                    sp, dk = min(ts), min(ds)
+                    if dk > 0:
+                        pass_ratios[p][name] = round(sp / dk, 2)
+                    t_min[name] = round(min(t_min.get(name, sp), sp), 4)
+                    d_min[name] = round(min(d_min.get(name, dk), dk), 4)
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+                t_min.pop(name, None)
+                d_min.pop(name, None)
             _clear_state(spark)
     finally:
         con.close()
     return {
         "queries": t_min,
         "duckdb_queries": d_min,
+        **({"errors": errors} if errors else {}),
         "vs_duckdb": {
             n: round(t_min[n] / d_min[n], 2)
             for n in t_min
@@ -564,6 +574,8 @@ def main() -> None:
         "vs_duckdb_total": round(total / duck_total, 2) if duck_total else None,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
+    if "errors" in blk:
+        detail["headline_errors"] = blk["errors"]
     if crossover is not None:
         detail["scale_crossover"] = crossover
     repo = os.path.dirname(os.path.abspath(__file__))

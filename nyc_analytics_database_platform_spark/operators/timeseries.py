@@ -64,7 +64,10 @@ def month_spine_densify(
     regardless of fact size), so the single-row aggregate is safe at any
     data scale — the same bound that made the old spine join broadcast.
     """
-    proj = monthly_agg.select(
+    # NULL months were invisible in the old spine-join shape (a null key
+    # never matched the join, and min/max bounds ignore it); the map shape
+    # must drop them explicitly or map_from_entries raises on a null key.
+    proj = monthly_agg.filter(F.col("month_ts").isNotNull()).select(
         F.col("month_ts"),
         *[expr.alias(name) for name, (expr, _fill) in fills.items()],
     )

@@ -598,12 +598,29 @@ def rewrite(spark: SparkSession, root: str, df: DataFrame, op: str,
     rows whose values changed — unchanged rows cancel in the multiset
     diff — which is the explicit re-encode change feed downstream
     consumers replay instead of rescanning the table. Any pending
-    merge-on-read delete set is consumed (the caller derives `df` from
-    read_version, which already applied it) and NOT carried forward; the
+    merge-on-read delete set is consumed and NOT carried forward; the
     exactly-once batch-id watermark does carry, so streamed ingest
-    replayed after a refresh still dedupes."""
+    replayed after a refresh still dedupes.
+
+    Pending delete keys are ENFORCED, not assumed: they anti-join onto
+    `df` before the write (a no-op when the caller already derived `df`
+    from read_version — the normal shape — but a caller handing raw
+    replacement content can no longer silently resurrect MoR-deleted
+    rows, the hazard class _dv_extra guards on the append path). To
+    deliberately restore deleted keys, purge_deletes first. A df missing
+    the delete key columns cannot be checked and is refused loudly."""
     head = latest_version(root)
     entry = read_entry(root, head)
+    keys = _delete_keys(spark, root, entry)
+    if keys is not None:
+        kcols = entry["delete_key_cols"]
+        if not set(kcols) <= set(df.columns):
+            raise ValueError(
+                f"rewrite with pending deletes needs key cols {kcols} "
+                f"in df (has {df.columns}); purge_deletes first to drop "
+                "the pending set deliberately"
+            )
+        df = df.join(keys, on=kcols, how="left_anti")
     new_files = _write_version_dir(root, head + 1, df, range_col, n_files)
     return commit(root, head, new_files, op, extra=_bid_extra(entry))
 

@@ -200,7 +200,7 @@ def _model_migration_oracle() -> str:
             UNION ALL
             SELECT vec_id, 'm1' AS model_id, v, NULL AS wave
             FROM m1
-            WHERE vec_id NOT IN (SELECT vec_id FROM mig)
+            WHERE NOT EXISTS (SELECT 1 FROM mig WHERE mig.vec_id = m1.vec_id)
         )
         SELECT vec_id, model_id, CAST(len(v) AS INT) AS dim,
                round(list_sum(v), 6) AS emb_sum,
@@ -271,6 +271,16 @@ def embedding_model_migration_routed(spark: SparkSession,
         m1 = load(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
+        # The fixed wave cuts encode "mid-transition at head": ids >=
+        # _MIG_WAVE2 must exist to stay un-migrated. Fail loudly if the
+        # testdata ever shrinks below the constants rather than silently
+        # attesting a fully-migrated (wave-2-empty) chain.
+        n_max = m1.agg(F.max("vec_id")).collect()[0][0]
+        if n_max is None or n_max < _MIG_WAVE2:
+            raise ValueError(
+                f"embeddings max vec_id {n_max} < _MIG_WAVE2 "
+                f"{_MIG_WAVE2}: migration chain needs an un-migrated tail"
+            )
         txnlog.append(
             spark, root,
             m1.select("vec_id", F.lit("m1").alias("model_id"), "v"),

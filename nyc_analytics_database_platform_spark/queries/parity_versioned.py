@@ -1377,8 +1377,12 @@ def _mor_delete_compaction_plan(root: str) -> tuple[list[str], list[tuple]]:
         except ValueError:
             return -1
 
+    # A delete file whose version cannot be parsed counts as NEWEST
+    # (+inf): provenance can then never prove a file clean against it —
+    # the conservative direction (over-rewrite, never miss a delete).
     newest_dv = max(
-        (_written_version(rel) for rel in entry.get("delete_files", [])),
+        (v if (v := _written_version(rel)) >= 0 else float("inf")
+         for rel in entry.get("delete_files", [])),
         default=-1,
     )
     dv_ranges = []
