@@ -145,12 +145,16 @@ def test_stream_ann_ingest_survives_checkpoint_restart(spark, sf_dir,
     cents, _ = kmeans_fit(hist, 4, 2)
     cents = cents.localCheckpoint(eager=True)  # the frozen quantizer
     n_max = emb.agg(F.max("vec_id")).collect()[0][0]
-    cuts = [n_max // 4, n_max // 2, 3 * n_max // 4]
+    # Six micro-batches, not four: the kill must land mid-stream, and the
+    # poll below observes progress at 0.2 s granularity — more, smaller
+    # batches make "drained before the kill" implausible even on a much
+    # faster box (ADVICE r13).
+    n_stages = 6
+    cuts = [(i + 1) * n_max // n_stages for i in range(n_stages - 1)]
+    bounds = zip([-1] + cuts, cuts + [n_max])
     stages = [
-        emb.filter(F.col("vec_id") <= cuts[0]),
-        emb.filter((F.col("vec_id") > cuts[0]) & (F.col("vec_id") <= cuts[1])),
-        emb.filter((F.col("vec_id") > cuts[1]) & (F.col("vec_id") <= cuts[2])),
-        emb.filter(F.col("vec_id") > cuts[2]),
+        emb.filter((F.col("vec_id") > lo) & (F.col("vec_id") <= hi))
+        for lo, hi in bounds
     ]
     _stage_ordered_files(scratch, src_dir, stages)
 
@@ -181,7 +185,7 @@ def test_stream_ann_ingest_survives_checkpoint_restart(spark, sf_dir,
     q1.stop()
     q1.awaitTermination()
     batches_a = {p["batchId"] for p in q1.recentProgress}
-    assert len(batches_a) < 4, "stream finished before the kill; vacuous"
+    assert len(batches_a) < 6, "stream finished before the kill; vacuous"
 
     # Phase 2: fresh query, same checkpoint. The first batch it runs is a
     # REDELIVERY of the possibly-in-flight one; the sink must no-op it if
@@ -190,7 +194,7 @@ def test_stream_ann_ingest_survives_checkpoint_restart(spark, sf_dir,
     drain_or_raise(q2, "restarted ANN ingest stream")
 
     # Every batch id committed exactly once across both queries.
-    assert txnlog.committed_batch_ids(root) == {0, 1, 2, 3}
+    assert txnlog.committed_batch_ids(root) == set(range(6))
     # Final index == from-scratch assignment under the same frozen
     # quantizer: any double-indexed vector shows as a duplicate (multiset
     # compare), any lost batch as missing rows.
