@@ -53,22 +53,21 @@ def curate_corpus(
     """Returns (curated docs DataFrame, stage-by-stage report)."""
     n_input = docs.count()
 
-    # 1. quality gate (narrow per-row expressions, no shuffle). Each stage is
-    # cached: the funnel's counts, the next stage, and the caller's use of
-    # the returned frame would otherwise re-run every upstream scan per
-    # action (~4x the most expensive passes).
+    # 1. quality gate (narrow per-row expressions, no shuffle). The cached
+    # tokenized survivors are the ONE heavy materialization every later
+    # branch reads — digest groups, bigram stats, minhash, and the report
+    # aggregate all start here instead of re-scanning the corpus.
     toks = docs.withColumn("_toks", ws_tokens(text_col))
     quality = toks.filter(
         (F.size("_toks") >= min_tokens) & (punct_ratio(text_col) < max_punct_ratio)
     ).cache()
-    n_quality = quality.count()
 
-    # 2. exact dedup: keep each digest group's canonical (min) id
+    # 2. exact dedup: keep each digest group's canonical (min) id. Cached:
+    # the key set feeds both the next stage's lineage and the report flags.
     keep_exact = exact_dedup_groups(quality, id_col, text_col).select(
         F.col("keep_id").alias(id_col)
-    )
-    exact_survivors = quality.join(keep_exact, id_col, "left_semi").cache()
-    n_exact = exact_survivors.count()
+    ).cache()
+    exact_survivors = quality.join(keep_exact, id_col, "left_semi")
 
     # 3. repetition gate (Gopher-style): drop docs whose most common bigram
     # exceeds the fraction threshold. The explode only runs on exact-dedup
@@ -82,9 +81,10 @@ def curate_corpus(
         .groupBy(id_col)
         .agg((F.max("count").cast("double") / F.sum("count")).alias("_f"))
     )
-    rep_drops = bfrac.filter(F.col("_f") > max_top_bigram_frac).select(id_col)
-    rep_survivors = exact_survivors.join(rep_drops, id_col, "left_anti").cache()
-    n_repetition = rep_survivors.count()
+    rep_drops = bfrac.filter(
+        F.col("_f") > max_top_bigram_frac
+    ).select(id_col).cache()
+    rep_survivors = exact_survivors.join(rep_drops, id_col, "left_anti")
 
     # 4. near-dup removal: LSH candidates -> components -> drop non-canonical
     sigs = minhash_signatures(rep_survivors, num_perm=12, k=5, id_col=id_col)
@@ -93,19 +93,37 @@ def curate_corpus(
     drops = components.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    curated = rep_survivors.join(drops, id_col, "left_anti").cache()
-    # Final-stage count and token total in ONE aggregate pass over the
-    # cached survivors — the report stays single-pass per stage.
-    final = curated.agg(
-        F.count("*").alias("n"), F.sum(F.size("_toks")).alias("t")
+
+    # The whole funnel report in ONE aggregate (round 13; was five
+    # sequential count() actions): each stage's SMALL key set left-joins
+    # onto the cached quality frame as a flag, and the stage counts nest by
+    # definition (kept ⊇ kept∧rep-clean ⊇ survivors). ~0.5s of pure driver
+    # dispatch off the composite at sf0.1; the heavy lineage (tokenize,
+    # digest, bigrams, LSH) runs exactly as often as before.
+    flagged = (
+        quality.select(id_col, F.size("_toks").alias("_n"))
+        .join(keep_exact.withColumn("_e", F.lit(1)), id_col, "left")
+        .join(rep_drops.withColumn("_r", F.lit(1)), id_col, "left")
+        .join(drops.withColumn("_d", F.lit(1)), id_col, "left")
+    )
+    kept = F.col("_e").isNotNull()
+    rep_ok = F.col("_r").isNull()
+    near_ok = F.col("_d").isNull()
+    surv = kept & rep_ok & near_ok
+    row = flagged.agg(
+        F.count("*").alias("nq"),
+        F.sum(kept.cast("long")).alias("ne"),
+        F.sum((kept & rep_ok).cast("long")).alias("nr"),
+        F.sum(surv.cast("long")).alias("nn"),
+        F.sum(F.when(surv, F.col("_n")).otherwise(F.lit(0))).alias("tok"),
     ).collect()[0]
-    n_near = final["n"]
-    total_tokens = int(final["t"] or 0)
+
+    curated = rep_survivors.join(drops, id_col, "left_anti")
     return curated.drop("_toks"), CurationReport(
         n_input=n_input,
-        n_after_quality=n_quality,
-        n_after_exact_dedup=n_exact,
-        n_after_repetition=n_repetition,
-        n_after_near_dedup=n_near,
-        total_tokens=total_tokens,
+        n_after_quality=row["nq"],
+        n_after_exact_dedup=row["ne"],
+        n_after_repetition=row["nr"],
+        n_after_near_dedup=row["nn"],
+        total_tokens=int(row["tok"] or 0),
     )
