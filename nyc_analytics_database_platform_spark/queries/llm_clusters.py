@@ -592,11 +592,9 @@ def dedup_maintain_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = build_documents_commit_chain(spark, sf_dir)
     cols = ["doc_id", "text"]
 
-    # v1: the persisted state (band index + assignment).
-    v1 = txnlog.read_version(spark, root, 1).select(*cols)
-    band = banded_buckets(minhash_signatures(v1, num_perm=12, k=5),
-                          num_perm=12, rows_per_band=2)
-    assign = connected_components(_band_pairs(band))
+    # v1: the persisted state (band index + assignment) read from the
+    # parquet artifacts (persisted_v1_dedup_state) — not re-hashed here.
+    band, assign = persisted_v1_dedup_state(spark, sf_dir)
 
     # Each version's feed advances (index, assignment) through the SAME
     # general step (maintain_clusters_from_feed): v1 -> v2 is pure-insert
@@ -608,6 +606,42 @@ def dedup_maintain_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = txnlog.changes_between(spark, root, v - 1, v, cols)
         band, assign = maintain_clusters_from_feed(spark, band, assign, feed)
     return assign.select("node", "component").orderBy("node")
+
+
+def persisted_v1_dedup_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted dedup-index ARTIFACTS for the documents HISTORY
+    (doc_id < _SPLIT_ID): the LSH band index and the component
+    assignment, written to parquet under layouts.scratch and stamped by
+    the documents source + LSH constants — the text-side sibling of
+    llm_ivf.frozen_history_quantizer (ADVICE r13: the maintenance family
+    shares one persisted v1 state instead of re-hashing the history per
+    consumer). md5-derived signatures and min-label components are
+    deterministic, so artifact == recompute exactly."""
+    from nyc_analytics_database_platform_spark import layouts
+
+    base = layouts.scratch(sf_dir, "artifact", "dedup_v1")
+    band_path = base + "_band"
+    assign_path = base + "_assign"
+    marker = base + "_done"
+    stamp = layouts.source_stamp(
+        sf_dir, "documents", spec=f"dedupv1:{_SPLIT_ID}:12:5:2")
+    if not (layouts.is_fresh(marker, stamp)
+            and layouts.has_parquet(band_path)
+            and layouts.has_parquet(assign_path)):
+        docs1 = load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < _SPLIT_ID
+        ).select("doc_id", "text")
+        band = banded_buckets(minhash_signatures(docs1, num_perm=12, k=5),
+                              num_perm=12, rows_per_band=2)
+        band.write.mode("overwrite").parquet(band_path)
+        connected_components(
+            _band_pairs(spark.read.parquet(band_path))
+        ).write.mode("overwrite").parquet(assign_path)
+        layouts.mark_fresh(marker, stamp)
+    return (spark.read.parquet(band_path),
+            spark.read.parquet(assign_path))
 
 
 def maintain_clusters_from_feed(

@@ -27,36 +27,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nyc_analytics_database_platform_spark.operators.dedup import (
-    banded_buckets,
-    minhash_signatures,
+from nyc_analytics_database_platform_spark.operators.kmeans import (
+    assign_clusters,
 )
-from nyc_analytics_database_platform_spark.operators.graph import (
-    connected_components,
-)
-from nyc_analytics_database_platform_spark.operators.kmeans import kmeans_fit
-from nyc_analytics_database_platform_spark.operators.pq import pq_fit
 from nyc_analytics_database_platform_spark.queries.llm_clusters import (
-    _band_pairs,
     _CDF_DEL_HI,
     _CDF_DEL_LO,
     _dedup_maintain_oracle,
     build_documents_commit_chain,
     maintain_clusters_from_feed,
+    persisted_v1_dedup_state,
 )
 from nyc_analytics_database_platform_spark.queries.llm_ivf import (
-    _ITERS as _IVF_ITERS,
     _ivf_hist_assign_oracle,
-    _K as _IVF_K,
     build_embeddings_commit_chain,
+    frozen_history_quantizer,
     maintain_cells_from_feed,
 )
 from nyc_analytics_database_platform_spark.queries.llm_pq import (
-    _ITERS as _PQ_ITERS,
-    _K as _PQ_K,
-    _M as _PQ_M,
     _pq_maintain_oracle,
     encode_code_strings,
+    frozen_history_codebooks,
     maintain_codes_from_feed,
 )
 from nyc_analytics_database_platform_spark.registry import register
@@ -124,20 +115,18 @@ def curation_multi_index_advance(spark: SparkSession,
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
 
-    # v1: the persisted index artifacts, rebuilt here because driver
-    # testdata is read-only (each quantizer/codebook is then FROZEN —
-    # retraining is a separate OPTIMIZE-commit, not a maintenance step).
-    docs1 = txnlog.read_version(spark, doc_root, 1).select("doc_id", "text")
-    band = banded_buckets(minhash_signatures(docs1, num_perm=12, k=5),
-                          num_perm=12, rows_per_band=2)
-    assign = connected_components(_band_pairs(band))
-
+    # v1: the PERSISTED index artifacts — the band index / assignment,
+    # the frozen coarse quantizer, and the frozen PQ codebooks are each a
+    # stamped parquet artifact shared with the per-index maintenance
+    # queries (persisted_v1_dedup_state, frozen_history_quantizer,
+    # frozen_history_codebooks); retraining is a separate OPTIMIZE-commit
+    # (ann_quantizer_refresh_commit), never a maintenance step.
+    band, assign = persisted_v1_dedup_state(spark, sf_dir)
     emb1 = vecs(txnlog.read_version(spark, emb_root, 1)
                 .select("vec_id", "embedding"))
-    cents, cells = kmeans_fit(emb1, _IVF_K, _IVF_ITERS)
-    cents = cents.localCheckpoint(eager=True)
-    books, _ = pq_fit(emb1, _PQ_M, _PQ_K, _PQ_ITERS)
-    books = books.localCheckpoint(eager=True)
+    cents = frozen_history_quantizer(spark, sf_dir)
+    cells = assign_clusters(emb1, cents)
+    books = frozen_history_codebooks(spark, sf_dir)
     codes = encode_code_strings(emb1, books)
 
     for v in (2, 3):

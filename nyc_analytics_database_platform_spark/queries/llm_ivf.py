@@ -769,7 +769,7 @@ def ann_maintain_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact equivalence of the incremental path and the full recompute."""
     from nyc_analytics_database_platform_spark.operators import txnlog
     from nyc_analytics_database_platform_spark.operators.kmeans import (
-        kmeans_fit,
+        assign_clusters,
     )
 
     root = build_embeddings_commit_chain(spark, sf_dir)
@@ -781,11 +781,12 @@ def ann_maintain_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     v1 = vecs(txnlog.read_version(spark, root, 1).select(*cols))
-    cents, state = kmeans_fit(v1, _K, _ITERS)
-    # Freeze the quantizer: k x dims values, one collect-sized frame. A
-    # production store persists it; pinning it here keeps every later
-    # assign pass off the training lineage (and off the corpus).
-    cents = cents.localCheckpoint(eager=True)
+    # The frozen quantizer is the PERSISTED artifact (parquet, stamped —
+    # frozen_history_quantizer); the v1 cell lists are one broadcast
+    # assign pass of the chain's history under it, identical to
+    # kmeans_fit's final assignment by construction.
+    cents = frozen_history_quantizer(spark, sf_dir)
+    state = assign_clusters(v1, cents)
     for v in (2, 3):
         feed = txnlog.changes_between(spark, root, v - 1, v, cols)
         state = maintain_cells_from_feed(state, cents, feed)
@@ -818,6 +819,38 @@ def maintain_cells_from_feed(
     )
 
 
+def frozen_history_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted coarse-quantizer ARTIFACT: k-means (k=_K, _ITERS
+    Lloyd rounds, hash-deterministic seeds) trained on the history prefix
+    (vec_id < _ANN_SPLIT_VEC), written to parquet under layouts.scratch
+    and stamped by the embeddings source + training constants. Every
+    frozen-quantizer consumer (CDC maintenance, streaming ingest, the
+    refresh chain's Q1, the multi-index capstone) reads THIS table instead
+    of retraining per invocation — which is also the production truth: a
+    vector store has ONE quantizer artifact, not one per reader (ADVICE
+    r13). Deterministic training makes artifact == recompute exactly, so
+    the from-scratch oracles still attest every consumer."""
+    from nyc_analytics_database_platform_spark import layouts
+    from nyc_analytics_database_platform_spark.operators.kmeans import (
+        kmeans_fit,
+    )
+
+    path = layouts.scratch(sf_dir, "artifact", "hist_quantizer")
+    marker = path + "_done"
+    stamp = layouts.source_stamp(
+        sf_dir, "embeddings", spec=f"histq:{_ANN_SPLIT_VEC}:{_K}:{_ITERS}")
+    if not (layouts.is_fresh(marker, stamp) and layouts.has_parquet(path)):
+        hist = load(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < _ANN_SPLIT_VEC
+        ).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        cents, _ = kmeans_fit(hist, _K, _ITERS)
+        cents.write.mode("overwrite").parquet(path)
+        layouts.mark_fresh(marker, stamp)
+    return spark.read.parquet(path).localCheckpoint(eager=True)
+
+
 @register(
     "stream_ann_ingest_cells",
     oracle=_ivf_hist_assign_oracle(visible_pred="TRUE"),
@@ -848,7 +881,6 @@ def stream_ann_ingest_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_analytics_database_platform_spark.operators import txnlog
     from nyc_analytics_database_platform_spark.operators.kmeans import (
         assign_clusters,
-        kmeans_fit,
     )
     from nyc_analytics_database_platform_spark.queries.streaming_stateful import (
         _stage_ordered_files,
@@ -865,11 +897,7 @@ def stream_ann_ingest_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         shutil.rmtree(root, ignore_errors=True)
         emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        hist = emb.filter(F.col("vec_id") < _ANN_SPLIT_VEC).select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("v")
-        )
-        cents, _ = kmeans_fit(hist, _K, _ITERS)
-        cents = cents.localCheckpoint(eager=True)  # the persisted artifact
+        cents = frozen_history_quantizer(spark, sf_dir)  # shared artifact
         n_max = emb.agg(F.max("vec_id")).collect()[0][0]
         c1, c2 = n_max // 3, 2 * n_max // 3
         stages = [
@@ -999,9 +1027,11 @@ def ann_quantizer_refresh_commit(spark: SparkSession,
         shutil.rmtree(root, ignore_errors=True)
         hist = vecs(txnlog.read_version(spark, emb_root, 1)
                     .select("vec_id", "embedding"))
-        cents1, assign1 = kmeans_fit(hist, _K, _ITERS)
-        cents1 = cents1.localCheckpoint(eager=True)  # frozen Q1
-        txnlog.append(spark, root, as_cells(assign1),
+        # Q1 is the shared persisted artifact; v1 cell lists are one
+        # broadcast assign of the history under it (== kmeans_fit's
+        # final assignment by construction).
+        cents1 = frozen_history_quantizer(spark, sf_dir)
+        txnlog.append(spark, root, as_cells(assign_clusters(hist, cents1)),
                       range_col="vec_id", n_files=4)
         # v2: the increment, assigned under FROZEN Q1 — O(feed).
         feed2 = txnlog.changes_between(spark, emb_root, 1, 2,

@@ -494,13 +494,37 @@ def pq_maintain_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     v1 = vecs(txnlog.read_version(spark, root, 1).select(*cols))
-    books, _ = pq_fit(v1, _M, _K, _ITERS)
-    books = books.localCheckpoint(eager=True)  # the persisted artifact
+    books = frozen_history_codebooks(spark, sf_dir)
     state = encode_code_strings(v1, books)
     for v in (2, 3):
         feed = txnlog.changes_between(spark, root, v - 1, v, cols)
         state = maintain_codes_from_feed(state, books, feed)
     return state.orderBy("vec_id")
+
+
+def frozen_history_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted PQ-codebook ARTIFACT: m subspace codebooks trained on
+    the history prefix (vec_id < _SPLIT_VEC), written to parquet under
+    layouts.scratch and stamped by the embeddings source + training
+    constants — the codes-side twin of llm_ivf.frozen_history_quantizer
+    (ADVICE r13: one artifact, not one retrain per consumer).
+    Deterministic training keeps artifact == recompute exactly."""
+    from nyc_analytics_database_platform_spark import layouts
+
+    path = layouts.scratch(sf_dir, "artifact", "hist_codebooks")
+    marker = path + "_done"
+    stamp = layouts.source_stamp(
+        sf_dir, "embeddings", spec=f"histpq:{_SPLIT_VEC}:{_M}:{_K}:{_ITERS}")
+    if not (layouts.is_fresh(marker, stamp) and layouts.has_parquet(path)):
+        hist = load(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < _SPLIT_VEC
+        ).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        books, _ = pq_fit(hist, _M, _K, _ITERS)
+        books.write.mode("overwrite").parquet(path)
+        layouts.mark_fresh(marker, stamp)
+    return spark.read.parquet(path).localCheckpoint(eager=True)
 
 
 def encode_code_strings(df: DataFrame, books: DataFrame) -> DataFrame:
