@@ -89,3 +89,20 @@ def mark_fresh(marker: str, stamp: str) -> None:
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     with open(marker, "w") as fh:
         fh.write(stamp)
+
+
+def session_artifact(spark, key: tuple, builder):
+    """Per-session memo for small persisted-artifact frames (frozen
+    quantizers/codebooks, dedup v1 state): the parquet on disk is the
+    durable artifact, but re-reading + localCheckpointing it on every
+    consumer call costs a small job each time for a frame that cannot
+    change within a session. Keyed by (path, stamp) so a regenerated
+    testdata set (new stamp) invalidates naturally; same pattern as
+    catalog.load's per-session plan memo."""
+    cache = getattr(spark, "_nadb_artifact_cache", None)
+    if cache is None:
+        cache = {}
+        spark._nadb_artifact_cache = cache
+    if key not in cache:
+        cache[key] = builder()
+    return cache[key]

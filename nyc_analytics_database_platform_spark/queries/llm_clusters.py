@@ -640,8 +640,17 @@ def persisted_v1_dedup_state(
             _band_pairs(spark.read.parquet(band_path))
         ).write.mode("overwrite").parquet(assign_path)
         layouts.mark_fresh(marker, stamp)
-    return (spark.read.parquet(band_path),
-            spark.read.parquet(assign_path))
+    # Band/assign are maintained (fed forward through advances), so only
+    # the plain parquet plans are memoized — no checkpoint pinning here;
+    # each maintenance step manages its own lineage truncation.
+    return (
+        layouts.session_artifact(
+            spark, (band_path, stamp),
+            lambda: spark.read.parquet(band_path)),
+        layouts.session_artifact(
+            spark, (assign_path, stamp),
+            lambda: spark.read.parquet(assign_path)),
+    )
 
 
 def maintain_clusters_from_feed(

@@ -848,7 +848,9 @@ def frozen_history_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents, _ = kmeans_fit(hist, _K, _ITERS)
         cents.write.mode("overwrite").parquet(path)
         layouts.mark_fresh(marker, stamp)
-    return spark.read.parquet(path).localCheckpoint(eager=True)
+    return layouts.session_artifact(
+        spark, (path, stamp),
+        lambda: spark.read.parquet(path).localCheckpoint(eager=True))
 
 
 @register(

@@ -524,7 +524,9 @@ def frozen_history_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
         books, _ = pq_fit(hist, _M, _K, _ITERS)
         books.write.mode("overwrite").parquet(path)
         layouts.mark_fresh(marker, stamp)
-    return spark.read.parquet(path).localCheckpoint(eager=True)
+    return layouts.session_artifact(
+        spark, (path, stamp),
+        lambda: spark.read.parquet(path).localCheckpoint(eager=True))
 
 
 def encode_code_strings(df: DataFrame, books: DataFrame) -> DataFrame:

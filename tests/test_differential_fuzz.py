@@ -2348,7 +2348,7 @@ def test_differential_random_txnlog_chain(spark, tmp_path, case_id, rng):
     for _ in range(rng.randint(3, 6)):
         choices = ["append", "stream"]
         if state:
-            choices += ["cow", "mor", "streamdel", "optimize"]
+            choices += ["cow", "mor", "streamdel", "optimize", "rewrite"]
         if mor_live:
             choices.append("purge")
         op = rng.choice(choices)
@@ -2396,6 +2396,20 @@ def test_differential_random_txnlog_chain(spark, tmp_path, case_id, rng):
             txnlog.optimize(spark, root, F.col("k"), "k",
                             n_files=rng.randint(1, 3))
             mor_live = False  # optimize materializes and drops the DV
+        elif op == "rewrite":
+            # Round 13: the re-encode commit — a content-changing full
+            # rewrite (even keys bumped) whose CDC must be exactly the
+            # value diff; any pending MoR delete set is ENFORCED by the
+            # rewrite (anti-join) and then dropped.
+            bump = rng.randint(1, 5)
+            new = txnlog.read_version(spark, root).withColumn(
+                "v", F.when(F.col("k") % 2 == 0,
+                            F.col("v") + float(bump)).otherwise(F.col("v")))
+            txnlog.rewrite(spark, root, new, "optimize:reencode",
+                           range_col="k", n_files=rng.randint(1, 3))
+            state = {k: (v + bump if k % 2 == 0 else v)
+                     for k, v in state.items()}
+            mor_live = False  # rewrite applies and drops the DV
         else:  # purge
             txnlog.purge_deletes(spark, root, "k")
             mor_live = False

@@ -17,7 +17,12 @@ from nyc_analytics_database_platform_spark.queries.streaming_stateful import (
 )
 
 
-def _staged_orders(spark, sf_dir, scratch, n_stages=4):
+def _staged_orders(spark, sf_dir, scratch, n_stages=7):
+    """Chronological micro-batch files. Seven stages, not four (ADVICE
+    r13): the restart test kills the stream after the FIRST observed
+    progress event at 0.2 s poll granularity, so more, smaller batches
+    make "drained before the kill" implausible on any plausible hardware
+    — the same re-staging the ANN-ingest restart test got."""
     src_dir = os.path.join(scratch, "files")
     orders = load(spark, sf_dir, "orders").select(
         "o_custkey",
@@ -25,14 +30,19 @@ def _staged_orders(spark, sf_dir, scratch, n_stages=4):
         F.col("o_orderkey").alias("okey"),
         F.col("o_orderstatus").alias("status"),
     )
-    cuts = ["1996-06-01", "1998-01-01", "1999-08-01"]
+    cuts = ["1994-01-01", "1995-06-01", "1996-06-01", "1997-06-01",
+            "1998-01-01", "1999-08-01"][: n_stages - 1]
     cuts_us = [F.unix_micros(F.lit(c).cast("timestamp")) for c in cuts]
-    stages = [
-        orders.filter(F.col("ts_us") < cuts_us[0]),
-        orders.filter((F.col("ts_us") >= cuts_us[0]) & (F.col("ts_us") < cuts_us[1])),
-        orders.filter((F.col("ts_us") >= cuts_us[1]) & (F.col("ts_us") < cuts_us[2])),
-        orders.filter(F.col("ts_us") >= cuts_us[2]),
-    ]
+    lo_bounds = [None] + cuts_us
+    hi_bounds = cuts_us + [None]
+    stages = []
+    for lo, hi in zip(lo_bounds, hi_bounds):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("ts_us") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("ts_us") < hi)
+        stages.append(orders.filter(cond))
     _stage_ordered_files(scratch, src_dir, stages)
     return orders, src_dir
 
@@ -82,7 +92,7 @@ def test_scd2_stream_survives_checkpoint_restart(spark, sf_dir, tmp_path):
     q1.stop()
     q1.awaitTermination()
     batches_a = {p["batchId"] for p in q1.recentProgress}
-    assert len(batches_a) < 4, "stream finished before the kill; test is vacuous"
+    assert len(batches_a) < 7, "stream finished before the kill; test is vacuous"
 
     # Phase 2: fresh query, same checkpoint - state store carries the open
     # runs across the restart.
