@@ -320,3 +320,173 @@ def embedding_model_migration_routed(spark: SparkSession,
         )
         .orderBy("vec_id")
     )
+
+
+# --- streaming multi-index ingest (round 13) ---------------------------------
+
+def _stream_multi_index_oracle() -> str:
+    """From-scratch recompute of both streamed index surfaces over the
+    WHOLE corpus: frozen-quantizer cell assignment per vector, and the
+    per-doc count of DISTINCT LSH candidate partners from the full
+    minhash band index. A hash match proves no micro-batch was lost or
+    double-indexed on EITHER surface and that the per-batch signature
+    computation equals the corpus-wide one (minhash signatures are
+    per-doc, so streaming ingestion is exact, not approximate)."""
+    from nyc_analytics_database_platform_spark.queries.llm_dedup import (
+        _minhash_oracle,
+    )
+
+    edges_sql = _minhash_oracle().rsplit("ORDER BY", 1)[0]
+    return f"""
+        SELECT d.doc_id, a.cell,
+               CAST(COALESCE(p.n, 0) AS BIGINT) AS n_partners
+        FROM (SELECT doc_id FROM documents) d
+        JOIN ({_ivf_hist_assign_oracle(visible_pred="TRUE")}) a
+          ON a.vec_id = d.doc_id
+        LEFT JOIN (
+            WITH edges AS ({edges_sql}),
+            und AS (
+                SELECT a_id AS x, b_id AS y FROM edges
+                UNION ALL
+                SELECT b_id AS x, a_id AS y FROM edges
+            )
+            SELECT x AS doc_id, COUNT(DISTINCT y) AS n
+            FROM und GROUP BY x
+        ) p ON p.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """
+
+
+@register(
+    "stream_multi_index_ingest",
+    oracle=_stream_multi_index_oracle(),
+    tags=("llm", "dedup", "similarity", "ivf", "streaming",
+          "exactly-once", "txnlog", "capstone"),
+)
+def stream_multi_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the multi-index curation loop: paired
+    documents+embeddings rows (joined on the shared id) arrive as
+    chronological micro-batches, and each batch lands in BOTH index
+    surfaces through the exactly-once transactional sink — minhash band
+    rows into a versioned band-index table, frozen-quantizer cell
+    assignments into a versioned cell-list table — with the SAME batch_id
+    committed idempotently per surface, so a crash between the two
+    commits redelivers the batch and only the missing surface applies it.
+    Composition: at-least-once streaming delivery x per-surface
+    exactly-once txnlog sinks x per-doc index computation (minhash
+    signatures and coarse assignment depend only on the row, never the
+    corpus) = O(batch) multi-index ingestion whose result is EXACTLY the
+    batch-built index. curation_multi_index_advance is the CDC/read-side
+    twin (cluster resolution stays a maintenance query over the band
+    index — the production split between ingest and maintenance).
+
+    Output per doc: its cell and its count of distinct LSH candidate
+    partners read from the STREAMED indexes; oracle recomputes both from
+    the full corpus."""
+    import hashlib as _hl
+    import os
+    import shutil
+    import tempfile
+
+    from nyc_analytics_database_platform_spark import layouts
+    from nyc_analytics_database_platform_spark.catalog import load
+    from nyc_analytics_database_platform_spark.operators import txnlog
+    from nyc_analytics_database_platform_spark.operators.dedup import (
+        banded_buckets,
+        minhash_signatures,
+    )
+    from nyc_analytics_database_platform_spark.queries.llm_clusters import (
+        _band_pairs,
+    )
+    from nyc_analytics_database_platform_spark.queries.streaming_stateful import (
+        _stage_ordered_files,
+        drain_or_raise,
+    )
+
+    root_b = layouts.scratch(sf_dir, "txnlog", "mistream_bands")
+    root_c = layouts.scratch(sf_dir, "txnlog", "mistream_cells")
+    marker = root_b + "_done"
+    stamp = layouts.source_stamp(sf_dir, "documents", "embeddings",
+                                 spec="mistream:12:5:2")
+    if not (layouts.is_fresh(marker, stamp)
+            and txnlog.chain_intact(root_b)
+            and txnlog.chain_intact(root_c)):
+        shutil.rmtree(root_b, ignore_errors=True)
+        shutil.rmtree(root_c, ignore_errors=True)
+        cents = frozen_history_quantizer(spark, sf_dir)
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        emb = load(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding")
+        paired = docs.join(emb, "doc_id")
+        n_max = paired.agg(F.max("doc_id")).collect()[0][0]
+        c1, c2 = n_max // 3, 2 * n_max // 3
+        stages = [
+            paired.filter(F.col("doc_id") <= c1),
+            paired.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
+            paired.filter(F.col("doc_id") > c2),
+        ]
+        tag = _hl.md5((sf_dir + ":mistream").encode()).hexdigest()[:8]
+        scratch = os.path.join(tempfile.gettempdir(), "spark_graft_stream",
+                               tag)
+        src_dir = os.path.join(scratch, "files")
+        _stage_ordered_files(scratch, src_dir, stages)
+
+        def sink(bdf: DataFrame, bid: int) -> None:
+            # Two surfaces, one batch id: each commit is idempotent on its
+            # own root, so a redelivery after a crash between them no-ops
+            # the surface that landed and applies the one that did not.
+            bands = banded_buckets(
+                minhash_signatures(bdf.select("doc_id", "text"),
+                                   num_perm=12, k=5),
+                num_perm=12, rows_per_band=2,
+            )
+            txnlog.commit_stream_batch(spark, root_b, bands, bid,
+                                       range_col="doc_id", n_files=1)
+            from nyc_analytics_database_platform_spark.operators.kmeans import (
+                assign_clusters,
+            )
+
+            cells = assign_clusters(
+                bdf.select(
+                    F.col("doc_id").alias("vec_id"),
+                    F.col("embedding").cast("array<double>").alias("v"),
+                ),
+                cents,
+            ).select("vec_id", F.col("c_id").cast("int").alias("cell"))
+            txnlog.commit_stream_batch(spark, root_c, cells, bid,
+                                       range_col="vec_id", n_files=1)
+
+        q = (
+            spark.readStream.schema(
+                "doc_id long, text string, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            drain_or_raise(q, "streaming multi-index ingest")
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+        layouts.mark_fresh(marker, stamp)
+
+    bands = txnlog.read_version(spark, root_b)
+    cells = txnlog.read_version(spark, root_c)
+    pairs = _band_pairs(bands)
+    partners = (
+        pairs.select(F.col("a_id").alias("doc_id"),
+                     F.col("b_id").alias("partner"))
+        .unionByName(pairs.select(F.col("b_id").alias("doc_id"),
+                                  F.col("a_id").alias("partner")))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("partner").alias("n_partners"))
+    )
+    return (
+        cells.select(F.col("vec_id").alias("doc_id"), "cell")
+        .join(partners, "doc_id", "left")
+        .select("doc_id", "cell",
+                F.coalesce("n_partners", F.lit(0)).alias("n_partners"))
+        .orderBy("doc_id")
+    )

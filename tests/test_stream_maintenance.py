@@ -260,3 +260,36 @@ def test_session_stream_merges_across_batch_boundary(spark, sf_dir, tmp_path):
     drain_or_raise(q, "session seam stream")
     rows = [tuple(r) for r in spark.table("sess_seam_sink").collect()]
     assert rows == [(1, 1, 0, 200_000_000, 3)]
+
+
+def test_two_surface_sink_partial_crash_replay(spark, tmp_path):
+    """stream_multi_index_ingest's two-surface sink claim (round 13): the
+    SAME batch id commits idempotently per surface, so a crash BETWEEN the
+    band commit and the cell commit, followed by Structured Streaming's
+    batch redelivery, no-ops the surface that landed and applies the one
+    that did not — exactly-once on both, with no cross-surface
+    coordination beyond sharing the batch id."""
+    from nyc_analytics_database_platform_spark.operators import txnlog
+
+    root_b = str(tmp_path / "bands")
+    root_c = str(tmp_path / "cells")
+    bands = spark.range(20).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("band"),
+        F.col("id").cast("string").alias("bucket"))
+    cells = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 4).cast("int").alias("cell"))
+    # Batch 0 lands on the band surface, then the process "crashes"
+    # before the cell commit.
+    assert txnlog.commit_stream_batch(
+        spark, root_b, bands, batch_id=0, range_col="doc_id") is not None
+    # Redelivery re-runs the WHOLE sink for batch 0:
+    assert txnlog.commit_stream_batch(
+        spark, root_b, bands, batch_id=0, range_col="doc_id") is None
+    assert txnlog.commit_stream_batch(
+        spark, root_c, cells, batch_id=0, range_col="vec_id") is not None
+    # Both surfaces exactly-once.
+    assert txnlog.read_version(spark, root_b).count() == 20
+    assert txnlog.read_version(spark, root_c).count() == 20
+    assert txnlog.committed_batch_ids(root_b) == {0}
+    assert txnlog.committed_batch_ids(root_c) == {0}
