@@ -54,7 +54,17 @@ def clear_engine_state(spark: SparkSession) -> None:
     blocks persist at the RDD layer until driver GC gets around to them.
     Left alone they accumulate across any loop that runs many registered
     queries (bench, plan_audit, the registry invariants test) and later
-    queries pay for every earlier query's resident blocks."""
+    queries pay for every earlier query's resident blocks.
+
+    The session artifact memo (layouts.session_artifact) must be dropped
+    FIRST: its entries are localCheckpoint-backed frames whose blocks the
+    unpersist loop below destroys, and a memo that outlives its blocks
+    hands every later consumer a dead plan
+    (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND - seen in the registry invariants
+    sweep, round 13)."""
+    memo = getattr(spark, "_nadb_artifact_cache", None)
+    if memo is not None:
+        memo.clear()
     spark.catalog.clearCache()
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
         try:

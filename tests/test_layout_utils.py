@@ -164,3 +164,33 @@ def test_layouts_source_stamp_tracks_mtime_and_spec(sf_dir):
     a = layouts.scratch(sf_dir, "fam1", "x")
     b = layouts.scratch("/other/dir", "fam1", "x")
     assert a != b and "fam1" in a
+
+
+def test_clear_engine_state_drops_artifact_memo(spark, sf_dir):
+    """clear_engine_state unpersists every RDD - including the blocks
+    behind localCheckpoint-backed session_artifact frames. The memo must
+    be invalidated in the same sweep, or later consumers get a dead plan
+    (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND - the round-13 registry-sweep red)."""
+    from nyc_analytics_database_platform_spark import layouts
+    from nyc_analytics_database_platform_spark.catalog import (
+        clear_engine_state,
+        load,
+    )
+
+    key = ("test-artifact-memo", "stamp0")
+    builds = []
+
+    def builder():
+        builds.append(1)
+        return load(spark, sf_dir, "region").localCheckpoint(eager=True)
+
+    first = layouts.session_artifact(spark, key, builder)
+    n = first.count()
+    assert n > 0 and builds == [1]
+    # memo hit while the checkpoint blocks are alive: no rebuild
+    assert layouts.session_artifact(spark, key, builder) is first
+    assert builds == [1]
+    clear_engine_state(spark)
+    again = layouts.session_artifact(spark, key, builder)
+    assert builds == [1, 1], "memo must rebuild after clear_engine_state"
+    assert again.count() == n  # and the rebuilt frame must evaluate
