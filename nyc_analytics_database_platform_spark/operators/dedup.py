@@ -77,19 +77,25 @@ def shingles_col(k: int = 5):
 
 
 def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Tokenize, then force an exchange.
+    """Force an exchange, then tokenize.
 
-    The repartition AFTER tokenization is load-bearing twice over:
-    (1) parallelism - a small parquet file arrives as one partition, and the
-    downstream shingling/hashing is CPU-bound; (2) the exchange materializes
-    the tokens array, which stops Catalyst's CollapseProject from inlining
-    the regex split() into every element of the downstream slice() lambda -
-    measured 3-6x on the shingle explode (split would otherwise re-run per
-    shingle, O(tokens x shingles) per doc).
+    The repartition BEFORE tokenization is load-bearing: a small parquet
+    file arrives as one partition and the tokenize + downstream
+    shingling/hashing are CPU-bound, so the regex split must run on
+    fanned-out rows. It sits before (not after) the projection so that an
+    input that is already round-robin fanned out (catalog.load with
+    parallel=True) COLLAPSES with it into one exchange
+    (CollapseRepartition) - the old tokenize-then-repartition order
+    stacked a second full-payload shuffle onto every such caller,
+    measured 2x wall on corpus_span_dedup at sf0.1 (opt round 1). The
+    historical reason for repartitioning after the projection - Catalyst
+    inlining split() into every downstream slice()/transform() lambda -
+    no longer holds on Spark 4: CollapseProject only inlines non-cheap
+    expressions referenced once (verified: split() node count in the
+    span/shingle plans is unchanged with the barrier removed).
     """
-    toks = docs.withColumn("toks", ws_tokens(text_col))
     target = docs.sparkSession.sparkContext.defaultParallelism
-    return toks.repartition(target)
+    return docs.repartition(target).withColumn("toks", ws_tokens(text_col))
 
 
 # --- exact ------------------------------------------------------------------

@@ -118,8 +118,15 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus twice. NULL-text docs produce no spans on either engine and
     are dropped from totals to match (the oracle's totals aggregates the
     span rows themselves)."""
-    docs = with_tokens(load(spark, sf_dir, "documents", parallel=True)).filter(
-        F.col("toks").isNotNull()
+    # text-notnull BEFORE tokenizing: filtering on toks pushes the
+    # predicate below the projection as isnotnull(split(...)), re-running
+    # the whole tokenizer once per row just for the null test (opt round
+    # 1); split() is null iff its input is null, so the pre-filter is
+    # exactly equivalent and pushes to the scan.
+    docs = with_tokens(
+        load(spark, sf_dir, "documents", parallel=True).filter(
+            F.col("text").isNotNull()
+        )
     )
     spans = docs.select(
         "doc_id",
@@ -434,8 +441,15 @@ def corpus_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64(gram) (SCALE.md key discipline; the oracle keeps the exact
     string key - identical answers absent a 2^-64 hash collision, the
     same documented bound as corpus_span_dedup)."""
-    docs = with_tokens(load(spark, sf_dir, "documents", parallel=True)).filter(
-        F.col("toks").isNotNull()
+    # text-notnull BEFORE tokenizing: filtering on toks pushes the
+    # predicate below the projection as isnotnull(split(...)), re-running
+    # the whole tokenizer once per row just for the null test (opt round
+    # 1); split() is null iff its input is null, so the pre-filter is
+    # exactly equivalent and pushes to the scan.
+    docs = with_tokens(
+        load(spark, sf_dir, "documents", parallel=True).filter(
+            F.col("text").isNotNull()
+        )
     )
     # Shuffle keys are xxhash64(gram) longs, never the raw 8-token strings
     # (SCALE.md key discipline; 2^-64 collision bound documented) - the
@@ -719,8 +733,15 @@ def corpus_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction is the one non-rolling cost; at 100 TB a polynomial
     rolling hash over per-token hashes drops it to O(tokens) without
     changing any downstream semantics."""
-    docs = with_tokens(load(spark, sf_dir, "documents", parallel=True)).filter(
-        F.col("toks").isNotNull()
+    # text-notnull BEFORE tokenizing: filtering on toks pushes the
+    # predicate below the projection as isnotnull(split(...)), re-running
+    # the whole tokenizer once per row just for the null test (opt round
+    # 1); split() is null iff its input is null, so the pre-filter is
+    # exactly equivalent and pushes to the scan.
+    docs = with_tokens(
+        load(spark, sf_dir, "documents", parallel=True).filter(
+            F.col("text").isNotNull()
+        )
     )
     base = docs.select(
         "doc_id", "toks", F.size("toks").cast("long").alias("n_tokens")

@@ -87,3 +87,40 @@ def test_unigram_scores_positive_and_keep_consistent(spark):
     for r in rows:
         assert r.avg_nll > 0
         assert r.keep == (r.avg_nll < 3.45)
+
+
+def test_with_tokens_single_exchange_and_single_split(spark, sf_dir):
+    """Optimization-round pin: with_tokens repartitions BEFORE tokenizing,
+    so a parallel-loaded input collapses with it into ONE round-robin
+    exchange (CollapseRepartition), and a downstream consumer of `toks`
+    never re-runs the regex split - neither inlined into per-element
+    lambdas (CollapseProject) nor duplicated into a pushed-down null
+    filter (the old toks-isNotNull shape tokenized every row twice)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from nyc_analytics_database_platform_spark.catalog import load
+    from nyc_analytics_database_platform_spark.operators.dedup import (
+        with_tokens,
+    )
+
+    docs = with_tokens(
+        load(spark, sf_dir, "documents", parallel=True).filter(
+            F.col("text").isNotNull()
+        )
+    )
+    out = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(toks), 8),"
+            " i -> array_join(slice(toks, i, 8), ' '))"
+        ).alias("spans"),
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("RoundRobinPartitioning") == 1, plan
+    assert plan.count("split(") == 1, plan
