@@ -108,12 +108,9 @@ def pagerank_loop(
     Returns (ranks DataFrame (node, rank), iterations_run). No dangling
     nodes assumed (every src appears as a dst), as holds for undirected
     graphs."""
-    # Lazy checkpoints, same as connected_components: the per-round delta
-    # aggregate is the action that materializes the round's checkpoint
-    # blocks, so marking eager would only add a second job per round.
     ranks = (
         adj.select(F.col("src").alias("node"), (F.lit(1.0) / n_nodes).alias("rank"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     iters = 0
     for _ in range(max_iterations):
@@ -129,7 +126,7 @@ def pagerank_loop(
                 ).alias("rank")
             )
             .withColumnRenamed("dst", "node")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         delta_nano = (
             new_ranks.alias("n")
@@ -161,23 +158,13 @@ def connected_components(
     both = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-    # LAZY checkpoints throughout the loop (opt round 1): an eager
-    # localCheckpoint is its own Spark job, and this loop already runs one
-    # action per round (the convergence probe below). Marking the frames
-    # lazy makes the probe's aggregate materialize the round's checkpoint
-    # blocks in the SAME job - per-round job count drops 2 -> 1 (and the
-    # two setup checkpoints fold into round 1), halving the dispatch cost
-    # that dominates CC at bench scale (dedup_minhash_clusters: 31 jobs
-    # per warm run before). Lineage truncation is unchanged: blocks are
-    # persisted the first time the RDD is computed, which the probe forces
-    # every round.
-    both = both.distinct().localCheckpoint(eager=False)
+    both = both.distinct().localCheckpoint(eager=True)
 
     labels = (
         both.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     converged = False
@@ -215,7 +202,7 @@ def connected_components(
             .select(
                 "node", F.coalesce(F.col("_ml"), F.col("label")).alias("label")
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         total = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("t")

@@ -49,9 +49,15 @@ def curate_corpus(
     max_top_bigram_frac: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_input: int | None = None,
 ) -> tuple[DataFrame, CurationReport]:
-    """Returns (curated docs DataFrame, stage-by-stage report)."""
-    n_input = docs.count()
+    """Returns (curated docs DataFrame, stage-by-stage report).
+
+    `n_input` lets a caller that already knows the corpus row count (e.g.
+    from parquet footer metadata - catalog.footer_row_count) skip the
+    count() job; None keeps the self-contained behavior."""
+    if n_input is None:
+        n_input = docs.count()
 
     # 1. quality gate (narrow per-row expressions, no shuffle). The cached
     # tokenized survivors are the ONE heavy materialization every later

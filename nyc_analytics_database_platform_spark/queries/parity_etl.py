@@ -313,12 +313,25 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces (including the recursive-CTE connected components)."""
     from nyc_analytics_database_platform_spark.plans.curation import curate_corpus
 
+    from nyc_analytics_database_platform_spark.catalog import (
+        footer_row_count,
+    )
+
     docs = load(spark, sf_dir, "documents", parallel=True)
+    # n_input from the parquet footer (driver-side metadata read, no
+    # Spark job) - the same count()-avoidance discipline as the RFM
+    # quintile path switch; fall back to the in-engine count on layouts
+    # the footer reader cannot walk.
+    try:
+        n_input = footer_row_count(sf_dir, "documents")
+    except Exception:  # noqa: BLE001 - non-local/partitioned layouts
+        n_input = None
     _, report = curate_corpus(
         docs,
         min_tokens=_MIN_TOKENS,
         max_punct_ratio=_MAX_PUNCT,
         max_top_bigram_frac=_MAX_BIGRAM,
+        n_input=n_input,
     )
     return spark.createDataFrame(
         [
