@@ -202,9 +202,19 @@ def test_stream_ann_ingest_survives_checkpoint_restart(spark, sf_dir,
     # phase 1's commit landed, commit it if not — either way exactly once.
     q2 = start()
     drain_or_raise(q2, "restarted ANN ingest stream")
+    batches_b = {p["batchId"] for p in q2.recentProgress}
 
-    # Every batch id committed exactly once across both queries.
-    assert txnlog.committed_batch_ids(root) == set(range(6))
+    # The restart must have done real work (redelivery or continuation),
+    # and every batch either query ran is committed exactly once, with no
+    # gap in the id sequence. NOT pinned to exactly 6 ids: a restarted
+    # availableNow source may legally re-chunk the remaining files
+    # (maxFilesPerTrigger is a soft limit), so the batch COUNT can come
+    # out below the file count while delivery stays exactly-once — the
+    # multiset compare below is the actual no-loss/no-duplication proof.
+    assert batches_b, "restarted stream processed nothing; vacuous"
+    committed = txnlog.committed_batch_ids(root)
+    assert committed == batches_a | batches_b
+    assert committed == set(range(len(committed)))
     # Final index == from-scratch assignment under the same frozen
     # quantizer: any double-indexed vector shows as a duplicate (multiset
     # compare), any lost batch as missing rows.
