@@ -73,6 +73,27 @@ def clear_engine_state(spark: SparkSession) -> None:
             pass
 
 
+def capture_plan(df: DataFrame, label: str) -> None:
+    """Profiler hook for EAGER composites: when a profiler has installed
+    `spark._nadb_plan_capture = []` (scripts/qprof.py --capture-internal),
+    append this internal stage frame's formatted plan under `label`. The
+    composite's returned frame is often a bare createDataFrame (its jobs ran
+    at build time), so without this hook the committed 'plan evidence' for
+    such queries is uninformative (VERDICT r13 #7). No-op (one getattr) in
+    normal runs."""
+    cap = getattr(df.sparkSession, "_nadb_plan_capture", None)
+    if cap is None:
+        return
+    try:
+        qe = df._jdf.queryExecution()  # type: ignore[attr-defined]
+        text = df.sparkSession._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            qe, "formatted"
+        )
+    except Exception as e:  # noqa: BLE001 - capture must never break a query
+        text = f"<capture failed: {type(e).__name__}: {e}>"
+    cap.append((label, text))
+
+
 _ROW_COUNT_CACHE: dict = {}
 
 

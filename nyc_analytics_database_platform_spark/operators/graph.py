@@ -11,8 +11,9 @@ shuffles: join labels->edges, then groupBy min.
 
 At 100 TB: edges and labels are both DataFrames partitioned on node id, the
 join is shuffle-hash on that key, and convergence checks are cheap count
-aggregates. localCheckpoint between rounds truncates the lineage so plans
-do not grow with iteration count.
+aggregates. Per-round persist() (with the convergence probe as the
+materializing action) truncates effective lineage via cache substitution,
+so plans do not grow with iteration count and each round costs one job.
 """
 
 from __future__ import annotations
@@ -96,8 +97,8 @@ def pagerank_loop(
     engines at different iterations). eps_nano=100_000 is L1 < 1e-4.
 
     Per iteration: one message-aggregation shuffle (the adjacency frame
-    never re-shuffles), one localCheckpoint to truncate lineage, and the
-    tiny delta aggregate. At 100 TB the cap is the budget control: damping
+    never re-shuffles) materialized into a per-round cache by the tiny
+    delta aggregate (one job per round). At 100 TB the cap is the budget control: damping
     0.85 contracts the L1 error by at most 0.85x per round (the worst
     case, realized by bipartite/periodic structure; well-mixed graphs
     contract much faster), so eps >= 2 * 0.85^k bounds the rounds needed -
@@ -113,6 +114,11 @@ def pagerank_loop(
         .localCheckpoint(eager=True)
     )
     iters = 0
+    # Per-round materialization is the persist -> probe -> lazy-checkpoint
+    # SANDWICH (see connected_components for the full rationale): one job
+    # per round instead of the r13 shape's two, with lineage cut to a
+    # LogicalRDD that inherits the materialized cache's REAL stats.
+    prev_cached: DataFrame | None = None
     for _ in range(max_iterations):
         contrib = adj.join(ranks, adj.src == ranks.node).select(
             F.explode("dsts").alias("dst"),
@@ -126,7 +132,7 @@ def pagerank_loop(
                 ).alias("rank")
             )
             .withColumnRenamed("dst", "node")
-            .localCheckpoint(eager=True)
+            .persist()
         )
         delta_nano = (
             new_ranks.alias("n")
@@ -140,7 +146,10 @@ def pagerank_loop(
             )
             .collect()[0]["d"]
         )
-        ranks = new_ranks
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_ranks
+        ranks = new_ranks.localCheckpoint(eager=False)
         iters += 1
         if delta_nano is not None and delta_nano < eps_nano:
             break
@@ -170,11 +179,29 @@ def connected_components(
     converged = False
     # Convergence probe: labels only ever DECREASE (min-propagation), so the
     # total of all labels is strictly decreasing until the fixpoint; an
-    # unchanged total means no node changed. One tiny aggregate over the
-    # just-materialized checkpoint replaces the old join-old-vs-new + count
-    # job, cutting per-round job count from 3 to 2. decimal(38,0) so the
-    # probe cannot overflow however large the node-id space.
+    # unchanged total means no node changed. decimal(38,0) so the probe
+    # cannot overflow however large the node-id space.
+    #
+    # Per-round materialization is the persist -> probe -> lazy-checkpoint
+    # SANDWICH: ONE job per round where the r13 shape paid two (eager
+    # localCheckpoint job, then the probe re-reading its blocks).
+    #   1. persist() the round, 2. run the probe aggregate as the
+    #   materializing action (fills the cache), 3. localCheckpoint(False)
+    #   ON the materialized cache - no job (only eager counts), and the
+    #   resulting LogicalRDD leaf inherits the cache's REAL
+    #   InMemoryRelation stats, so AQE join selection is unchanged.
+    # Each half exists to dodge a measured failure mode: a lazy checkpoint
+    # alone is a stats-less LogicalRDD (AQE lost broadcast evidence -
+    # 67s-cold blowups, reverted in r13), and persist alone leaves the full
+    # logical chain in every downstream frame, whose nested
+    # InMemoryRelation plan STRINGS double per round (2 GiB explain at the
+    # pagerank cap - measured this round). The sandwich cuts lineage to a
+    # constant-size leaf per round (optimized plan length measured flat
+    # across 14 rounds) while keeping materialized-size stats. The previous
+    # round's cache unpersists as soon as its successor is materialized;
+    # its checkpoint blocks were written by that same probe job.
     prev_total = None
+    prev_cached: DataFrame | None = None
     for _ in range(max_iterations):
         neighbor_labels = (
             both.join(labels, both.dst == labels.node)
@@ -202,12 +229,22 @@ def connected_components(
             .select(
                 "node", F.coalesce(F.col("_ml"), F.col("label")).alias("label")
             )
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        if prev_total is None:
+            # profiler hook: the first round's propagate+jump plan is the
+            # real per-round CC evidence (the loop's output frame is a
+            # LogicalRDD leaf) - no-op outside qprof --capture-internal
+            from nyc_analytics_database_platform_spark.catalog import capture_plan
+
+            capture_plan(new_labels, "cc_round1")
         total = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("t")
         ).collect()[0][0]
-        labels = new_labels
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
+        labels = new_labels.localCheckpoint(eager=False)
         if total == prev_total:
             converged = True
             break

@@ -93,9 +93,13 @@ def curate_corpus(
     rep_survivors = exact_survivors.join(rep_drops, id_col, "left_anti")
 
     # 4. near-dup removal: LSH candidates -> components -> drop non-canonical
+    from nyc_analytics_database_platform_spark.catalog import capture_plan
+
     sigs = minhash_signatures(rep_survivors, num_perm=12, k=5, id_col=id_col)
     pairs = lsh_candidate_pairs(sigs, num_perm=12, rows_per_band=2, id_col=id_col)
+    capture_plan(pairs, "lsh_pairs")
     components = connected_components(pairs)
+    capture_plan(components, "cc_components")
     drops = components.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
@@ -116,6 +120,7 @@ def curate_corpus(
     rep_ok = F.col("_r").isNull()
     near_ok = F.col("_d").isNull()
     surv = kept & rep_ok & near_ok
+    capture_plan(flagged, "report_flags")
     row = flagged.agg(
         F.count("*").alias("nq"),
         F.sum(kept.cast("long")).alias("ne"),
